@@ -1,0 +1,27 @@
+from analyst_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+from analyst_spark.functions.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    shingle_tokens,
+    simhash_signatures,
+)
+from analyst_spark.functions.similarity import cosine_topk
+
+__all__ = [
+    "token_count",
+    "quality_features",
+    "language_id",
+    "doc_fingerprint",
+    "exact_dedup",
+    "shingle_tokens",
+    "minhash_pairs",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+]

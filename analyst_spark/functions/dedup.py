@@ -1,0 +1,207 @@
+"""Deduplication for training-data pipelines.
+
+Five strategies, all shuffle-aware:
+
+* **exact** — hash-groupBy on a content fingerprint. One shuffle on
+  the fingerprint; at 100 TB this is the cheapest possible dedup
+  (map-side combine collapses most duplicates before the shuffle).
+* **MinHash + LSH** — shingle → k min-hashes → band → bucket-join.
+  Candidate generation is a self-join on (band, band_hash): only
+  documents sharing a band bucket ever meet, so the pair space is
+  ~linear, never O(n²).
+* **SimHash** — 32-bit signature; near-dups collide on the signature
+  (or differ in few bits). Signature computation is one explode +
+  groupBy — two narrow shuffles.
+* **n-gram Jaccard** — exact pairwise Jaccard, but only over pairs
+  that share at least one shingle (self-join on shingle, then count).
+  Used to *verify* LSH candidates; at scale you run it only on the
+  LSH-bucketed candidates.
+* **embedding cosine** — see :mod:`analyst_spark.functions.similarity`.
+
+Hash choice: md5 everywhere an oracle needs to reproduce the result
+cross-engine; `fast=True` switches to xxhash64 (JVM, no hex-string
+materialization) for the production path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from analyst_spark.functions.text import doc_fingerprint, normalize_text, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) content.
+
+    groupBy-min instead of window-row_number: the aggregation gets
+    map-side partial combine, a windowed rank would sort every
+    partition of the shuffle. Returns the full surviving rows.
+    """
+    fp = (
+        F.xxhash64(normalize_text(text_col)) if fast else doc_fingerprint(text_col)
+    ).alias("__fp")
+    with_fp = df.withColumn("__fp", fp)
+    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keep, [id_col, "__fp"], "inner")  # survivors only
+        .drop("__fp")
+    )
+
+
+def shingle_tokens(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined).
+    Documents with fewer than n tokens yield an empty array
+    (sequence(1, 0) would DESCEND in Spark — guarded)."""
+    toks = tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    arr = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(cnt >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, distinct per document."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_tokens(text_col, n))).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """k min-hashes per document: sig_i = min(md5(i || '|' || shingle)).
+
+    Seeded-md5 min over hex strings is an order-preserving uniform
+    min-hash and is reproducible in any engine with md5 — that's the
+    oracle story. The production variant would use
+    min(xxhash64(concat(seed, shingle))) (cheaper, same structure).
+    """
+    sh = shingles_exploded(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate duplicate pairs (id_a < id_b) with band votes.
+
+    Documents land in the same bucket when one band of their MinHash
+    signature matches exactly — P(candidate) ≈ 1-(1-s^r)^b for Jaccard
+    similarity s. The self-join is on (band_idx, band_hash), so the
+    shuffle key is the bucket — skew only if a bucket is huge, which
+    AQE's skew-join handles.
+    """
+    k = bands * rows_per_band
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes=k)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over tokens: bit j of the signature = sign of
+    sum(+1/-1 over tokens by bit j of md5(token)).
+
+    Token bits are drawn from the md5 hex digits (4 bits per digit) so
+    the oracle can reproduce them: bit j lives in hex digit j//4 at
+    position j%4. All 32 bit-sums run in ONE aggregation pass.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    digit_val = {}
+    for d in range(bits // 4):
+        digit_val[d] = F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int")
+    bit_sums = []
+    for j in range(bits):
+        bit = F.shiftright(digit_val[j // 4], j % 4).bitwiseAND(F.lit(1))
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(0)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
+    shingle. intersection via self-join-count, union = |A|+|B|-∩.
+
+    At 100 TB this runs AFTER LSH candidate generation (join the pair
+    list), never on the raw corpus; the shared-shingle join here is
+    the exact-verify step and is already linear in total postings.
+    """
+    sh = shingles_exploded(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

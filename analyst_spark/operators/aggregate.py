@@ -1,0 +1,119 @@
+"""AGGREGATE — the reference's native group-by engine, Spark-first.
+
+The reference (transforms/aggregate.go) implements a single-pass
+streaming hash aggregation with 8 reducers (SUM AVG MIN MAX COUNT
+QUANTILE CDF ZOH) whose state lives in one in-process map (no spill,
+no partial aggregation). Here every reducer maps to a Catalyst
+aggregate expression, so partial (map-side) aggregation, spilling,
+whole-stage codegen and AQE-coalesced shuffles all apply for free —
+this is the scale story: a groupBy on 100 TB does map-side combine
+before the shuffle, which the reference's design fundamentally cannot.
+
+Semantics notes vs the reference:
+
+* All reducer outputs are DOUBLE (the reference returns ``*float64``
+  for everything — transforms/aggregate.go:238-246).
+* ``COUNT`` in the reference is buggy (transforms/count.go:22-31:
+  never sets notNull, Copy() returns a sum reducer). We implement the
+  *intended* SQL COUNT semantics, per SURVEY §2.4's adjudication.
+* ``MIN``/``MAX`` accept either numbers or RFC3339 time-strings; the
+  time-string form yields float epoch seconds
+  (transforms/min.go:44-49). Use ``min_time_epoch``/``max_time_epoch``
+  for that form.
+* ``QUANTILE`` uses t-digest in the reference; we expose the exact
+  ``percentile`` (oracle-matchable) and ``approx`` t-digest-class
+  ``percentile_approx`` for the 100 TB path.
+* ``CDF(x, v)`` — empirical P(X <= v) — has no builtin; the exact
+  ``avg(x <= v)`` formulation is one expression and matches the
+  t-digest estimate asymptotically (SURVEY §2.4).
+* ``ZOH`` is in :mod:`analyst_spark.operators.zoh` (needs a window
+  pre-pass, not a plain aggregate expression).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sum(col: str) -> Column:
+    return F.sum(F.col(col).cast("double"))
+
+
+def _avg(col: str) -> Column:
+    return F.avg(F.col(col).cast("double"))
+
+
+def _min(col: str) -> Column:
+    return F.min(F.col(col).cast("double"))
+
+
+def _max(col: str) -> Column:
+    return F.max(F.col(col).cast("double"))
+
+
+def _count(col: str) -> Column:
+    # Reference grammar has no COUNT(*); users write COUNT(1) with a
+    # literal arg (docs/transforms.md). Arg is ignored, rows counted.
+    return F.count(F.lit(1)).cast("double")
+
+
+def quantile(col: str, q: float, approx: bool = False) -> Column:
+    """QUANTILE(x, q). exact percentile by default (oracle-parity);
+    ``approx=True`` switches to percentile_approx — the same
+    approximation class as the reference's t-digest
+    (transforms/quantile.go:8-14) and the right choice at 100 TB."""
+    if approx:
+        return F.percentile_approx(F.col(col).cast("double"), q)
+    return F.percentile(F.col(col).cast("double"), q)
+
+
+def cdf(col: str, v: float) -> Column:
+    """CDF(x, v): empirical P(X <= v); exact one-pass formulation."""
+    x = F.col(col).cast("double")
+    return F.avg(F.when(x.isNull(), None).when(x <= v, 1.0).otherwise(0.0))
+
+
+def min_time_epoch(col: str) -> Column:
+    """MIN over RFC3339 time-strings → float epoch seconds
+    (transforms/min.go:44-49)."""
+    return F.min(F.unix_timestamp(F.col(col))).cast("double")
+
+
+def max_time_epoch(col: str) -> Column:
+    return F.max(F.unix_timestamp(F.col(col))).cast("double")
+
+
+REDUCERS = {
+    "SUM": _sum,
+    "AVG": _avg,
+    "MIN": _min,
+    "MAX": _max,
+    "COUNT": _count,
+}
+
+
+def aggregate(
+    df: DataFrame,
+    group_by: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]] | Sequence[Column],
+) -> DataFrame:
+    """``AGGREGATE term AS alias ... GROUP BY cols`` as a DataFrame op.
+
+    ``aggs`` entries are either prebuilt aliased Columns or
+    ``(reducer_name, column, alias)`` triples for the simple reducers.
+    With an empty ``group_by`` a single global group is produced, like
+    the reference's NoGroupBy key (transforms/aggregate.go:62-63).
+    """
+    exprs = []
+    for a in aggs:
+        if isinstance(a, Column):
+            exprs.append(a)
+        else:
+            name, col, alias = a
+            exprs.append(REDUCERS[name.upper()](col).alias(alias))
+    if group_by:
+        return df.groupBy(*group_by).agg(*exprs)
+    return df.agg(*exprs)

@@ -1,0 +1,72 @@
+"""Central query registry: name → (spark callable, oracle SQL).
+
+Every entry here is surfaced through ``__spark_entry__.queries()`` /
+``oracle_sql()`` and hence hits the driver's DuckDB correctness gate.
+Queries without a SQL-expressible oracle (LSH ANN — generated
+hyperplanes) register with ``oracle=None`` and get the rows-only
+check; everything else is hash-compared.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from analyst_spark.plans import events_plans as ev
+from analyst_spark.plans import reference_ops as ro
+from analyst_spark.plans import text_plans as tp
+from analyst_spark.plans import tpch
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# --- TPC-H-style relational plans -----------------------------------
+_register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_ORACLE)
+_register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
+_register("q5_local_supplier", tpch.q5_local_supplier, tpch.Q5_ORACLE)
+_register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_ORACLE)
+_register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_ORACLE)
+_register("window_top_orders", tpch.window_top_orders, tpch.WINDOW_TOP_ORDERS_ORACLE)
+
+# --- reference operator inventory (SURVEY §2) -----------------------
+_register("agg_reducers", ro.agg_reducers, ro.AGG_REDUCERS_ORACLE)
+_register("agg_quantile", ro.agg_quantile, ro.AGG_QUANTILE_ORACLE)
+_register("agg_cdf", ro.agg_cdf, ro.AGG_CDF_ORACLE)
+_register("agg_zoh", ro.agg_zoh, ro.AGG_ZOH_ORACLE)
+_register("lookup_inner", ro.lookup_inner, ro.LOOKUP_INNER_ORACLE)
+_register("lookup_outer", ro.lookup_outer, ro.LOOKUP_OUTER_ORACLE)
+_register("apply_cast", ro.apply_cast_matrix, ro.APPLY_CAST_ORACLE)
+_register("select_filter_distinct", ro.select_filter_distinct, ro.SELECT_FILTER_DISTINCT_ORACLE)
+_register("union_all_sources", ro.union_all_sources, ro.UNION_ALL_ORACLE)
+
+# --- event-stream analytics -----------------------------------------
+_register("events_hourly_rollup", ev.events_hourly_rollup, ev.EVENTS_HOURLY_ORACLE)
+_register("events_json_props", ev.events_json_props, ev.EVENTS_JSON_ORACLE)
+_register("events_user_sessions", ev.events_user_sessions, ev.EVENTS_SESSIONS_ORACLE)
+
+# --- text analysis ---------------------------------------------------
+_register("text_stats", tp.text_stats, tp.TEXT_STATS_ORACLE)
+_register("text_quality", tp.text_quality, tp.TEXT_QUALITY_ORACLE)
+_register("text_langid", tp.text_langid, tp.TEXT_LANGID_ORACLE)
+_register("doc_fingerprints", tp.doc_fingerprints, tp.DOC_FINGERPRINTS_ORACLE)
+
+# --- deduplication ---------------------------------------------------
+_register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)
+_register("dedup_minhash", tp.dedup_minhash, tp.DEDUP_MINHASH_ORACLE)
+_register("dedup_simhash", tp.dedup_simhash, tp.DEDUP_SIMHASH_ORACLE)
+_register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE)
+_register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
+
+# --- similarity search ----------------------------------------------
+_register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
+_register("ann_lsh_topk", tp.ann_lsh_topk, None)  # generated hyperplanes → rows-only

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The defaults here are chosen so the same code runs on ``local[32]``
+(the test harness) and on a large multi-executor cluster:
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting
+  and dynamic broadcast decisions make one config work across scale
+  factors; at 100 TB the static ``shuffle.partitions`` value is only a
+  starting point AQE refines.
+* Arrow on — every pandas UDF / ``applyInPandas`` hop is
+  Arrow-batched, never row-at-a-time pickling.
+* UTC session timezone — timestamp semantics match the DuckDB oracle
+  and are stable across driver machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "analyst_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    On a real cluster the ``master`` comes from spark-submit and the
+    local[] default is ignored; nothing else here is local-specific.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.caseSensitive", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "32g")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,82 @@
+"""Load the driver-provided synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under a scale-factor dir.
+
+At 100 TB these would be partitioned parquet/iceberg datasets; the
+loader keeps the access pattern identical (``spark.read.parquet`` on a
+path prefix) so the only change at scale is the path and partition
+layout. All query code selects/filters through Catalyst so partition
+pruning and predicate pushdown apply unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read nanos as long and rebuild the
+        # (lossless — data is microsecond-grained) timestamp column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+class _LazyTables(dict):
+    """Read each table's footer only when a plan actually touches it."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self:
+            if name not in TABLE_NAMES:
+                raise KeyError(name)
+            self[name] = _read(self._spark, self._sf_dir, name)
+        return super().__getitem__(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return _LazyTables(spark, sf_dir or DEFAULT_SF_DIR)
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` works on it.
+
+    This is the Spark-native analog of the reference's "stage anything
+    into SQLite then query it" path (engine/auto_sql_transform.go:21-30)
+    — except distributed, lazy, and optimizer-visible.
+    """
+    tables = load_tables(spark, sf_dir)
+    for name in TABLE_NAMES:
+        tables[name].createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark AND its
+``oracle_sql()`` twin on DuckDB, then compares row count, column
+names, and an order-insensitive value hash (columns sorted by name,
+rows sorted by their full value tuple, floats rounded to 9 sig
+places before hashing to absorb last-bit noise the real driver may or
+may not tolerate — we aim for exact anyway).
+
+Usage: python tools/verify_local.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "\0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    normed = sorted(
+        tuple(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for row in normed:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main(names):
+    import __spark_entry__ as entrymod
+    from analyst_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = names or list(qs)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF_DIR)
+            srows = df.collect()
+            scols = df.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows={len(srows)} (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                print(f"      WARNING: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c.lower() for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        scols_l = [c.lower() for c in scols]
+        problems = []
+        if sorted(scols_l) != sorted(ocols):
+            problems.append(f"cols spark={scols_l} duck={ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            sh = table_hash(scols_l, [tuple(r) for r in srows])
+            oh = table_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"value-hash spark={sh} duck={oh}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"ok    {name}: rows={len(srows)} hash={sh} [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names) - len(failures)}/{len(names)} green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
