@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from analyst_spark.functions.text import doc_fingerprint, normalize_text, tokens
+from analyst_spark.tables import spread
 
 
 def exact_dedup(
@@ -46,7 +47,7 @@ def exact_dedup(
     fp = (
         F.xxhash64(normalize_text(text_col)) if fast else doc_fingerprint(text_col)
     ).alias("__fp")
-    with_fp = df.withColumn("__fp", fp)
+    with_fp = spread(df, id_col).withColumn("__fp", fp).persist()
     keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return (
         with_fp.join(keep, [id_col, "__fp"], "inner")  # survivors only
@@ -71,8 +72,9 @@ def shingles_exploded(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingle) rows, distinct per document."""
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_tokens(text_col, n))).alias("shingle"))
+    return spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_tokens(text_col, n))).alias("shingle"),
     )
 
 
@@ -122,9 +124,12 @@ def minhash_pairs(
         band_rows.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
         )
+    # The self-join below consumes `buckets` twice; persist so the
+    # md5-heavy signature pipeline is computed once (at cluster scale:
+    # checkpoint/exchange reuse — same idea).
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket").persist()
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
@@ -154,16 +159,25 @@ def simhash_signatures(
     the oracle can reproduce them: bit j lives in hex digit j//4 at
     position j%4. All 32 bit-sums run in ONE aggregation pass.
     """
+    # One md5 + one conv per token: the first 8 hex chars become a
+    # single 32-bit int; each signature bit is then a cheap shift/and.
+    # Bit j lives in hex digit j//4 at in-digit position j%4 — with
+    # big-endian conv, that's shift (7 - j//4)*4 + j%4.
+    ndigits = bits // 4
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .withColumn("h", F.md5(F.col("tok")))
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("tok")), 1, ndigits), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
     )
-    digit_val = {}
-    for d in range(bits // 4):
-        digit_val[d] = F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int")
     bit_sums = []
     for j in range(bits):
-        bit = F.shiftright(digit_val[j // 4], j % 4).bitwiseAND(F.lit(1))
+        shift = (ndigits - 1 - j // 4) * 4 + (j % 4)
+        bit = F.shiftright(F.col("hv"), shift).bitwiseAND(F.lit(1))
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     sums = tok.groupBy(id_col).agg(*bit_sums)
     sig = F.lit(0).cast("long")
@@ -186,7 +200,7 @@ def ngram_jaccard_pairs(
     list), never on the raw corpus; the shared-shingle join here is
     the exact-verify step and is already linear in total postings.
     """
-    sh = shingles_exploded(df, text_col, id_col, n)
+    sh = shingles_exploded(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

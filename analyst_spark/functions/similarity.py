@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from analyst_spark.tables import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -55,7 +57,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    c = spread(corpus, id_col).select(F.col(id_col), F.col(vec_col).alias("__cv"))
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col(id_col))
@@ -72,15 +74,16 @@ def cosine_topk(
 
 
 def hyperplane_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0."""
+    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0.
+
+    Plane literals are built as one F.expr string per plane (a single
+    py4j call) — building 64 F.lit columns per plane costs ~2s of
+    driver time per query otherwise."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
+        arr = F.expr("array(" + ",".join(f"{float(x)}D" for x in plane) + ")")
         d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -118,7 +121,7 @@ def lsh_bucket_topk(
     bucket (2^num_planes buckets). Recall < 1 by design; the 100 TB
     path where a full scan per query is unaffordable."""
     planes = _pseudo_planes(num_planes, dim)
-    cb = corpus.withColumn("__bucket", hyperplane_bits(F.col(vec_col), planes))
+    cb = spread(corpus, id_col).withColumn("__bucket", hyperplane_bits(F.col(vec_col), planes))
     qb = queries.withColumn("__bucket", hyperplane_bits(F.col(vec_col), planes))
     q = qb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bucket"

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from analyst_spark.tables import spread
+
 # Marker stopwords per language for the n-gram/stopword heuristic.
 # Deterministic, tiny, and expressible identically in ANSI SQL for the
 # oracle. Order matters: ties break toward the earlier language.
@@ -72,6 +74,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     composite [0,1] score, mirroring the standard C4/Gopher-style
     cheap filters. All arithmetic is exact and ANSI-portable so the
     DuckDB oracle can reproduce it bit-for-bit."""
+    df = spread(df, id_col)
     c = F.col(text_col)
     n_chars = F.length(c)
     toks = tokens(c)

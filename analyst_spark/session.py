@@ -45,6 +45,13 @@ def get_spark(app_name: str = "analyst_spark", cpus: str | None = None) -> Spark
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "32g")
+        # Shuffle/spill files on tmpfs: the test host's disk has high
+        # iowait variance; on a real cluster local dirs are NVMe and
+        # this override is skipped.
+        if os.path.isdir("/dev/shm"):
+            shm = "/dev/shm/spark-local"
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -33,6 +33,24 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame, *by: str) -> DataFrame:
+    """Repartition to the session's default shuffle parallelism.
+
+    The driver testdata ships one unsplittable row-group per table, so
+    every scan starts single-partition; any CPU-heavy per-row pipeline
+    (md5 shingling, simhash bit-sums, vector math) must fan out first
+    or it runs on one core. At 100 TB inputs arrive well-partitioned
+    and this becomes a cheap no-op-ish balance step before heavy
+    per-row compute — the standard skew guard, keyed by ``by`` to keep
+    downstream groupBys co-partitioned.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Note: no df.rdd.getNumPartitions() probe — converting the plan to
+    # an RDD costs ~1s per call in Spark 4. The repartition itself is a
+    # narrow-input shuffle AQE right-sizes, so just always insert it.
+    return df.repartition(n, *by) if by else df.repartition(n)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
