@@ -78,12 +78,14 @@ def cdf(col: str, v: float) -> Column:
 
 def min_time_epoch(col: str) -> Column:
     """MIN over RFC3339 time-strings → float epoch seconds
-    (transforms/min.go:44-49)."""
-    return F.min(F.unix_timestamp(F.col(col))).cast("double")
+    (transforms/min.go:44-49). Parse via timestamp cast — it accepts
+    all three layouts the reference does (transforms/common.go:13-31,
+    all ISO-8601-shaped); unix_timestamp's default format does not."""
+    return F.min(F.unix_timestamp(F.col(col).try_cast("timestamp"))).cast("double")
 
 
 def max_time_epoch(col: str) -> Column:
-    return F.max(F.unix_timestamp(F.col(col))).cast("double")
+    return F.max(F.unix_timestamp(F.col(col).try_cast("timestamp"))).cast("double")
 
 
 REDUCERS = {

@@ -1,0 +1,75 @@
+"""Dedup strategy tests on planted duplicates."""
+
+from pyspark.sql import functions as F
+
+from analyst_spark.functions.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    shingle_tokens,
+    simhash_signatures,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different content about spark query engines at scale"
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact dup of 0
+        (2, "  the quick brown fox jumps over the lazy dog again and again today "),
+        (3, NEAR),                      # near dup of 0
+        (4, OTHER),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark)).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in out)
+    # 1 and 2 (whitespace-normalized) collapse into 0
+    assert ids == [0, 3, 4]
+
+
+def test_exact_dedup_fast_path(spark):
+    out = exact_dedup(_docs(spark), fast=True).select("doc_id").collect()
+    assert sorted(r.doc_id for r in out) == [0, 3, 4]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = df.select(shingle_tokens("text", 3).alias("sh")).collect()
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == []  # shorter than n -> empty, not garbage
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = minhash_pairs(_docs(spark), bands=4, rows_per_band=2).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact dups share every band
+    assert (0, 1) in found and (0, 2) in found
+    by_pair = {(r.id_a, r.id_b): r.n_bands for r in pairs}
+    assert by_pair[(0, 1)] == 4
+    # unrelated doc never pairs with anything
+    assert not any(4 in p for p in found)
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    # near-dup within small hamming distance
+    ham = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham <= 8
+    assert sigs[0] != sigs[4]
+
+
+def test_ngram_jaccard_values(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert 0.5 < pairs[(0, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)

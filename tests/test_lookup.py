@@ -1,0 +1,89 @@
+"""LOOKUP join tests on the reference's fixture (FIXTURES.md F2 /
+transforms/lookup_test.go): inner/outer, last-wins dup keys,
+multi-key."""
+
+from analyst_spark.operators.lookup import lookup_join
+
+
+def _fixtures(spark):
+    lookup = spark.createDataFrame(
+        [(1, "Bob", 1), (2, "John", 2), (3, "Steve", 3)],
+        ["id", "first_name", "ord"],
+    )
+    base = spark.createDataFrame(
+        [(1, "Bobbertson"), (2, "Johnson"), (9, "Orphan")],
+        ["lookup_id", "last_name"],
+    )
+    return base, lookup
+
+
+def test_inner(spark):
+    base, lookup = _fixtures(spark)
+    out = lookup_join(
+        base,
+        lookup,
+        on=[("lookup_id", "id")],
+        select={"first_name": "first_name"},
+        how="inner",
+        order_col="ord",
+    ).collect()
+    got = {(r.lookup_id, r.last_name, r.first_name) for r in out}
+    assert got == {(1, "Bobbertson", "Bob"), (2, "Johnson", "John")}
+
+
+def test_outer_is_left(spark):
+    # lookup.go:232-236 — OUTER keeps unmatched base rows with NULLs.
+    base, lookup = _fixtures(spark)
+    out = lookup_join(
+        base,
+        lookup,
+        on=[("lookup_id", "id")],
+        select={"first_name": "first_name"},
+        how="outer",
+        order_col="ord",
+    ).collect()
+    by_id = {r.lookup_id: r.first_name for r in out}
+    assert len(out) == 3
+    assert by_id[9] is None
+
+
+def test_duplicate_keys_last_wins(spark):
+    # lookup.go:185-188 — one row per key, last wins. Deterministic
+    # analog: max order_col wins.
+    lookup = spark.createDataFrame(
+        [(1, "Old", 10), (1, "New", 20), (2, "Only", 5)],
+        ["id", "name", "ord"],
+    )
+    base = spark.createDataFrame([(1,), (2,)], ["k"])
+    out = lookup_join(
+        base, lookup, on=[("k", "id")], select={"name": "name"},
+        how="inner", order_col="ord",
+    ).collect()
+    got = {r.k: r.name for r in out}
+    assert got == {1: "New", 2: "Only"}
+    assert len(out) == 2  # dedup: no row multiplication
+
+
+def test_multi_key(spark):
+    lookup = spark.createDataFrame(
+        [(1, "x", "A1x"), (1, "y", "A1y"), (2, "x", "A2x")],
+        ["id", "tenant", "val"],
+    )
+    base = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "y")], ["k", "t"]
+    )
+    out = lookup_join(
+        base, lookup, on=[("k", "id"), ("t", "tenant")],
+        select={"val": "val"}, how="outer", order_col="val",
+    ).collect()
+    got = {(r.k, r.t): r.val for r in out}
+    assert got == {(1, "x"): "A1x", (1, "y"): "A1y", (2, "y"): None}
+
+
+def test_alias_projection(spark):
+    base, lookup = _fixtures(spark)
+    out = lookup_join(
+        base, lookup, on=[("lookup_id", "id")],
+        select={"first_name": "fn"}, how="inner", order_col="ord",
+    )
+    assert "fn" in out.columns and "first_name" not in out.columns

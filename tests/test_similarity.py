@@ -1,0 +1,59 @@
+"""Similarity search: exact top-k correctness + LSH recall."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from analyst_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+
+
+def _vectors(spark, n=100, dim=16, clusters=4, seed=7):
+    rnd = random.Random(seed)
+    centers = [
+        [rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(clusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % clusters]
+        rows.append((i, [x + rnd.gauss(0, 0.05) for x in c]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_matches_python(spark):
+    df = _vectors(spark)
+    vecs = {r.vec_id: r.embedding for r in df.collect()}
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5)
+    got = [(r.vec_id, r.cosine_sim) for r in sorted(out.collect(), key=lambda r: r.rank)]
+    expected = sorted(
+        ((i, round(_cos(vecs[0], v), 6)) for i, v in vecs.items() if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == expected
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark):
+    df = _vectors(spark, n=30)
+    out = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.vec_id != r.query_id
+        assert 1 <= r.rank <= 4
+
+
+def test_lsh_recall_on_clusters(spark):
+    # Clustered data: same-cluster neighbors dominate; sign-LSH buckets
+    # must recover most of the true top-k.
+    df = _vectors(spark, n=200, dim=16)
+    queries = df.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(df, queries, k=5).collect()
+    approx = lsh_bucket_topk(df, queries, k=5, num_planes=4, dim=16).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
