@@ -1,0 +1,345 @@
+"""AQL compile + execute (the reference's compiler.go:97-223 and
+engine/coordinator.go:277-413 re-thought for Spark).
+
+The coordinator's goroutine-per-node/channel-per-edge machinery is
+replaced by Spark's lazy DAG: blocks compile to DataFrame definitions
+in dependency order; only sinks trigger actions. ``AFTER`` constraints
+and EXEC side-effects impose explicit sequencing of those actions —
+the one scheduling concern Spark doesn't own.
+
+Test mode (compiler.go:34-56): destinations → devnull, EXEC bodies
+neutralized, TEST assertion blocks evaluated.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from analyst_spark.aql.assertions import check_assertions
+from analyst_spark.aql.globals_store import GlobalStore
+from analyst_spark.aql.parser import Block, parse_script, truthy
+from analyst_spark.aql.transforms_parser import (
+    build_aggregate,
+    build_apply,
+    build_lookup,
+    dispatch,
+    parse_lookup,
+)
+from analyst_spark.sinks.console import console_sink
+from analyst_spark.sinks.devnull import devnull_sink
+from analyst_spark.sinks.parameter import parameter_sink
+from analyst_spark.sources.literal import literal_source
+
+
+@dataclass
+class JobResult:
+    console: list[str] = field(default_factory=list)
+    parameters: dict[str, object] = field(default_factory=dict)
+    globals: GlobalStore | None = None
+    frames: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def translate_sql(sql: str) -> str:
+    """SQLite-dialect shim for the corpus the reference's tests use
+    (SURVEY §7.3): single-quoted column aliases → backticks; IFNULL
+    exists in Spark already; everything else passes through."""
+    return re.sub(r"(?i)\bAS\s+'([^']*)'", lambda m: f"AS `{m.group(1)}`", sql)
+
+
+def _topo_order(blocks: list[Block]) -> list[Block]:
+    """Dependency order: FROM BLOCK edges + AFTER constraints.
+    Cycle detection mirrors coordinator.Compile's SCC check."""
+    named = {b.name.lower(): b for b in blocks if b.name}
+    deps: dict[int, set[int]] = {}
+    index = {id(b): i for i, b in enumerate(blocks)}
+    for b in blocks:
+        d = set()
+        for ref in b.sources:
+            if ref.kind == "block" and ref.name and ref.name.lower() in named:
+                d.add(index[id(named[ref.name.lower()])])
+        for name in b.after:
+            if name.lower() in named:
+                d.add(index[id(named[name.lower()])])
+        deps[index[id(b)]] = d
+    order, state = [], {}
+
+    def visit(i):
+        if state.get(i) == 1:
+            raise ValueError("cycle detected in job graph")
+        if state.get(i) == 2:
+            return
+        state[i] = 1
+        for j in sorted(deps[i]):
+            visit(j)
+        state[i] = 2
+        order.append(blocks[i])
+
+    for i in range(len(blocks)):
+        visit(i)
+    return order
+
+
+def _bind_params(sql: str, names: list[str], params: dict[str, object]) -> str:
+    """USING PARAMETER @p: positional '?' placeholders bound in order
+    (engine/sql_source.go:68-81), values rendered as SQL literals."""
+    values = []
+    for n in names:
+        key = n.lstrip("@")
+        if key not in params:
+            raise KeyError(f"parameter @{key} not set")
+        values.append(params[key])
+    parts = sql.split("?")
+    if len(parts) - 1 != len(values):
+        raise ValueError(
+            f"{len(parts)-1} placeholders but {len(values)} parameters"
+        )
+    out = [parts[0]]
+    for v, tail in zip(values, parts[1:]):
+        if v is None:
+            lit = "NULL"
+        elif isinstance(v, (int, float)):
+            lit = str(v)
+        else:
+            lit = "'" + str(v).replace("'", "''") + "'"
+        out.append(lit)
+        out.append(tail)
+    return "".join(out)
+
+
+class Executor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        test_mode: bool = False,
+        connections: dict[str, "callable"] | None = None,
+        plugins: dict[str, "callable"] | None = None,
+        lookup_order_cols: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.test_mode = test_mode
+        # connection name -> fn(spark, options) -> DataFrame (source)
+        # or fn(df, options) -> None (sink); user/test-injected
+        self.connections = {k.lower(): v for k, v in (connections or {}).items()}
+        self.plugins = {k.lower(): v for k, v in (plugins or {}).items()}
+        self.lookup_order_cols = lookup_order_cols or {}
+
+    # -- source resolution -------------------------------------------
+
+    def _source_frame(self, blk: Block, res: JobResult) -> DataFrame:
+        if not blk.sources:
+            raise ValueError(f"block {blk.name!r} has no FROM source")
+        frames = []
+        for ref in blk.sources:
+            if ref.kind == "global":
+                sql = translate_sql(blk.body or "")
+                if blk.using_params:
+                    sql = _bind_params(sql, blk.using_params, res.parameters)
+                return self.spark.sql(sql)
+            if ref.kind == "block":
+                frames.append(res.frames[ref.name.lower()])
+            elif ref.kind == "connection":
+                fn = self.connections.get(ref.name.lower())
+                if fn is None:
+                    raise ValueError(f"no connection registered: {ref.name!r}")
+                df = fn(self.spark, blk.options)
+                if blk.body and blk.kind == "query":
+                    view = (ref.alias or ref.name).lower()
+                    df.createOrReplaceTempView(view)
+                    df = self.spark.sql(translate_sql(blk.body))
+                frames.append(df)
+        if len(frames) == 1:
+            return frames[0]
+        # MULTISOURCE: deterministic ordered union (SURVEY §1.1)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    # -- block execution ---------------------------------------------
+
+    def run(self, blocks: list[Block], options: dict | None = None) -> JobResult:
+        res = JobResult(globals=GlobalStore(self.spark))
+        opts = dict(options or {})
+        for b in blocks:
+            if b.kind == "set":
+                opts.setdefault(b.key, b.value)
+        # GLOBAL blocks run sequentially before everything else
+        # (compiler.go:352-366)
+        for b in blocks:
+            if b.kind == "global":
+                res.globals.run_global_block(b.body or "")
+        for b in blocks:
+            if b.kind == "declare":
+                for p in b.declares:
+                    res.parameters.setdefault(p.lstrip("@"), None)
+
+        order = _topo_order(
+            [b for b in blocks if b.kind in
+             ("query", "exec", "data", "transform", "test")]
+        )
+        for blk in order:
+            self._run_block(blk, res)
+        return res
+
+    def _run_block(self, blk: Block, res: JobResult) -> None:
+        if blk.kind == "test":
+            if self.test_mode:
+                target = blk.sources[0].name
+                check_assertions(
+                    target, res.frames[target.lower()], blk.assertions_body
+                )
+            return
+        if blk.kind == "exec":
+            if self.test_mode:
+                return  # neutralized (compiler.go:34-39)
+            for ref in blk.sources:
+                if ref.kind == "global":
+                    res.globals.run_global_block(blk.body or "")
+                elif ref.kind == "connection":
+                    fn = self.connections.get(f"{ref.name.lower()}.exec")
+                    if fn is None:
+                        raise ValueError(
+                            f"no exec handler for connection {ref.name!r}"
+                        )
+                    fn(blk.body, blk.options)
+            return
+        if blk.kind == "data":
+            cols = [c.strip() for c in str(blk.options.get("COLUMNS", "")).split(",") if c.strip()]
+            fmt = str(blk.options.get("FORMAT", "JSON_ARRAY"))
+            df = literal_source(self.spark, blk.body, cols, fmt)
+        elif blk.kind == "query":
+            df = self._source_frame(blk, res)
+        elif blk.kind == "transform":
+            df = self._run_transform(blk, res)
+        else:
+            raise ValueError(f"unexpected block kind {blk.kind}")
+
+        res.frames[blk.name.lower()] = df
+        self._run_sinks(blk, df, res)
+
+    def _run_transform(self, blk: Block, res: JobResult) -> DataFrame:
+        if blk.plugin:
+            fn = self.plugins.get(blk.name.lower())
+            if fn is None:
+                raise ValueError(f"no plugin registered: {blk.name!r}")
+            inputs = [self._ref_frame(r, blk, res) for r in blk.sources]
+            return fn(self.spark, inputs, blk.options)
+        kind = dispatch(blk.body)
+        if kind in ("AGGREGATE", "APPLY"):
+            frames = [self._ref_frame(r, blk, res) for r in blk.sources]
+            src = frames[0]
+            for f in frames[1:]:
+                src = src.unionByName(f, allowMissingColumns=True)
+            return (
+                build_aggregate(src, blk.body)
+                if kind == "AGGREGATE"
+                else build_apply(src, blk.body)
+            )
+        # LOOKUP: sources by name
+        spec = parse_lookup(blk.body)
+        frames = {}
+        for ref in blk.sources:
+            name = (ref.alias or ref.name or "global").lower()
+            frames[name] = self._ref_frame(ref, blk, res)
+        base = frames.get(spec.base.lower())
+        lookup = frames.get(spec.lookup.lower())
+        if base is None or lookup is None:
+            raise ValueError(
+                f"LOOKUP sides {spec.base!r}/{spec.lookup!r} not among sources"
+            )
+        order_col = self.lookup_order_cols.get(blk.name.lower())
+        return build_lookup(base, lookup, spec, order_col=order_col)
+
+    def _ref_frame(self, ref, blk: Block, res: JobResult) -> DataFrame:
+        if ref.kind == "block":
+            return res.frames[ref.name.lower()]
+        if ref.kind == "global":
+            table = str(blk.options.get("TABLE", ""))
+            if not table:
+                raise ValueError(
+                    "FROM GLOBAL in a transform needs WITH (TABLE='t')"
+                )
+            return res.globals.get(table)
+        if ref.kind == "connection":
+            fn = self.connections.get(ref.name.lower())
+            return fn(self.spark, blk.options)
+        raise ValueError(f"unsupported source kind {ref.kind}")
+
+    def _run_sinks(self, blk: Block, df: DataFrame, res: JobResult) -> None:
+        for sink in blk.sinks:
+            if self.test_mode:
+                devnull_sink(df)
+                continue
+            if sink.kind == "console":
+                fmt = str(
+                    blk.options.get("OUTPUT_FORMAT")
+                    or blk.options.get("CONSOLE_OUTPUT_FORMAT")
+                    or "table"
+                )
+                res.console.append(console_sink(df, fmt, writer=_Null()))
+            elif sink.kind == "global":
+                table = str(blk.options.get("TABLE") or blk.name)
+                res.globals.register(table, df)
+            elif sink.kind == "parameter":
+                parameter_sink(df, sink.params, res.parameters)
+            elif sink.kind == "connection":
+                fn = self.connections.get(f"{sink.name.lower()}.write")
+                if fn is None:
+                    raise ValueError(
+                        f"no write handler for connection {sink.name!r}"
+                    )
+                fn(df, blk.options)
+            else:
+                raise ValueError(f"unsupported sink {sink.kind}")
+
+
+class _Null:
+    def write(self, s):
+        return len(s)
+
+
+def execute_script(
+    spark: SparkSession,
+    script: str,
+    options: dict | None = None,
+    script_dir: str = ".",
+    connections=None,
+    plugins=None,
+    lookup_order_cols=None,
+) -> JobResult:
+    merged = dict(options or {})
+    blocks = parse_script(script, script_dir, merged or None)
+    # SET statements merge under CLI params (compiler.go:239-268:
+    # script SET beats CLI)
+    for b in blocks:
+        if b.kind == "set":
+            merged[b.key] = b.value
+    blocks = parse_script(script, script_dir, merged or None)
+    ex = Executor(
+        spark, test_mode=False, connections=connections, plugins=plugins,
+        lookup_order_cols=lookup_order_cols,
+    )
+    return ex.run(blocks, merged)
+
+
+def test_script(
+    spark: SparkSession,
+    script: str,
+    options: dict | None = None,
+    script_dir: str = ".",
+    connections=None,
+    plugins=None,
+) -> JobResult:
+    """`analyst test` mode: destinations neutralized, EXECs skipped,
+    TEST assertions enforced (compiler.go:293-303)."""
+    merged = dict(options or {})
+    blocks = parse_script(script, script_dir, merged or None)
+    for b in blocks:
+        if b.kind == "set":
+            merged[b.key] = b.value
+    blocks = parse_script(script, script_dir, merged or None)
+    ex = Executor(spark, test_mode=True, connections=connections, plugins=plugins)
+    return ex.run(blocks, merged)

@@ -1,0 +1,13 @@
+from analyst_spark.sinks.console import console_sink
+from analyst_spark.sinks.jdbc import jdbc_sink
+from analyst_spark.sinks.parameter import parameter_sink
+from analyst_spark.sinks.devnull import devnull_sink
+from analyst_spark.sinks.excel import excel_sink
+
+__all__ = [
+    "console_sink",
+    "jdbc_sink",
+    "parameter_sink",
+    "devnull_sink",
+    "excel_sink",
+]

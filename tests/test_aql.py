@@ -1,0 +1,277 @@
+"""End-to-end AQL script tests mirroring the reference's compiler
+tests (compiler_test.go) — golden console output, GLOBAL round-trips,
+parameters, AFTER sequencing, assertions, test mode, templating."""
+
+import pytest
+
+from analyst_spark.aql import execute_script
+from analyst_spark.aql import test_script as run_test_mode
+from analyst_spark.aql.assertions import AssertionFailure
+from analyst_spark.aql.parser import parse_script
+
+
+def test_parse_block_shapes():
+    blocks = parse_script(
+        """
+        -- a comment
+        CONNECTION 'Workbook' ( Driver = 'Excel', File = './x.xlsx' )
+        /** block
+            comment **/
+        QUERY 'Q' FROM GLOBAL ( SELECT 1 AS 'Value' )
+            INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER A, B
+        """
+    )
+    assert [b.kind for b in blocks] == ["connection", "query"]
+    q = blocks[1]
+    assert q.name == "Q" and q.sources[0].kind == "global"
+    assert q.sinks[0].kind == "console"
+    assert q.options["OUTPUT_FORMAT"] == "JSON"
+    assert q.after == ["A", "B"]
+
+
+def test_data_literal_golden_console(spark):
+    # compiler_test.go:58-83 — expects exactly [{"Total":3}]
+    script = """
+    DATA 'Values' (
+        [[1, "A"], [2, "B"]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'Number,Letter');
+
+    TRANSFORM 'Total' FROM BLOCK Values (
+        AGGREGATE SUM(Number) AS Total
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')
+    """
+    res = execute_script(spark, script)
+    assert res.console == ['[{"Total":3}]']
+
+
+def test_global_roundtrip(spark):
+    # compiler_test.go TestGlobal
+    script = """
+    GLOBAL 'InitializeInputTable' (
+        CREATE TABLE test (
+            ID Number,
+            Name Text
+        );
+        INSERT INTO test (ID, Name) VALUES (1, 'Bob');
+    )
+    GLOBAL 'InitializeOutputTable' (
+        CREATE TABLE test2 (
+            ID Number,
+            Name Text
+        );
+    )
+    QUERY 'Test' FROM GLOBAL (
+        SELECT * FROM test
+    ) INTO GLOBAL WITH (TABLE = 'test2')
+    """
+    res = execute_script(spark, script)
+    rows = res.globals.get("test2").collect()
+    assert len(rows) == 1
+    assert rows[0].ID == 1.0 and rows[0].Name == "Bob"
+
+
+def test_exec_after_chain(spark):
+    # compiler_test.go:647-667 shape: EXEC chain with AFTER ordering
+    script = """
+    EXEC 'CreateTables' FROM GLOBAL (
+        CREATE TABLE Samples ( x int );
+    );
+    EXEC 'InsertOne' FROM GLOBAL (
+        INSERT INTO Samples (x) VALUES (1);
+    ) AFTER CreateTables;
+    EXEC 'InsertTwo' FROM GLOBAL (
+        INSERT INTO Samples (x) VALUES (2);
+    ) AFTER InsertOne;
+    QUERY 'Check' FROM GLOBAL (
+        SELECT SUM(x) AS total FROM Samples
+    ) INTO GLOBAL WITH (TABLE = 'out') AFTER InsertTwo
+    """
+    res = execute_script(spark, script)
+    assert res.globals.get("out").collect()[0].total == 3
+
+
+def test_parameters(spark):
+    # compiler_test.go TestCompilerWithParameters shape
+    script = """
+    DECLARE @Id;
+    GLOBAL 'Initialize' (
+        CREATE TABLE Contacts ( id integer, first_name text );
+        INSERT INTO Contacts (id, first_name) VALUES (1, 'Bob');
+        INSERT INTO Contacts (id, first_name) VALUES (2, 'Steven');
+    );
+    QUERY 'GetId' FROM GLOBAL (
+        SELECT 1 AS 'Id'
+    ) INTO PARAMETER (@Id);
+    QUERY 'GetName' FROM GLOBAL (
+        SELECT first_name FROM Contacts WHERE id = ?
+    )
+    USING PARAMETER @Id
+    INTO GLOBAL WITH (Table = 'Out')
+    AFTER GetId
+    """
+    res = execute_script(spark, script)
+    assert res.parameters["Id"] == 1
+    assert res.globals.get("out").collect()[0].first_name == "Bob"
+
+
+def test_assertions_pass_and_fail(spark):
+    # compiler_test.go TestCompilerAssertions
+    base = """
+    DATA 'Values' (
+        [["Hello, World"]{extra}]
+    ) INTO CONSOLE WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'Word')
+
+    TEST Values WITH ASSERTIONS (
+        COLUMN Word HAS UNIQUE VALUES
+    )
+    """
+    run_test_mode(spark, base.format(extra=""))
+    with pytest.raises(AssertionFailure):
+        run_test_mode(spark, base.format(extra=', ["Hello, World"]'))
+
+
+def test_assertion_forms(spark):
+    script = """
+    DATA 'V' (
+        [[1, "a"], [2, "b"], [3, "b"]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'N,S')
+    TEST V WITH ASSERTIONS (
+        IT OUTPUTS EXACTLY 3 ROWS;
+        IT OUTPUTS AT LEAST 2 ROWS;
+        COLUMN S HAS AT MOST 2 DISTINCT VALUES;
+        COLUMN N HAS NO NULL VALUES;
+        IT SATISFIES N >= 1
+    )
+    """
+    run_test_mode(spark, script)
+    bad = script.replace("N >= 1", "N >= 2")
+    with pytest.raises(AssertionFailure):
+        run_test_mode(spark, bad)
+
+
+def test_test_mode_neutralizes_console(spark):
+    script = """
+    DATA 'Values' (
+        [[1, "A"]]
+    ) INTO CONSOLE WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'N,L')
+    """
+    res = run_test_mode(spark, script)
+    assert res.console == []
+
+
+def test_zoh_example2(spark):
+    # example2.aql end-to-end with hand-computed expectations
+    script = """
+    GLOBAL 'CreateTables' (
+        CREATE TABLE Timeseries (
+            LoadId int not null,
+            Variable text not null,
+            Time  text not null,
+            Value real
+        );
+        INSERT INTO Timeseries (LoadId, Variable, Time, Value)
+         VALUES
+         (1, 'power', '2017-12-01T11:59:00Z', 10),
+         (1, 'power', '2017-12-01T12:13:01Z', 0),
+         (1, 'power', '2017-12-01T12:57:00Z', 1.1),
+         (2, 'power', '2017-12-01T11:52:00Z', 120),
+         (2, 'power', '2017-12-01T11:45:00Z', 100),
+         (3, 'power', '2017-12-01T12:33:00Z', 119),
+         (3, 'power', '2017-12-01T12:20:00Z', 50),
+         (3, 'power', '2017-12-01T11:59:00Z', 100),
+         (1, 'temperature', '2017-12-01T11:59:00Z', 129.5),
+         (1, 'temperature', '2017-12-01T12:13:01Z', 130.3);
+    )
+    TRANSFORM 'Resample' FROM GLOBAL (
+        AGGREGATE LoadId, Variable, ZOH(Time, Value, '2017-12-01T12:00:00Z', '2017-12-01T12:30:00Z') As Value
+        GROUP BY LoadId, Variable
+    ) INTO CONSOLE
+        WITH (Table = 'Timeseries', CONSOLE_OUTPUT_FORMAT='JSON')
+    """
+    res = execute_script(spark, script)
+    got = {
+        (r.LoadId, r.Variable): r.Value
+        for r in res.frames["resample"].collect()
+    }
+    assert got[(1, "power")] == pytest.approx((781 * 10 + 1019 * 0) / 1800)
+    assert got[(2, "power")] == pytest.approx(120.0)
+    assert got[(3, "power")] == pytest.approx((1200 * 100 + 600 * 50) / 1800)
+    assert got[(1, "temperature")] == pytest.approx(
+        (781 * 129.5 + 1019 * 130.3) / 1800
+    )
+
+
+def test_templating(spark):
+    script = """
+    GLOBAL 'T' (
+        CREATE TABLE ts ( t text, v real );
+        INSERT INTO ts (t, v) VALUES ('2017-01-01T12:00:00Z', 0), ('2017-01-01T12:20:00Z', 3);
+    )
+    TRANSFORM 'R' FROM GLOBAL (
+        AGGREGATE ZOH(t, v, '{{ .Start }}', '{{ .Finish }}') AS m
+    ) WITH (Table = 'ts') INTO CONSOLE
+    """
+    res = execute_script(
+        spark, script,
+        options={"Start": "2017-01-01T12:00:00Z", "Finish": "2017-01-01T12:30:00Z"},
+    )
+    assert res.frames["r"].collect()[0].m == pytest.approx(1.0)
+
+
+def test_lookup_transform(spark):
+    # docs/transforms.md LOOKUP example via DATA blocks
+    script = """
+    DATA 'LookupTable' (
+        [[1, "Bob"], [2, "John"], [3, "Steve"]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'id,first_name');
+    DATA 'BaseTable' (
+        [[1, "Bobbertson"], [2, "Johnson"]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'lookup_id,last_name');
+    TRANSFORM 'Joined' FROM BLOCK BaseTable, BLOCK LookupTable (
+        LOOKUP BaseTable.lookup_id, first_name, last_name
+        FROM BaseTable INNER JOIN LookupTable ON BaseTable.lookup_id = LookupTable.id
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')
+    """
+    res = execute_script(spark, script)
+    rows = {r.lookup_id: (r.first_name, r.last_name)
+            for r in res.frames["joined"].collect()}
+    assert rows == {1: ("Bob", "Bobbertson"), 2: ("John", "Johnson")}
+
+
+def test_multisource_union(spark):
+    script = """
+    DATA 'A' ( [[1]] ) WITH (FORMAT='JSON_ARRAY', COLUMNS='x');
+    DATA 'B' ( [[2]] ) WITH (FORMAT='JSON_ARRAY', COLUMNS='x');
+    TRANSFORM 'Sum' FROM BLOCK A, BLOCK B (
+        AGGREGATE SUM(x) AS total
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT='JSON')
+    """
+    res = execute_script(spark, script)
+    assert res.console == ['[{"total":3}]']
+
+
+def test_csv_literal_all_strings(spark):
+    script = """
+    DATA 'C' (
+        1,a
+        2,b
+    ) WITH (FORMAT='CSV', COLUMNS='n,s') INTO CONSOLE WITH (OUTPUT_FORMAT='JSON')
+    """
+    res = execute_script(spark, script)
+    assert res.console == ['[{"n":"1","s":"a"},{"n":"2","s":"b"}]']
+
+
+def test_connection_source_injection(spark):
+    # CONNECTION-backed QUERY: source staged as temp view, SQL runs on
+    # Spark (the AutoSQL path, engine/auto_sql_transform.go:21-30)
+    def fake_excel(spk, options):
+        return spk.createDataFrame([(1, "x"), (2, "y")], ["id", "val"])
+
+    script = """
+    CONNECTION 'Workbook' ( Driver = 'Excel', File = './x.xlsx' )
+    QUERY 'Q' FROM CONNECTION Workbook AS wb (
+        SELECT val FROM wb WHERE id = 2
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT='JSON')
+    """
+    res = execute_script(spark, script, connections={"workbook": fake_excel})
+    assert res.console == ['[{"val":"y"}]']
