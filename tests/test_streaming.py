@@ -1,0 +1,104 @@
+"""Structured Streaming tests: file source → watermarked windows /
+session windows / custom stateful op → memory sink, driven with the
+availableNow trigger (bounded, deterministic)."""
+
+import json
+import os
+
+import pytest
+
+from analyst_spark.streaming.events import (
+    hourly_rollup_stream,
+    read_events_stream,
+    run_to_memory_sink,
+    sessionize_stream,
+)
+from analyst_spark.streaming.stateful import running_user_totals
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for eid, ts, uid, et, v in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": uid,
+                        "event_type": et,
+                        "value": v,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """Two file drops. batch2 carries a far-future 'flush' event so the
+    watermark (computed from batch1's max event time only after batch1
+    commits) advances past every Jan-1 window, letting append mode emit
+    the closed windows — i.e., this fixture tests real watermark
+    semantics, not just the happy path."""
+    p = tmp_path / "events"
+    p.mkdir()
+    _write_batch(
+        p / "batch1.json",
+        [
+            # two users, two hours, one late-ish event
+            (1, "2024-01-01T10:05:00", 1, "view", 10.0),
+            (2, "2024-01-01T10:20:00", 1, "view", 20.0),
+            (3, "2024-01-01T11:10:00", 1, "click", 30.0),
+            (4, "2024-01-01T10:40:00", 2, "view", 40.0),
+            (5, "2024-01-01T12:30:00", 2, "click", 50.0),
+        ],
+    )
+    _write_batch(
+        p / "batch2.json",
+        [(99, "2024-01-02T00:00:00", 99, "flush", 0.0)],
+    )
+    return str(p)
+
+
+def test_hourly_rollup_stream(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = run_to_memory_sink(hourly_rollup_stream(stream), "rollup_test")
+    q.awaitTermination(120)
+    out = {
+        (r.hour.hour, r.event_type): (r.n_events, r.avg_value)
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    assert out[(10, "view")] == (3, 23.3333)
+    assert out[(11, "click")] == (1, 30.0)
+    assert out[(12, "click")] == (1, 50.0)
+
+
+def test_sessionize_stream(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = run_to_memory_sink(sessionize_stream(stream, gap_minutes=30), "sess_test")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 1: 10:05 + 10:20 merge (gap 15m), 11:10 separate
+    assert sorted(by_user[1]) == [1, 2]
+    # user 2: 10:40 and 12:30 are separate sessions
+    assert sorted(by_user[2]) == [1, 1]
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    q = run_to_memory_sink(
+        running_user_totals(stream), "totals_test", output_mode="update"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max(total_value) AS t "
+        "FROM totals_test GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n, r.t) for r in rows}
+    assert got[1] == (3, 60.0)
+    assert got[2] == (2, 90.0)
