@@ -14,7 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from analyst_spark.plans import events_plans as ev
+from analyst_spark.plans import multimodal_plans as mm
 from analyst_spark.plans import reference_ops as ro
+from analyst_spark.plans import streaming_plans as st
 from analyst_spark.plans import text_plans as tp
 from analyst_spark.plans import tpch
 
@@ -70,3 +72,11 @@ _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 # --- similarity search ----------------------------------------------
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
 _register("ann_lsh_topk", tp.ann_lsh_topk, None)  # generated hyperplanes → rows-only
+
+# --- multimodal binary columns --------------------------------------
+_register("multimodal_image_features", mm.multimodal_image_features, mm.MULTIMODAL_FEATURES_ORACLE)
+_register("multimodal_resize", mm.multimodal_resize_features, mm.MULTIMODAL_RESIZE_ORACLE)
+_register("multimodal_frame_sample", mm.multimodal_frame_sample, mm.MULTIMODAL_FRAMES_ORACLE)
+
+# --- structured streaming (real readStream → memory sink run) -------
+_register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HOURLY_ORACLE)
