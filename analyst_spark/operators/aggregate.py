@@ -60,14 +60,23 @@ def _count(col: str) -> Column:
     return F.count(F.lit(1)).cast("double")
 
 
-def quantile(col: str, q: float, approx: bool = False) -> Column:
+def quantile(col: str, q: float | list[float], approx: bool = False) -> Column:
     """QUANTILE(x, q). exact percentile by default (oracle-parity);
     ``approx=True`` switches to percentile_approx — the same
     approximation class as the reference's t-digest
-    (transforms/quantile.go:8-14) and the right choice at 100 TB."""
+    (transforms/quantile.go:8-14) and the right choice at 100 TB.
+
+    Pass a list of qs to share ONE aggregation state across all of
+    them (exact percentile buffers every value per state — n quantiles
+    as separate aggs cost n copies of that buffer, ~2x wall time for
+    two qs at sf0.1)."""
+    if isinstance(q, (list, tuple)):
+        qs = F.array(*[F.lit(float(x)) for x in q])
+    else:
+        qs = F.lit(float(q))
     if approx:
-        return F.percentile_approx(F.col(col).cast("double"), q)
-    return F.percentile(F.col(col).cast("double"), q)
+        return F.percentile_approx(F.col(col).cast("double"), qs)
+    return F.percentile(F.col(col).cast("double"), qs)
 
 
 def cdf(col: str, v: float) -> Column:

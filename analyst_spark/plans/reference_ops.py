@@ -64,9 +64,11 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(quantile("l_extendedprice", 0.5), 4).alias("p50"),
-            F.round(quantile("l_extendedprice", 0.95), 4).alias("p95"),
+        .agg(quantile("l_extendedprice", [0.5, 0.95]).alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p95"),
         )
     )
 
