@@ -19,6 +19,7 @@ from analyst_spark.plans import reference_ops as ro
 from analyst_spark.plans import streaming_plans as st
 from analyst_spark.plans import text_plans as tp
 from analyst_spark.plans import tpch
+from analyst_spark.plans import tpch_more as tm
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -39,6 +40,15 @@ _register("q5_local_supplier", tpch.q5_local_supplier, tpch.Q5_ORACLE)
 _register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_ORACLE)
 _register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_ORACLE)
 _register("window_top_orders", tpch.window_top_orders, tpch.WINDOW_TOP_ORDERS_ORACLE)
+_register("q4_priority_semi", tm.q4_priority_semi, tm.Q4_ORACLE)
+_register("q7_volume_shipping", tm.q7_volume_shipping, tm.Q7_ORACLE)
+_register("q9_product_profit", tm.q9_product_profit, tm.Q9_ORACLE)
+_register("q14_promo_revenue", tm.q14_promo_revenue, tm.Q14_ORACLE)
+_register("q15_top_supplier", tm.q15_top_supplier, tm.Q15_ORACLE)
+_register("q17_small_qty_revenue", tm.q17_small_qty_revenue, tm.Q17_ORACLE)
+_register("q18_large_orders", tm.q18_large_orders, tm.Q18_ORACLE)
+_register("q19_disjunctive", tm.q19_disjunctive, tm.Q19_ORACLE)
+_register("q22_dormant_customers", tm.q22_dormant_customers, tm.Q22_ORACLE)
 
 # --- reference operator inventory (SURVEY §2) -----------------------
 _register("agg_reducers", ro.agg_reducers, ro.AGG_REDUCERS_ORACLE)

@@ -1,0 +1,348 @@
+"""Extended TPC-H-shape coverage: the join/aggregation forms the core
+set (tpch.py) doesn't exercise — semi join, anti join, correlated
+aggregate subquery, scalar-subquery-on-aggregate, HAVING, and
+disjunctive multi-column predicates.
+
+The reference expresses all of these only by shipping SQL verbatim to
+a source database (SURVEY §2.3/§2.6); here they are first-class
+Catalyst plans. Adapted to the driver schema (no partsupp table, no
+l_commitdate/l_shipmode/c_phone columns — see TESTDATA.md).
+
+Plan shape rules carried over from tpch.py: dimensions broadcast, the
+lineitem scan never shuffles for a join (only for its own groupBy),
+aggregates rounded identically on both sides of the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analyst_spark.tables import load_tables
+
+def _rev():
+    # built lazily: Column construction needs an active SparkContext,
+    # which does not exist at import time
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order count by priority for orders with at least one
+    returned line — LEFT SEMI join (EXISTS), duplicate-safe by
+    construction so no distinct is needed on the probe side."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    ).select("o_orderkey", "o_orderpriority")
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: trade volume between two nations, both directions,
+    by ship year. Nation filter pushed below the joins (supplier and
+    customer are pre-restricted to the two nations before touching
+    lineitem)."""
+    t = load_tables(spark, sf_dir)
+    pair = ("NATION_3", "NATION_7")
+    nations = t["nation"].filter(F.col("n_name").isin(*pair))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+  AND n2.n_name IN ('NATION_3', 'NATION_7')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: revenue from parts matching a name pattern, by
+    supplier nation and ship year (no partsupp in the driver schema,
+    so profit = discounted revenue)."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    li = t["lineitem"].select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("sum_profit"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share for one month — conditional
+    aggregation (CASE inside SUM) over a broadcast part join."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].select("p_partkey", "p_type")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
+                / F.sum(_rev()),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with max revenue in a quarter — scalar
+    subquery over an aggregate, realized as a broadcast join against
+    the 1-row max. Revenue rounded to 2dp on BOTH sides before the
+    equality so float summation order can't flip the winner."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from small-quantity lines of one brand —
+    correlated aggregate subquery (per-part 20% of avg quantity),
+    decorrelated into a groupBy + broadcast self-join."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    lp = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    lim = lp.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_lim")
+    )
+    return (
+        lp.join(F.broadcast(lim), lp.l_partkey == F.col("lim_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: customers with orders whose total quantity exceeds a
+    threshold — aggregate + HAVING feeding a broadcast join back to
+    orders/customer."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = t["customer"].select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs across joined columns — the predicate
+    form that defeats naive pushdown; Catalyst still prunes part
+    columns and pushes the common join key."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].select("p_partkey", "p_brand", "p_size")
+    li = t["lineitem"].select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with NO orders since
+    1999 — scalar aggregate subquery (broadcast nested-loop against
+    the 1-row avg) followed by a LEFT ANTI join (NOT EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    buyers = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(buyers, cust.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE = """
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
