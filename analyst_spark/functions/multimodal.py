@@ -139,6 +139,75 @@ def resize_images(
     return spread(df, id_col).mapInPandas(run, schema="doc_id long, image binary")
 
 
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, "
+    "rms double, zero_crossings long, duration_s double"
+)
+
+
+def encode_fake_audio(
+    doc_id: int, n_samples: int = 1000, sample_rate: int = 16000
+) -> bytes:
+    """Deterministic synthetic 'audio': header + int16 PCM samples in
+    [-100, 100]. Sample i of doc d = ((d*17 + i*13) % 201) - 100 —
+    integer-exact, so every derived feature has a closed-form SQL
+    twin."""
+    samples = [((doc_id * 17 + i * 13) % 201) - 100 for i in range(n_samples)]
+    return (
+        FAKE_AUDIO_MAGIC
+        + struct.pack("<ii", sample_rate, n_samples)
+        + struct.pack(f"<{n_samples}h", *samples)
+    )
+
+
+def _decode_fake_audio(buf: bytes) -> tuple[int, tuple]:
+    if buf[:8] != FAKE_AUDIO_MAGIC:
+        raise ValueError("not a fake audio buffer")
+    sr, n = struct.unpack("<ii", buf[8:16])
+    return sr, struct.unpack(f"<{n}h", buf[16 : 16 + 2 * n])
+
+
+def audio_features(
+    df: DataFrame, audio_col: str = "audio", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode + feature-extract binary audio via mapInPandas: RMS
+    level, zero-crossing count, duration. Integer accumulation then
+    one exactly-rounded division/sqrt, so results match a SQL oracle
+    bit-for-bit (sums stay < 2^53)."""
+
+    def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf[id_col], pdf[audio_col]):
+                sr, s = _decode_fake_audio(bytes(buf))
+                n = len(s)
+                sq = sum(v * v for v in s)
+                zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+                out.append(
+                    (
+                        int(doc_id), n, sr,
+                        round(math.sqrt(sq / n), 6), zc, round(n / sr, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "rms", "zero_crossings", "duration_s",
+                ],
+            )
+
+    from analyst_spark.tables import spread
+
+    return spread(df, id_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n: int = 10,

@@ -108,6 +108,80 @@ def _pseudo_planes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    centroid (inverted lists); each query probes only its ``n_probe``
+    nearest lists instead of the full corpus.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic, so the whole plan is SQL-expressible and
+    hash-checkable. Centroid *selection* is orthogonal to the plan
+    shape: at scale swap in k-means(||) centroids; assignment, probe,
+    and rescore stay identical. Similarities are rounded to 6dp BEFORE
+    ranking on both engines so float noise can't flip list order.
+
+    At 100 TB the assignment is one broadcast pass over the corpus and
+    candidate scoring touches ~n_probe/n_centroids of the data — the
+    full-scan-per-query cost model brute force can't escape.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent"))
+    )
+    sim_to_cent = F.round(cosine(F.col("__v"), F.col("__cent")), 6)
+
+    def nearest(df: DataFrame, n: int, keep_vec: bool) -> DataFrame:
+        ranked = (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("__csim", sim_to_cent)
+            .withColumn(
+                "__crn",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(
+                        F.col("__csim").desc(), F.col("centroid_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("__crn") <= n)
+        )
+        cols = ["__id", "centroid_id"] + (["__v"] if keep_vec else [])
+        return ranked.select(*cols)
+
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    q = queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    inv_lists = nearest(c, 1, keep_vec=True).select(
+        F.col("__id").alias(id_col), "centroid_id", F.col("__v").alias("__cv")
+    )
+    probes = nearest(q, n_probe, keep_vec=True).select(
+        F.col("__id").alias("query_id"), "centroid_id", F.col("__v").alias("__qv")
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        inv_lists.join(F.broadcast(probes), ["centroid_id"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "cosine_sim")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

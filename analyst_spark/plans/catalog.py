@@ -82,11 +82,13 @@ _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 # --- similarity search ----------------------------------------------
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
 _register("ann_lsh_topk", tp.ann_lsh_topk, None)  # generated hyperplanes → rows-only
+_register("ann_ivf_topk", tp.ann_ivf_topk, tp.ANN_IVF_ORACLE)
 
 # --- multimodal binary columns --------------------------------------
 _register("multimodal_image_features", mm.multimodal_image_features, mm.MULTIMODAL_FEATURES_ORACLE)
 _register("multimodal_resize", mm.multimodal_resize_features, mm.MULTIMODAL_RESIZE_ORACLE)
 _register("multimodal_frame_sample", mm.multimodal_frame_sample, mm.MULTIMODAL_FRAMES_ORACLE)
+_register("multimodal_audio_features", mm.multimodal_audio_features, mm.MULTIMODAL_AUDIO_ORACLE)
 
 # --- structured streaming (real readStream → memory sink run) -------
 _register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HOURLY_ORACLE)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from analyst_spark.functions.multimodal import (
+    audio_features,
     frame_sample_plan,
     image_features,
     resize_images,
@@ -90,6 +91,55 @@ SELECT d.doc_id,
 FROM documents d
 CROSS JOIN (SELECT unnest(range(16)) AS i) g
 GROUP BY d.doc_id
+"""
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: binary PCM decode + RMS / zero-crossing /
+    duration extraction over Arrow batches."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from analyst_spark.functions.multimodal import encode_fake_audio
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "audio": [
+                        bytearray(encode_fake_audio(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    corpus = spread(docs, "doc_id").mapInPandas(
+        gen, "doc_id long, audio binary"
+    )
+    return audio_features(corpus)
+
+
+# sample i of doc d = ((d*17 + i*13) % 201) - 100; 1000 samples @16kHz
+MULTIMODAL_AUDIO_ORACLE = """
+WITH s AS (
+    SELECT d.doc_id, g.i, ((d.doc_id * 17 + g.i * 13) % 201) - 100 AS v
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(1000)) AS i) g
+), lagged AS (
+    SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM s
+)
+SELECT doc_id,
+       CAST(1000 AS BIGINT) AS n_samples,
+       16000 AS sample_rate,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / 1000), 6) AS rms,
+       CAST(count(CASE WHEN prev IS NOT NULL
+                        AND ((prev < 0) <> (v < 0)) THEN 1 END) AS BIGINT)
+           AS zero_crossings,
+       0.0625 AS duration_s
+FROM lagged
+GROUP BY doc_id
 """
 
 
