@@ -93,6 +93,130 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the user's latest view at or
+    before it, plus the lag in whole seconds (operators/asof.py —
+    union + forward-fill window, one shuffle on user_id)."""
+    from analyst_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    # one view per (user, ts): greatest event_id wins — mirrors the
+    # oracle's pre-aggregation so ties can't break the value hash
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks, views, ts_col="ts", by_cols=["user_id"],
+        value_cols=["view_id", "view_ts"],
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("view_id_asof").alias("view_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("view_ts_asof"))
+        .cast("long")
+        .alias("lag_s"),
+    )
+
+
+EVENTS_ASOF_ORACLE = """
+WITH v AS (
+    SELECT user_id, ts, max(event_id) AS view_id
+    FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), c AS (
+    SELECT event_id AS click_id, user_id, ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT c.click_id, c.user_id, v.view_id,
+       CAST(floor(epoch_us(c.ts) / 1000000)
+            - floor(epoch_us(v.ts) / 1000000) AS BIGINT) AS lag_s
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup (event_type, hour-of-day) with grouping_id —
+    the hypertable-style hierarchical aggregate, free in Spark."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("hod", F.hour("ts"))
+        .rollup("event_type", "hod")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_ORACLE = """
+SELECT event_type, hour(ts) AS hod,
+       CAST(GROUPING(event_type, hour(ts)) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, hour(ts))
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event count by event type as columns. The
+    pivot value list is explicit so the output schema is static
+    (required both for determinism and for production use). The
+    measure is a count — integer-exact, so the hash can't sit on a
+    float rounding boundary (an avg measure hit one: engine summation
+    order flipped a …x5 half-way digit)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count("value"))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+EVENTS_PIVOT_ORACLE = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click'    THEN value END) AS click,
+       count(CASE WHEN event_type = 'error'    THEN value END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+       count(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+       count(CASE WHEN event_type = 'view'     THEN value END) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (Catalyst expands to a two-phase
+    aggregate). The at-scale variant is approx_count_distinct (HLL,
+    mergeable, one pass) — exact form kept for the oracle gate."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 EVENTS_SESSIONS_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts, event_id,
