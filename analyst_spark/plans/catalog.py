@@ -66,6 +66,7 @@ _register("events_hourly_rollup", ev.events_hourly_rollup, ev.EVENTS_HOURLY_ORAC
 _register("events_json_props", ev.events_json_props, ev.EVENTS_JSON_ORACLE)
 _register("events_user_sessions", ev.events_user_sessions, ev.EVENTS_SESSIONS_ORACLE)
 _register("events_asof_view_click", ev.events_asof_view_click, ev.EVENTS_ASOF_ORACLE)
+_register("events_range_join", ev.events_range_join, ev.EVENTS_RANGE_JOIN_ORACLE)
 _register("events_rollup", ev.events_rollup, ev.EVENTS_ROLLUP_ORACLE)
 _register("events_pivot", ev.events_pivot, ev.EVENTS_PIVOT_ORACLE)
 _register("events_distinct_users", ev.events_distinct_users, ev.EVENTS_DISTINCT_ORACLE)

@@ -141,6 +141,38 @@ FROM c ASOF LEFT JOIN v
 """
 
 
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: for each error event, how many clicks
+    the same user made in the preceding 5 minutes
+    (operators/range_join.py — equi-join on (user, time-bin), no
+    per-key nested loop)."""
+    from analyst_spark.operators.range_join import range_count_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_count_join(
+        errors, clicks, by_cols=["user_id"], window_s=300,
+        count_col="clicks_before",
+    ).select("error_id", "user_id", "clicks_before")
+
+
+EVENTS_RANGE_JOIN_ORACLE = """
+SELECT e.event_id AS error_id, e.user_id,
+       CAST(count(c.ts) AS BIGINT) AS clicks_before
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND floor(epoch_us(c.ts) / 1000000) >  floor(epoch_us(e.ts) / 1000000) - 300
+ AND floor(epoch_us(c.ts) / 1000000) <= floor(epoch_us(e.ts) / 1000000)
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level rollup (event_type, hour-of-day) with grouping_id —
     the hypertable-style hierarchical aggregate, free in Spark."""

@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): Spark operators vs independent
+reference models — pandas.merge_asof for the as-of join, a direct
+python port of the reference's ZOH interval walk for zoh_mean.
+
+Strategy sizes are small (Spark round-trip per example is the cost),
+but shrinking still finds minimal counterexamples; deadline disabled
+because JVM latency is not the property under test.
+"""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from analyst_spark.operators.asof import asof_join
+from analyst_spark.operators.zoh import zoh_mean
+
+_BASE = datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return _BASE + timedelta(minutes=int(minutes))
+
+
+_PROP_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def asof_case(draw):
+    keys = ["a", "b"]
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 120)),
+            min_size=1, max_size=8,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(keys), st.integers(0, 120), st.integers(0, 50)
+            ),
+            min_size=0, max_size=8, unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    return left, right
+
+
+@given(asof_case())
+@settings(**_PROP_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(left_rows)],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(m), v) for k, m, v in right_rows],
+        "k string, ts timestamp, v long",
+    ) if right_rows else spark.createDataFrame([], "k string, ts timestamp, v long")
+
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(left, right, "ts", ["k"], ["v"]).collect()
+    }
+
+    if not right_rows:
+        want = {i: None for i in range(len(left_rows))}
+    else:
+        lpdf = pd.DataFrame(
+            [(i, k, _ts(m)) for i, (k, m) in enumerate(left_rows)],
+            columns=["lid", "k", "ts"],
+        ).sort_values("ts", kind="stable")
+        rpdf = pd.DataFrame(right_rows, columns=["k", "m", "v"])
+        rpdf["ts"] = rpdf["m"].map(_ts)
+        rpdf = rpdf.sort_values("ts", kind="stable")[["k", "ts", "v"]]
+        merged = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k", direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+    assert got == want
+
+
+def _zoh_model(points, start_s, finish_s):
+    """Direct port of the reference's interval walk
+    (transforms/zoh.go:175-236): sort by time, clamp intervals to
+    [start, finish], hold each value to the next point, NULL if the
+    series starts after start or the interval is empty."""
+    if finish_s <= start_s:
+        return None
+    pts = sorted(points)
+    if not pts or pts[0][0] > start_s:
+        return None
+    total = 0.0
+    for i, (t, v) in enumerate(pts):
+        nxt = pts[i + 1][0] if i + 1 < len(pts) else finish_s
+        w = max(0.0, min(nxt, finish_s) - max(t, start_s))
+        total += v * w
+    return total / (finish_s - start_s)
+
+
+@st.composite
+def zoh_case(draw):
+    pts = draw(
+        st.lists(
+            st.tuples(st.integers(0, 100), st.integers(-10, 10)),
+            min_size=1, max_size=8, unique_by=lambda p: p[0],
+        )
+    )
+    start = draw(st.integers(0, 100))
+    finish = draw(st.integers(0, 110))
+    return pts, start, finish
+
+
+@given(zoh_case())
+@settings(**_PROP_SETTINGS)
+def test_zoh_matches_reference_model(spark, case):
+    pts, start_m, finish_m = case
+    rows = [("g", _ts(m).isoformat(), float(v)) for m, v in pts]
+    df = spark.createDataFrame(rows, "g string, t string, v double")
+    out = zoh_mean(
+        df, ["g"], "t", "v",
+        _ts(start_m).isoformat(), _ts(finish_m).isoformat(), alias="m",
+    ).collect()
+    want = _zoh_model(
+        [(m * 60.0, float(v)) for m, v in pts], start_m * 60.0, finish_m * 60.0
+    )
+    assert len(out) == 1
+    got = out[0].m
+    if want is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(want, abs=1e-9)
