@@ -70,6 +70,7 @@ _register("events_range_join", ev.events_range_join, ev.EVENTS_RANGE_JOIN_ORACLE
 _register("events_rollup", ev.events_rollup, ev.EVENTS_ROLLUP_ORACLE)
 _register("events_pivot", ev.events_pivot, ev.EVENTS_PIVOT_ORACLE)
 _register("events_distinct_users", ev.events_distinct_users, ev.EVENTS_DISTINCT_ORACLE)
+_register("events_salted_rollup", ev.events_salted_rollup, ev.EVENTS_SALTED_ORACLE)
 
 # --- text analysis ---------------------------------------------------
 _register("text_stats", tp.text_stats, tp.TEXT_STATS_ORACLE)

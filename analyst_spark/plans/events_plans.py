@@ -198,6 +198,34 @@ GROUP BY ROLLUP(event_type, hour(ts))
 """
 
 
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup through the salted two-phase aggregation path
+    (operators/salt.py — skew pattern for power-law keys). Measures
+    are order-insensitive-exact (count/min/max) so the salted
+    regrouping cannot perturb the value hash."""
+    from analyst_spark.operators.salt import salted_agg
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return salted_agg(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        [("count", "value", "n_events"),
+         ("min", "value", "min_value"),
+         ("max", "value", "max_value")],
+        salt_buckets=16,
+    )
+
+
+EVENTS_SALTED_ORACLE = """
+SELECT event_type,
+       count(value) AS n_events,
+       min(value)   AS min_value,
+       max(value)   AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
