@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the scale properties SCALE.md
+claims are asserted here so a future edit can't silently regress them
+(planning only — nothing executes)."""
+
+import contextlib
+import io
+
+import pytest
+
+from analyst_spark.plans.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier", "q7_volume_shipping",
+     "q9_product_profit", "q10_returned_items", "lookup_inner"],
+)
+def test_fact_joins_broadcast_only(spark, name):
+    plan = _plan(QUERIES[name](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,fragment",
+    [
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("q6_revenue_change", "GreaterThanOrEqual(l_shipdate"),
+        ("q4_priority_semi", "EqualTo(l_returnflag,R)"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, fragment):
+    plan = _plan(QUERIES[name](spark, SF))
+    assert fragment in plan, f"filter not pushed in {name}"
+
+
+def test_dedup_plans_have_no_cartesian(spark):
+    for name in ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard"]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, SF))
+    # ReadSchema on the lineitem scan must not include unused columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "l_partkey" not in read[0] and "l_suppkey" not in read[0]
