@@ -238,12 +238,23 @@ class Executor:
                 if kind == "AGGREGATE"
                 else build_apply(src, blk.body)
             )
-        # LOOKUP: sources by name
-        spec = parse_lookup(blk.body)
+        # LOOKUP / ASOF: two sources resolved by name
         frames = {}
         for ref in blk.sources:
             name = (ref.alias or ref.name or "global").lower()
             frames[name] = self._ref_frame(ref, blk, res)
+        if kind == "ASOF":
+            from analyst_spark.aql.transforms_parser import build_asof, parse_asof
+
+            aspec = parse_asof(blk.body)
+            base = frames.get(aspec.base.lower())
+            right = frames.get(aspec.right.lower())
+            if base is None or right is None:
+                raise ValueError(
+                    f"ASOF sides {aspec.base!r}/{aspec.right!r} not among sources"
+                )
+            return build_asof(base, right, aspec)
+        spec = parse_lookup(blk.body)
         base = frames.get(spec.base.lower())
         lookup = frames.get(spec.lookup.lower())
         if base is None or lookup is None:

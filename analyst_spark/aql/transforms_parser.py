@@ -303,6 +303,91 @@ def build_lookup(
     return out.select(*final)
 
 
+@dataclass
+class AsofSpec:
+    values: list[tuple[str, str | None]]  # (right value col, alias)
+    base: str
+    right: str
+    on: list[tuple[str, str, str, str]]
+    time_col: str
+
+
+def parse_asof(body: str) -> AsofSpec:
+    """Engine extension beyond the reference grammar:
+
+        ASOF val [AS alias], ... FROM Base JOIN Right
+            ON base.k = right.k [AND ...] [TIME tscol]
+
+    For each base row, attach the Right value columns of the latest
+    Right row with the same key(s) and ``tscol`` (default ``ts``)
+    at-or-before the base row's."""
+    ts = _TokStream(_tokenize(body))
+    ts.expect("word")  # ASOF
+    values = []
+    while True:
+        name = ts.expect("word")
+        alias = None
+        if ts.accept_word("AS"):
+            k, v = ts.next()
+            alias = v[1:-1] if k == "str" else v
+        values.append((name, alias))
+        if ts.peek() == ("punct", ","):
+            ts.next()
+            continue
+        break
+    if not ts.accept_word("FROM"):
+        raise SyntaxError("expected FROM in ASOF")
+    base = ts.expect("word")
+    if not ts.accept_word("JOIN"):
+        raise SyntaxError("expected JOIN in ASOF")
+    right = ts.expect("word")
+    if not ts.accept_word("ON"):
+        raise SyntaxError("expected ON in ASOF")
+    on = []
+    while True:
+        t1 = ts.expect("word"); ts.expect("punct", "."); c1 = ts.expect("word")
+        ts.expect("punct", "=")
+        t2 = ts.expect("word"); ts.expect("punct", "."); c2 = ts.expect("word")
+        on.append((t1, c1, t2, c2))
+        if not ts.accept_word("AND"):
+            break
+    time_col = "ts"
+    if ts.accept_word("TIME"):
+        time_col = ts.expect("word")
+    if not ts.at_end():
+        raise SyntaxError("trailing tokens in ASOF")
+    return AsofSpec(values, base, right, on, time_col)
+
+
+def build_asof(base_df: DataFrame, right_df: DataFrame, spec: AsofSpec) -> DataFrame:
+    from analyst_spark.operators.asof import asof_join
+
+    right = right_df
+    by_cols = []
+    for t1, c1, t2, c2 in spec.on:
+        if t1.lower() == spec.base.lower():
+            bcol, rcol = c1, c2
+        elif t2.lower() == spec.base.lower():
+            bcol, rcol = c2, c1
+        else:
+            raise SyntaxError(
+                f"join condition {t1}.{c1}={t2}.{c2} references neither side"
+            )
+        if rcol.lower() != bcol.lower():
+            right = right.withColumnRenamed(rcol, bcol)
+        by_cols.append(bcol)
+    value_cols = [v for v, _ in spec.values]
+    out = asof_join(
+        base_df, right, ts_col=spec.time_col,
+        by_cols=by_cols, value_cols=value_cols,
+    )
+    keep = [F.col(c) for c in base_df.columns]
+    keep += [
+        F.col(v + "_asof").alias(alias or v) for v, alias in spec.values
+    ]
+    return out.select(*keep)
+
+
 def parse_apply(body: str) -> list[tuple[str, str | None, str | None]]:
     ts = _TokStream(_tokenize(body))
     ts.expect("word")  # APPLY
@@ -343,8 +428,9 @@ def build_apply(df: DataFrame, body: str) -> DataFrame:
 
 
 def dispatch(body: str) -> str:
-    """First word selects the builtin (transforms/transforms.go:20-30)."""
+    """First word selects the builtin (transforms/transforms.go:20-30).
+    ASOF is an engine extension (operators/asof.py)."""
     word = body.strip().split(None, 1)[0].upper()
-    if word not in ("AGGREGATE", "LOOKUP", "APPLY"):
+    if word not in ("AGGREGATE", "LOOKUP", "APPLY", "ASOF"):
         raise SyntaxError(f"unknown transform {word!r}")
     return word

@@ -275,3 +275,28 @@ def test_connection_source_injection(spark):
     """
     res = execute_script(spark, script, connections={"workbook": fake_excel})
     assert res.console == ['[{"val":"y"}]']
+
+
+def test_asof_transform(spark):
+    # engine extension: ASOF transform joins each base row to the
+    # latest right row at-or-before its timestamp, per key
+    script = """
+    DATA 'Trades' (
+        [[1, "A", "2024-01-01T10:05:00"], [2, "A", "2024-01-01T10:30:00"],
+         [3, "B", "2024-01-01T10:10:00"]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'TradeId,Sym,ts');
+
+    DATA 'Quotes' (
+        [[ "A", "2024-01-01T10:00:00", 100], ["A", "2024-01-01T10:20:00", 101],
+         [ "B", "2024-01-01T11:00:00", 200]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'Sym,ts,Px');
+
+    TRANSFORM 'WithQuote' FROM BLOCK Trades, BLOCK Quotes (
+        ASOF Px AS LastPx FROM Trades JOIN Quotes ON Trades.Sym = Quotes.Sym
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')
+    """
+    res = execute_script(spark, script)
+    import json
+
+    rows = {r["TradeId"]: r["LastPx"] for r in json.loads(res.console[0])}
+    assert rows == {1: 100, 2: 101, 3: None}
