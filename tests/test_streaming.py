@@ -89,6 +89,51 @@ def test_sessionize_stream(spark, events_dir):
     assert sorted(by_user[2]) == [1, 1]
 
 
+def test_dedup_stream(spark, tmp_path):
+    from analyst_spark.streaming.dedup import dedup_stream
+
+    p = tmp_path / "dups"
+    p.mkdir()
+    # same event_id appears in both batches; second occurrence drops
+    _write_batch(p / "b1.json", [
+        (1, "2024-01-01T10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01T10:01:00", 1, "view", 2.0),
+    ])
+    _write_batch(p / "b2.json", [
+        (1, "2024-01-01T10:00:00", 1, "view", 1.0),   # replay
+        (3, "2024-01-01T10:02:00", 2, "click", 3.0),
+    ])
+    stream = read_events_stream(spark, str(p), max_files_per_trigger=1)
+    q = run_to_memory_sink(dedup_stream(stream), "dedup_test")
+    q.awaitTermination(120)
+    ids = sorted(
+        r.event_id for r in spark.sql("SELECT * FROM dedup_test").collect()
+    )
+    assert ids == [1, 2, 3]
+
+
+def test_dedup_stream_by_content(spark, tmp_path):
+    from analyst_spark.streaming.dedup import dedup_stream_by_content
+
+    p = tmp_path / "content"
+    p.mkdir()
+    # event 4 re-sends event 1's payload under a fresh id
+    _write_batch(p / "b1.json", [
+        (1, "2024-01-01T10:00:00", 1, "view", 1.0),
+        (4, "2024-01-01T10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01T10:01:00", 1, "view", 2.0),
+    ])
+    stream = read_events_stream(spark, str(p))
+    q = run_to_memory_sink(
+        dedup_stream_by_content(stream, ["user_id", "event_type", "value", "ts"]),
+        "dedup_content_test",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_content_test").collect()
+    assert len(rows) == 2
+    assert sorted(r.value for r in rows) == [1.0, 2.0]
+
+
 def test_running_user_totals_stateful(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     q = run_to_memory_sink(
