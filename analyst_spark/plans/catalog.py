@@ -41,6 +41,8 @@ _register("q6_revenue_change", tpch.q6_revenue_change, tpch.Q6_ORACLE)
 _register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_ORACLE)
 _register("window_top_orders", tpch.window_top_orders, tpch.WINDOW_TOP_ORDERS_ORACLE)
 _register("q4_priority_semi", tm.q4_priority_semi, tm.Q4_ORACLE)
+_register("q8_market_share", tm.q8_market_share, tm.Q8_ORACLE)
+_register("q13_order_count_distribution", tm.q13_order_count_distribution, tm.Q13_ORACLE)
 _register("q7_volume_shipping", tm.q7_volume_shipping, tm.Q7_ORACLE)
 _register("q9_product_profit", tm.q9_product_profit, tm.Q9_ORACLE)
 _register("q14_promo_revenue", tm.q14_promo_revenue, tm.Q14_ORACLE)
@@ -77,6 +79,7 @@ _register("text_stats", tp.text_stats, tp.TEXT_STATS_ORACLE)
 _register("text_quality", tp.text_quality, tp.TEXT_QUALITY_ORACLE)
 _register("text_langid", tp.text_langid, tp.TEXT_LANGID_ORACLE)
 _register("doc_fingerprints", tp.doc_fingerprints, tp.DOC_FINGERPRINTS_ORACLE)
+_register("corpus_prep_pipeline", tp.corpus_prep_pipeline, tp.CORPUS_PREP_ORACLE)
 
 # --- deduplication ---------------------------------------------------
 _register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)

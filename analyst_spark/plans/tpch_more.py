@@ -314,6 +314,75 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of revenue per order year — a
+    conditional-sum ratio inside a grouped aggregate."""
+    t = load_tables(spark, sf_dir)
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    orders = t["orders"].select("o_orderkey", "o_orderdate")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    share_of = "NATION_5"
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == share_of, _rev()).otherwise(0.0))
+                / F.sum(_rev()),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: histogram of customers by order count, including
+    zero-order customers — LEFT OUTER join (null-aware count) feeding
+    a second aggregation over the first's results."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey")
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: above-average-balance customers with NO orders since
     1999 — scalar aggregate subquery (broadcast nested-loop against
