@@ -11,7 +11,12 @@ from analyst_spark.functions.dedup import (
     shingle_tokens,
     simhash_signatures,
 )
-from analyst_spark.functions.similarity import cosine_topk
+from analyst_spark.functions.multimodal import (
+    audio_features,
+    image_features,
+    resize_images,
+)
+from analyst_spark.functions.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
 
 __all__ = [
     "token_count",
@@ -24,4 +29,9 @@ __all__ = [
     "simhash_signatures",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "ivf_topk",
+    "lsh_bucket_topk",
+    "image_features",
+    "audio_features",
+    "resize_images",
 ]

@@ -1,6 +1,9 @@
 from analyst_spark.operators.aggregate import REDUCERS, aggregate, cdf, quantile
 from analyst_spark.operators.apply import apply_cast, to_datetime, to_int, to_varchar
+from analyst_spark.operators.asof import asof_join
 from analyst_spark.operators.lookup import lookup_join
+from analyst_spark.operators.range_join import range_count_join
+from analyst_spark.operators.salt import salted_agg
 from analyst_spark.operators.zoh import zoh_mean
 
 __all__ = [
@@ -9,6 +12,9 @@ __all__ = [
     "quantile",
     "cdf",
     "lookup_join",
+    "asof_join",
+    "range_count_join",
+    "salted_agg",
     "zoh_mean",
     "apply_cast",
     "to_int",

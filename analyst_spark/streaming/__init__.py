@@ -1,11 +1,16 @@
+from analyst_spark.streaming.dedup import dedup_stream, dedup_stream_by_content
 from analyst_spark.streaming.events import (
     hourly_rollup_stream,
     read_events_stream,
     sessionize_stream,
 )
+from analyst_spark.streaming.stateful import running_user_totals
 
 __all__ = [
     "read_events_stream",
     "hourly_rollup_stream",
     "sessionize_stream",
+    "running_user_totals",
+    "dedup_stream",
+    "dedup_stream_by_content",
 ]
