@@ -1,0 +1,27 @@
+"""Driver-contract guard: __spark_entry__ must expose entry/queries/
+oracle_sql with consistent keys, and the flagship must run at
+sf0.001. Protects the external integration surface from refactors."""
+
+import __spark_entry__ as entrymod
+
+
+def test_contract_shapes():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 50
+    # every oracle belongs to a query; rows-only entries are the
+    # explicit, documented exceptions
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"ann_lsh_topk"}
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_entry_runs_at_smallest_sf(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
