@@ -20,6 +20,7 @@ from analyst_spark.plans import streaming_plans as st
 from analyst_spark.plans import text_plans as tp
 from analyst_spark.plans import tpch
 from analyst_spark.plans import tpch_more as tm
+from analyst_spark.plans import tpch_rest as tr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -51,6 +52,12 @@ _register("q17_small_qty_revenue", tm.q17_small_qty_revenue, tm.Q17_ORACLE)
 _register("q18_large_orders", tm.q18_large_orders, tm.Q18_ORACLE)
 _register("q19_disjunctive", tm.q19_disjunctive, tm.Q19_ORACLE)
 _register("q22_dormant_customers", tm.q22_dormant_customers, tm.Q22_ORACLE)
+_register("q2_min_cost_supplier", tr.q2_min_cost_supplier, tr.Q2_ORACLE)
+_register("q11_important_parts", tr.q11_important_parts, tr.Q11_ORACLE)
+_register("q12_late_shipments", tr.q12_late_shipments, tr.Q12_ORACLE)
+_register("q16_supplier_part_counts", tr.q16_supplier_part_counts, tr.Q16_ORACLE)
+_register("q20_volume_suppliers", tr.q20_volume_suppliers, tr.Q20_ORACLE)
+_register("q21_last_to_ship", tr.q21_last_to_ship, tr.Q21_ORACLE)
 
 # --- reference operator inventory (SURVEY §2) -----------------------
 _register("agg_reducers", ro.agg_reducers, ro.AGG_REDUCERS_ORACLE)
