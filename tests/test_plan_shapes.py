@@ -50,6 +50,33 @@ def test_dedup_plans_have_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["q2_min_cost_supplier", "q12_late_shipments", "q16_supplier_part_counts",
+     "q20_volume_suppliers"],
+)
+def test_tpch_rest_broadcast_only(spark, name):
+    plan = _plan(QUERIES[name](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_self_join_copartitions_on_orderkey(spark):
+    # the lineitem self-join may shuffle, but only on l_orderkey (its
+    # natural key) — and supplier/nation stay broadcast
+    plan = _plan(QUERIES["q21_last_to_ship"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_distinct_aggregation_two_phase(spark):
+    plan = _plan(QUERIES["q16_supplier_part_counts"](spark, SF))
+    # COUNT(DISTINCT) must expand to partial aggregation before the
+    # exchange, not a single-phase global distinct
+    assert "partial" in plan.lower()
+
+
 def test_q1_scan_prunes_columns(spark):
     plan = _plan(QUERIES["q1_pricing_summary"](spark, SF))
     # ReadSchema on the lineitem scan must not include unused columns
