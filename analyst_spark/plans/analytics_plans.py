@@ -1,0 +1,255 @@
+"""Window / cohort / set-operation analytics and training-data split
+utilities — capabilities beyond the reference's operator set (SURVEY
+§1.3 notes it has no window functions or set operations; users had to
+push these into a source database). Here they are first-class
+Catalyst plans over the driver tables.
+
+Scale notes: every window below partitions by ``user_id`` — at 100 TB
+that is the same hash partitioning the sessionization and rollup
+plans use, so a pipeline chaining them reuses one exchange. Frames
+are bounded (ROWS BETWEEN) so state per key is O(frame), not O(rows).
+The deterministic train/test split hashes a stable key (md5 of the
+id) — reproducible across runs, clusters, and engines, which is the
+property a 100 TB corpus split actually needs (re-running must not
+reshuffle documents between train and eval).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from analyst_spark.tables import load_tables
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-row moving average and running total of ``value``,
+    ordered by (ts, event_id) — the tie-break makes the frame a total
+    order. The data's values are 2-decimal, so summation runs over
+    integer cents (engines disagree on float summation order inside
+    sliding frames — DuckDB uses segment trees — but integer sums are
+    order-free) and divides back at the end."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    return base.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("cents").over(w.rowsBetween(-6, 0))
+            / (100.0 * F.count("cents").over(w.rowsBetween(-6, 0))),
+            4,
+        ).alias("mov_avg7"),
+        (
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / 100.0
+        ).alias("run_sum"),
+    )
+
+
+EVENTS_MOVING_AVG_ORACLE = """
+SELECT user_id, event_id,
+       round(CAST(sum(cents) OVER w_frame AS DOUBLE)
+             / (100.0 * count(cents) OVER w_frame), 4) AS mov_avg7,
+       CAST(sum(cents) OVER w_cum AS DOUBLE) / 100.0   AS run_sum
+FROM (SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+WINDOW w_frame AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       w_cum   AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap per user in seconds (LAG) — the building
+    block of session-timeout logic, exposed as its own surface.
+    Timestamp microseconds are integers, so the float division is
+    exact on both engines."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev)) / 1_000_000.0
+        ).alias("gap_s"),
+    )
+
+
+EVENTS_LAG_DELTA_ORACLE = """
+SELECT user_id, event_id,
+       (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)))
+         / 1000000.0 AS gap_s
+FROM events
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted
+    per (cohort_week, active_week). Two shuffles — min-per-user, then
+    the cohort×week count — both on user_id-derived keys; integer
+    counts, so no float noise."""
+    ev = load_tables(spark, sf_dir)["events"]
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(first, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+EVENTS_COHORT_ORACLE = """
+WITH weekly AS (
+    -- CAST: DuckDB's week-truncation yields DATE, Spark's TIMESTAMP
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+    FROM events
+), first AS (
+    SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+)
+SELECT cohort_week, week, count(DISTINCT weekly.user_id) AS active_users
+FROM weekly JOIN first ON weekly.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all 4 grouping
+    combinations in one pass (the expand happens before the shuffle,
+    so it's still a single map-side-combined aggregation)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select(
+            "event_type", F.dayofweek("ts").alias("dow"), "value"
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+EVENTS_CUBE_ORACLE = """
+SELECT event_type, dow, count(*) AS n, grouping(event_type, dow) AS gid
+FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, value
+      FROM events)  -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based
+GROUP BY CUBE (event_type, dow)
+"""
+
+
+def orders_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations the reference lacks natively: customers active
+    in 1996 split by whether they returned in 1997 — INTERSECT and
+    EXCEPT computed in one pass as a conditional aggregate, then
+    tagged. (Spark plans true INTERSECT/EXCEPT as joins; expressing
+    the pair via one groupBy halves the scans.)"""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+    ).filter(F.col("yr").isin(1996, 1997))
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("in96"),
+        F.max(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("in97"),
+    )
+    return (
+        flags.filter(F.col("in96") == 1)
+        .select(
+            "o_custkey",
+            F.when(F.col("in97") == 1, F.lit("retained"))
+            .otherwise(F.lit("churned"))
+            .alias("status"),
+        )
+    )
+
+
+ORDERS_EXCEPT_INTERSECT_ORACLE = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT o_custkey, 'churned'  AS status FROM (SELECT * FROM y96 EXCEPT    SELECT * FROM y97)
+"""
+
+
+def _md5_bucket_spark(key):
+    # first 4 hex digits of md5 → 0..65535 → mod 100; stable across
+    # engines, runs, and cluster sizes
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus split: md5-hash the document id into 100
+    buckets → 80/10/10 train/valid/test, reported per (split, lang).
+    No randomness, no state — adding documents never moves an
+    existing one between splits (the invariant a 100 TB training
+    corpus needs for eval hygiene)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = _md5_bucket_spark(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_D = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+_V4 = "+".join(
+    f"{_D.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+)
+
+DOCS_SPLIT_ORACLE = f"""
+WITH hashed AS (
+    SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), bucketed AS (
+    SELECT lang, n_chars, ({_V4}) % 100 AS bucket FROM hashed
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the at-scale
+    path for cardinality (mergeable sketches, no exact-distinct
+    shuffle explosion). No oracle: DuckDB's HLL draws different
+    estimates; tests/test_analytics.py bounds the error vs exact
+    instead (rsd=0.01 → well under 5%)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (sampleBy, fixed seed) — the
+    rebalancing primitive for skewed training corpora. Seeded and
+    deterministic for a given partitioning, but engine-specific, so
+    no cross-engine oracle; tests bound the per-stratum rates."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: 0.5 for lang in langs}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

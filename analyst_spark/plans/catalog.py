@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from analyst_spark.plans import analytics_plans as an
 from analyst_spark.plans import events_plans as ev
 from analyst_spark.plans import multimodal_plans as mm
 from analyst_spark.plans import reference_ops as ro
@@ -80,6 +81,16 @@ _register("events_rollup", ev.events_rollup, ev.EVENTS_ROLLUP_ORACLE)
 _register("events_pivot", ev.events_pivot, ev.EVENTS_PIVOT_ORACLE)
 _register("events_distinct_users", ev.events_distinct_users, ev.EVENTS_DISTINCT_ORACLE)
 _register("events_salted_rollup", ev.events_salted_rollup, ev.EVENTS_SALTED_ORACLE)
+
+# --- window / cohort / set-op analytics, corpus splits --------------
+_register("events_moving_avg", an.events_moving_avg, an.EVENTS_MOVING_AVG_ORACLE)
+_register("events_lag_delta", an.events_lag_delta, an.EVENTS_LAG_DELTA_ORACLE)
+_register("events_cohort_retention", an.events_cohort_retention, an.EVENTS_COHORT_ORACLE)
+_register("events_cube", an.events_cube, an.EVENTS_CUBE_ORACLE)
+_register("orders_except_intersect", an.orders_except_intersect, an.ORDERS_EXCEPT_INTERSECT_ORACLE)
+_register("docs_train_test_split", an.docs_train_test_split, an.DOCS_SPLIT_ORACLE)
+_register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific
+_register("docs_stratified_sample", an.docs_stratified_sample, None)  # seeded sampler
 
 # --- text analysis ---------------------------------------------------
 _register("text_stats", tp.text_stats, tp.TEXT_STATS_ORACLE)

@@ -60,9 +60,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer division: ns-epoch values exceed 2^53, so a
+            # float divide rounds some timestamps off by 1µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -13,7 +13,11 @@ def test_contract_shapes():
     # explicit, documented exceptions
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"ann_lsh_topk"}
+    assert rows_only == {
+        "ann_lsh_topk",          # generated hyperplanes
+        "events_approx_distinct",  # HLL estimates are impl-specific
+        "docs_stratified_sample",  # seeded sampler is engine-specific
+    }
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():
