@@ -231,6 +231,34 @@ GROUP BY 1, 2
 """
 
 
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance: apply a repricing batch (all open
+    orders +100.0, priority stamped) onto the orders table via
+    anti-join + union (operators/upsert.py). The merged relation is
+    returned in full — the oracle replays the same merge in SQL."""
+    from analyst_spark.operators.upsert import merge_upsert
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    updates = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("o_orderpriority", F.lit("0-REPRICED"))
+    )
+    return merge_upsert(orders, updates, "o_orderkey").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+ORDERS_UPSERT_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+       '0-REPRICED' AS o_orderpriority
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus <> 'O'
+"""
+
+
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type — the at-scale
     path for cardinality (mergeable sketches, no exact-distinct

@@ -89,6 +89,7 @@ _register("events_cohort_retention", an.events_cohort_retention, an.EVENTS_COHOR
 _register("events_cube", an.events_cube, an.EVENTS_CUBE_ORACLE)
 _register("orders_except_intersect", an.orders_except_intersect, an.ORDERS_EXCEPT_INTERSECT_ORACLE)
 _register("docs_train_test_split", an.docs_train_test_split, an.DOCS_SPLIT_ORACLE)
+_register("orders_merge_upsert", an.orders_merge_upsert, an.ORDERS_UPSERT_ORACLE)
 _register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific
 _register("docs_stratified_sample", an.docs_stratified_sample, None)  # seeded sampler
 

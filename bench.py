@@ -31,7 +31,12 @@ BENCH_QUERIES = [
     "q5_local_supplier",
     "q6_revenue_change",
     "q10_returned_items",
+    "q16_supplier_part_counts",
+    "q21_last_to_ship",
     "window_top_orders",
+    "events_moving_avg",
+    "events_cohort_retention",
+    "docs_train_test_split",
     "agg_reducers",
     "agg_quantile",
     "agg_zoh",
