@@ -63,6 +63,7 @@ _register("q21_last_to_ship", tr.q21_last_to_ship, tr.Q21_ORACLE)
 # --- reference operator inventory (SURVEY §2) -----------------------
 _register("agg_reducers", ro.agg_reducers, ro.AGG_REDUCERS_ORACLE)
 _register("agg_quantile", ro.agg_quantile, ro.AGG_QUANTILE_ORACLE)
+_register("agg_quantile_approx", ro.agg_quantile_approx, None)  # sketch estimates
 _register("agg_cdf", ro.agg_cdf, ro.AGG_CDF_ORACLE)
 _register("agg_zoh", ro.agg_zoh, ro.AGG_ZOH_ORACLE)
 _register("lookup_inner", ro.lookup_inner, ro.LOOKUP_INNER_ORACLE)

@@ -82,6 +82,25 @@ GROUP BY l_returnflag
 """
 
 
+def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE via percentile_approx — the production path, same
+    approximation class as the reference's t-digest
+    (transforms/quantile.go:8-14): mergeable sketches, bounded state
+    per group, the only viable form at 100 TB. No cross-engine
+    oracle (sketch estimates are impl-specific);
+    tests/test_aggregate.py bounds the error against the exact form."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(quantile("l_extendedprice", [0.5, 0.95], approx=True).alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p95"),
+        )
+    )
+
+
 def agg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF(x, v): empirical P(x <= v) per group (transforms/cdf.go —
     exact formulation; the reference's t-digest estimate converges to

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "docs_train_test_split",
     "agg_reducers",
     "agg_quantile",
+    "agg_quantile_approx",
     "agg_zoh",
     "lookup_inner",
     "apply_cast",

@@ -80,3 +80,18 @@ def test_min_max_time_strings_epoch(spark):
     ).collect()[0]
     assert row.hi - row.lo == 100.0
     assert isinstance(row.lo, float)
+
+
+def test_approx_quantile_close_to_exact(spark):
+    from analyst_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.l_returnflag: (r.p50, r.p95)
+             for r in QUERIES["agg_quantile"](spark, sf).collect()}
+    approx = {r.l_returnflag: (r.p50, r.p95)
+              for r in QUERIES["agg_quantile_approx"](spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for k, (e50, e95) in exact.items():
+        a50, a95 = approx[k]
+        assert abs(a50 - e50) / e50 < 0.02, (k, a50, e50)
+        assert abs(a95 - e95) / e95 < 0.02, (k, a95, e95)

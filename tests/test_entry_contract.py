@@ -17,6 +17,7 @@ def test_contract_shapes():
         "ann_lsh_topk",          # generated hyperplanes
         "events_approx_distinct",  # HLL estimates are impl-specific
         "docs_stratified_sample",  # seeded sampler is engine-specific
+        "agg_quantile_approx",     # sketch estimates are impl-specific
     }
     for name, fn in qs.items():
         assert callable(fn), name
