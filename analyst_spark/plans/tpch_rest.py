@@ -8,19 +8,21 @@ l_shipmode — see TESTDATA.md). Each adaptation preserves the
   Q12 — conditional counts by category after a late-shipment filter
   Q16 — COUNT(DISTINCT) grouped by part attributes with NOT IN prune
   Q20 — chained semi-joins narrowing suppliers by shipped volume
-  Q21 — multi-EXISTS self-join on lineitem (last supplier to ship)
+  Q21 — multi-EXISTS per-order predicate (last supplier to ship)
 
 The reference can only express these by shipping SQL verbatim to a
 source database (SURVEY §2.6, engine/sql_source.go:170); here each is
 a first-class Catalyst plan with the same shape rules as tpch.py:
 dimensions broadcast, lineitem never shuffles for a join unless the
-join is genuinely large-large (Q21's self-join shuffles on
-l_orderkey, its natural co-partition key).
+join is genuinely large-large (Q21 needs per-order context over all
+of lineitem: computed with window functions over one shuffle on
+l_orderkey, lineitem's natural key, instead of a groupBy+join-back
+that would scan and shuffle twice).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from analyst_spark.tables import load_tables
@@ -260,10 +262,17 @@ def q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("nsupp"),
-    ).filter(F.col("nsupp") >= 2)
+    # per-order max/supplier-count via window functions: ONE lineitem
+    # scan and ONE shuffle (on l_orderkey) instead of a groupBy +
+    # join-back that scans and shuffles twice
+    w = Window.partitionBy("l_orderkey")
+    annotated = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
+    )
     nation = t["nation"].filter(F.col("n_name") == "NATION_6").select("n_nationkey")
     supp = (
         t["supplier"]
@@ -271,8 +280,7 @@ def q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        li.join(per_order, (li.l_orderkey == F.col("po_orderkey"))
-                & (li.l_shipdate == F.col("max_ship")))
+        annotated.filter((F.col("nsupp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
