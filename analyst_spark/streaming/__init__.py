@@ -4,6 +4,10 @@ from analyst_spark.streaming.events import (
     read_events_stream,
     sessionize_stream,
 )
+from analyst_spark.streaming.joins import (
+    stream_to_partitioned_lake,
+    view_click_attribution_stream,
+)
 from analyst_spark.streaming.stateful import running_user_totals
 
 __all__ = [
@@ -13,4 +17,6 @@ __all__ = [
     "running_user_totals",
     "dedup_stream",
     "dedup_stream_by_content",
+    "view_click_attribution_stream",
+    "stream_to_partitioned_lake",
 ]

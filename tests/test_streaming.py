@@ -147,3 +147,41 @@ def test_running_user_totals_stateful(spark, events_dir):
     got = {r.user_id: (r.n, r.t) for r in rows}
     assert got[1] == (3, 60.0)
     assert got[2] == (2, 90.0)
+
+
+def test_stream_stream_attribution_join(spark, events_dir):
+    from analyst_spark.streaming.joins import view_click_attribution_stream
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    views = stream.filter(stream.event_type == "view")
+    clicks = stream.filter(stream.event_type == "click")
+    q = run_to_memory_sink(
+        view_click_attribution_stream(views, clicks, max_gap="90 minutes"),
+        "attr_test",
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attr_test").collect()
+    }
+    # user 1: click 11:10 within 90m of views 10:05 and 10:20
+    # user 2: click 12:30 within 90m of view 10:40? gap=110m -> excluded
+    assert pairs == {(1, 3), (2, 3)}
+
+
+def test_stream_to_partitioned_lake_foreachbatch(spark, events_dir, tmp_path):
+    from analyst_spark.streaming.joins import stream_to_partitioned_lake
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_partitioned_lake(
+        stream, out, ckpt, partition_by=["event_type"]
+    ).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 6  # 5 events + flush
+    # both micro-batches landed under distinct batch dirs
+    import glob as _g
+
+    assert len(_g.glob(out + "/_batch_id=*")) == 2
