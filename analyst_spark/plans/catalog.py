@@ -112,6 +112,7 @@ _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
 _register("ann_lsh_topk", tp.ann_lsh_topk, None)  # generated hyperplanes → rows-only
 _register("ann_ivf_topk", tp.ann_ivf_topk, tp.ANN_IVF_ORACLE)
+_register("knn_label_propagation", tp.knn_label_propagation, tp.KNN_LABEL_ORACLE)
 
 # --- multimodal binary columns --------------------------------------
 _register("multimodal_image_features", mm.multimodal_image_features, mm.MULTIMODAL_FEATURES_ORACLE)
