@@ -1,0 +1,184 @@
+"""Connector tests: Excel range/coercion core, HTTP source (live
+local server + injected-fetch variants), and the plugin surface —
+mirroring the reference's source/destination integration tests
+(engine/excel_source.go:226-272, engine/http_source_test.go,
+plugins/rpc_test.go)."""
+
+import http.server
+import json
+import threading
+from datetime import datetime
+
+import pytest
+
+from analyst_spark.sources.excel import (
+    coerce_cell,
+    col_to_index,
+    matrix_to_rows,
+    parse_range,
+)
+from analyst_spark.sources.http import http_source
+from analyst_spark.sources.plugin import (
+    python_destination,
+    python_source,
+    python_transform,
+)
+
+# ------------------------------------------------------------- excel
+
+
+def test_col_to_index():
+    assert col_to_index("A") == 1
+    assert col_to_index("Z") == 26
+    assert col_to_index("AB") == 28
+
+
+def test_parse_range_wildcards():
+    assert parse_range("A1:B4") == (1, 1, 2, 4)
+    assert parse_range("A1:B*") == (1, 1, 2, None)
+    with pytest.raises(ValueError):
+        parse_range("A*:B*")  # two wildcards
+    with pytest.raises(ValueError):
+        parse_range("1A:B2")
+
+
+def test_coerce_cell_chain():
+    # int → float → bool → time → string (excel_source.go:226-272)
+    assert coerce_cell("42") == 42
+    assert coerce_cell("4.5") == 4.5
+    assert coerce_cell("TRUE") is True
+    assert coerce_cell("2024-01-02T03:04:05Z") == datetime(2024, 1, 2, 3, 4, 5)
+    assert coerce_cell("hello") == "hello"
+    assert coerce_cell(None) is None
+
+
+def test_matrix_header_and_wildcard_stop():
+    cells = [
+        ["name", "qty"],
+        ["a", "1"],
+        ["b", "2"],
+        [None, None],      # wildcard must stop here
+        ["ghost", "9"],
+    ]
+    names, rows = matrix_to_rows(cells, "A1:B*", header_row=True)
+    assert names == ["name", "qty"]
+    assert rows == [["a", 1], ["b", 2]]
+
+
+def test_matrix_fixed_range_no_header():
+    cells = [["a", "1"], ["b", "2"], ["c", "3"]]
+    names, rows = matrix_to_rows(
+        cells, "A1:B2", header_row=False, columns=["n", "q"]
+    )
+    assert names == ["n", "q"]
+    assert rows == [["a", 1], ["b", 2]]
+
+
+# -------------------------------------------------------------- http
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    """Paginated JSON endpoint: 5 items, page size honored via
+    limit/offset params, empty page past the end."""
+    items = [{"ID": i, "Name": f"n{i}", "extra": "x"} for i in range(5)]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            lim = int(q.get("limit", [100])[0])
+            off = int(q.get("offset", [0])[0])
+            body = json.dumps({"data": {"rows": items[off : off + lim]}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/items"
+    srv.shutdown()
+
+
+def test_http_source_paginated_live(spark, http_server):
+    df = http_source(
+        spark,
+        http_server,
+        columns=["id", "name"],   # case-insensitive match, extra key dropped
+        json_path="data.rows",
+        page_size=2,
+    )
+    rows = sorted((r.id, r.name) for r in df.collect())
+    assert rows == [(i, f"n{i}") for i in range(5)]
+
+
+def test_http_source_missing_key_is_null(spark):
+    payload = {"rows": [{"a": 1}, {"a": 2, "b": "x"}]}
+    df = http_source(
+        spark, "http://unused", columns=["a", "b"], json_path="rows",
+        _fetch=lambda u, p, h: payload,
+    )
+    rows = sorted((r.a, r.b) for r in df.collect())
+    assert rows == [(1, None), (2, "x")]
+
+
+def test_http_source_positional_arrays(spark):
+    payload = [[1, "a"], [2, "b"]]
+    df = http_source(
+        spark, "http://unused", columns=["k", "v"], _fetch=lambda u, p, h: payload
+    )
+    assert sorted((r.k, r.v) for r in df.collect()) == [(1, "a"), (2, "b")]
+    with pytest.raises(Exception):
+        http_source(
+            spark, "http://unused", columns=["k"], _fetch=lambda u, p, h: payload
+        ).collect()
+
+
+# ------------------------------------------------------------ plugin
+
+
+def test_python_source_generator(spark):
+    def gen():
+        yield from ([i, i * i] for i in range(4))
+
+    df = python_source(spark, gen, ["n", "sq"])
+    assert sorted((r.n, r.sq) for r in df.collect()) == [(i, i * i) for i in range(4)]
+
+
+def test_python_transform_udtf(spark):
+    df = python_source(spark, [[1], [2], [3], [4]], ["n"])
+
+    def keep_even_duplicate(pdf):
+        out = pdf[pdf.n % 2 == 0]
+        import pandas as pd
+
+        return pd.concat([out, out])  # N in, 2M out
+
+    res = python_transform(df, keep_even_duplicate, "n long")
+    assert sorted(r.n for r in res.collect()) == [2, 2, 4, 4]
+
+
+def test_python_destination_batches(spark, tmp_path):
+    # fn runs inside executor workers — observe it through the
+    # filesystem, not driver memory
+    df = python_source(spark, [[i] for i in range(10)], ["n"]).coalesce(1)
+    out = tmp_path / "batches"
+    out.mkdir()
+
+    def sink(batch):
+        import os
+        import uuid
+
+        with open(out / f"{os.getpid()}-{uuid.uuid4().hex}.json", "w") as f:
+            json.dump([list(r) for r in batch], f)
+
+    python_destination(df, sink, batch_size=4)
+    batches = [json.load(open(p)) for p in out.iterdir()]
+    assert sorted(sum(batches, [])) == [[i] for i in range(10)]
+    assert max(len(b) for b in batches) <= 4
