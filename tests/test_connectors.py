@@ -182,3 +182,44 @@ def test_python_destination_batches(spark, tmp_path):
     batches = [json.load(open(p)) for p in out.iterdir()]
     assert sorted(sum(batches, [])) == [[i] for i in range(10)]
     assert max(len(b) for b in batches) <= 4
+
+
+# -------------------------------------------------------------- jdbc
+
+
+def test_exec_statement_and_staging_commit(tmp_path):
+    """EXEC + staged-publish pattern on a real DB-API connection
+    (sqlite3 stands in for the remote database, as in the reference's
+    own tests — engine/sql_test.go)."""
+    import sqlite3
+
+    conn = sqlite3.connect(tmp_path / "t.db")
+    from analyst_spark.sinks.jdbc import commit_staging
+    from analyst_spark.sources.jdbc import exec_statement
+
+    exec_statement(conn, "CREATE TABLE t (k INTEGER, v TEXT)")
+    exec_statement(conn, "CREATE TABLE t_staging (k INTEGER, v TEXT)")
+    exec_statement(conn, "INSERT INTO t VALUES (0, 'stale')")
+    n = exec_statement(
+        conn, "INSERT INTO t_staging VALUES (1, 'a'), (2, 'b')"
+    )
+    assert n == 2
+    commit_staging(conn, "t")
+    rows = conn.execute("SELECT k, v FROM t ORDER BY k").fetchall()
+    assert rows == [(1, "a"), (2, "b")]
+    assert conn.execute("SELECT count(*) FROM t_staging").fetchone()[0] == 0
+
+
+def test_staging_commit_rolls_back_on_error(tmp_path):
+    import sqlite3
+
+    conn = sqlite3.connect(tmp_path / "t.db")
+    from analyst_spark.sinks.jdbc import commit_staging
+    from analyst_spark.sources.jdbc import exec_statement
+
+    exec_statement(conn, "CREATE TABLE t (k INTEGER)")
+    exec_statement(conn, "INSERT INTO t VALUES (7)")
+    # no staging table -> commit must fail and leave t untouched
+    with pytest.raises(Exception):
+        commit_staging(conn, "t")
+    assert conn.execute("SELECT k FROM t").fetchall() == [(7,)]
