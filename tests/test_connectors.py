@@ -223,3 +223,27 @@ def test_staging_commit_rolls_back_on_error(tmp_path):
     with pytest.raises(Exception):
         commit_staging(conn, "t")
     assert conn.execute("SELECT k FROM t").fetchall() == [(7,)]
+
+
+# -------------------------------------------------------- excel sink
+
+
+def test_layout_cells_rowwise_and_bounds():
+    from analyst_spark.sinks.excel import layout_cells
+
+    cells = layout_cells([[1, "a"], [2, "b"]], "B2:C*")
+    assert cells == {(2, 2): 1, (3, 2): "a", (2, 3): 2, (3, 3): "b"}
+    with pytest.raises(ValueError):
+        layout_cells([[1, 2, 3]], "A1:B*")     # too narrow
+    with pytest.raises(ValueError):
+        layout_cells([[1], [2], [3]], "A1:A2")  # fixed range too short
+
+
+def test_layout_cells_transpose():
+    from analyst_spark.sinks.excel import layout_cells
+
+    # two rows become two COLUMNS (excel_dest.go TRANSPOSE)
+    cells = layout_cells([[1, "a"], [2, "b"]], "A1:B*", transpose=True)
+    assert cells == {(1, 1): 1, (1, 2): "a", (2, 1): 2, (2, 2): "b"}
+    with pytest.raises(ValueError):
+        layout_cells([[1], [2], [3]], "A1:B*", transpose=True)  # 3 rows, 2 cols
