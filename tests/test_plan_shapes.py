@@ -82,3 +82,18 @@ def test_q1_scan_prunes_columns(spark):
     # ReadSchema on the lineitem scan must not include unused columns
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and "l_partkey" not in read[0] and "l_suppkey" not in read[0]
+
+
+def test_moving_avg_single_window_exchange(spark):
+    # both frames (moving + cumulative) share one partitionBy/orderBy
+    # → exactly one Window node over one Exchange, not two sorts
+    plan = _plan(QUERIES["events_moving_avg"](spark, SF))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Window") == 1
+    assert tree.count("Exchange") == 1
+
+
+def test_upsert_no_cartesian_and_single_scan_shape(spark):
+    plan = _plan(QUERIES["orders_merge_upsert"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
