@@ -140,3 +140,38 @@ def test_zoh_matches_reference_model(spark, case):
         assert got is None
     else:
         assert got == pytest.approx(want, abs=1e-9)
+
+
+@st.composite
+def upsert_case(draw):
+    base = draw(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 99)),
+            min_size=0, max_size=10, unique_by=lambda r: r[0],
+        )
+    )
+    updates = draw(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(100, 199)),
+            min_size=0, max_size=10, unique_by=lambda r: r[0],
+        )
+    )
+    return base, updates
+
+
+@given(upsert_case())
+@settings(**_PROP_SETTINGS)
+def test_merge_upsert_matches_dict_model(spark, case):
+    from analyst_spark.operators.upsert import merge_upsert
+
+    base, updates = case
+    expected = dict(base)
+    expected.update(dict(updates))  # last-write-wins by key
+    bdf = spark.createDataFrame(base or [(None, None)], "k int, v int")
+    if not base:
+        bdf = bdf.filter("k IS NOT NULL")
+    udf_ = spark.createDataFrame(updates or [(None, None)], "k int, v int")
+    if not updates:
+        udf_ = udf_.filter("k IS NOT NULL")
+    got = {r.k: r.v for r in merge_upsert(bdf, udf_, "k").collect()}
+    assert got == expected
