@@ -19,22 +19,39 @@ from __future__ import annotations
 import csv as _csv
 import io
 import json
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
 def _unify_type(values: list) -> T.DataType:
+    """Unify over ALL values, not just the first non-null: mixed
+    int/float → double, anything incompatible → string (cells are
+    stringified in _frame). Improves on the reference's first-row
+    CREATE inference (engine/auto_sql_transform.go:86-128)."""
+    kinds = set()
     for v in values:
         if v is None:
             continue
         if isinstance(v, bool):
-            return T.BooleanType()
-        if isinstance(v, int):
-            return T.LongType()
-        if isinstance(v, float):
-            return T.DoubleType()
-        return T.StringType()
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        elif isinstance(v, datetime):
+            kinds.add("ts")
+        else:
+            kinds.add("str")
+    if kinds == {"bool"}:
+        return T.BooleanType()
+    if kinds == {"int"}:
+        return T.LongType()
+    if kinds and kinds <= {"int", "float"}:
+        return T.DoubleType()
+    if kinds == {"ts"}:
+        return T.TimestampType()
     return T.StringType()
 
 
@@ -44,15 +61,19 @@ def _frame(spark: SparkSession, rows: list[list], columns: list[str]) -> DataFra
         T.StructField(name, _unify_type(list(vals)), True)
         for name, vals in zip(columns, cols)
     ]
-    # ints may coexist with floats in a double column
-    norm_rows = []
-    for r in rows:
-        norm_rows.append(
-            [
-                float(v) if isinstance(f.dataType, T.DoubleType) and v is not None else v
-                for v, f in zip(r, fields)
-            ]
-        )
+
+    def norm(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, T.DoubleType):
+            return float(v)
+        if isinstance(dt, T.StringType) and not isinstance(v, str):
+            return str(v)
+        return v
+
+    norm_rows = [
+        [norm(v, f.dataType) for v, f in zip(r, fields)] for r in rows
+    ]
     return spark.createDataFrame(norm_rows, T.StructType(fields))
 
 

@@ -247,3 +247,40 @@ def test_layout_cells_transpose():
     assert cells == {(1, 1): 1, (1, 2): "a", (2, 1): 2, (2, 2): "b"}
     with pytest.raises(ValueError):
         layout_cells([[1], [2], [3]], "A1:B*", transpose=True)  # 3 rows, 2 cols
+
+
+# -------------------------------------------- literal type inference
+
+
+def test_frame_unifies_over_all_rows(spark):
+    """All-NULL first row and int/float mixes must infer correctly —
+    whole-column unification (the reference hard-errors on a NULL in
+    the first row, auto_sql_transform.go:111-128)."""
+    from analyst_spark.sources.literal import _frame
+
+    df = _frame(spark, [[None, None], [1, "a"], [2.5, "b"]], ["x", "s"])
+    assert dict(df.dtypes) == {"x": "double", "s": "string"}
+    got = sorted(
+        ((r.x, r.s) for r in df.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert got == [(None, None), (1.0, "a"), (2.5, "b")]
+
+
+def test_frame_all_null_column_and_mixed_to_string(spark):
+    from analyst_spark.sources.literal import _frame
+
+    df = _frame(spark, [[None, 1], [None, "x"]], ["empty", "mixed"])
+    assert dict(df.dtypes) == {"empty": "string", "mixed": "string"}
+    assert sorted(r.mixed for r in df.collect()) == ["1", "x"]
+
+
+def test_frame_datetime_column(spark):
+    from analyst_spark.sources.literal import _frame
+
+    df = _frame(
+        spark,
+        [[datetime(2024, 1, 1, 10, 0)], [None]],
+        ["t"],
+    )
+    assert dict(df.dtypes) == {"t": "timestamp"}
