@@ -284,3 +284,23 @@ def test_frame_datetime_column(spark):
         ["t"],
     )
     assert dict(df.dtypes) == {"t": "timestamp"}
+
+
+def test_http_source_distributed_live(spark, http_server):
+    """Executor-side fetch: a DataFrame of URLs fanned out through
+    mapInPandas (each worker fetches its batch of endpoints)."""
+    from analyst_spark.sources.http import http_source_distributed
+
+    urls = spark.createDataFrame(
+        [(f"{http_server}?limit=100&offset=0",), (f"{http_server}?limit=2&offset=2",)],
+        "url string",
+    )
+    df = http_source_distributed(
+        spark, urls, columns=["id", "name"], json_path="data.rows"
+    )
+    got = sorted((r.id, r.name) for r in df.collect())
+    # page 1: all 5; page 2: items 2,3 (duplicates expected — dedup is
+    # the caller's concern)
+    assert got == sorted(
+        [(str(i), f"n{i}") for i in range(5)] + [("2", "n2"), ("3", "n3")]
+    )
