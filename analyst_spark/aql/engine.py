@@ -180,8 +180,23 @@ class Executor:
             [b for b in blocks if b.kind in
              ("query", "exec", "data", "transform", "test")]
         )
-        for blk in order:
-            self._run_block(blk, res)
+        # multiplexer analog (engine/multiplexer.go:10-65): a block
+        # consumed by >1 downstream block is persisted so each
+        # consumer's action replays cached partitions instead of
+        # recomputing the producer's whole lineage
+        fan_out: dict[str, int] = {}
+        for b in order:
+            for ref in b.sources:
+                if ref.kind == "block" and ref.name:
+                    fan_out[ref.name.lower()] = fan_out.get(ref.name.lower(), 0) + 1
+        self._fan_out = fan_out
+        try:
+            for blk in order:
+                self._run_block(blk, res)
+        finally:
+            for name, df in res.frames.items():
+                if fan_out.get(name, 0) > 1:
+                    df.unpersist()
         return res
 
     def _run_block(self, blk: Block, res: JobResult) -> None:
@@ -217,6 +232,8 @@ class Executor:
         else:
             raise ValueError(f"unexpected block kind {blk.kind}")
 
+        if getattr(self, "_fan_out", {}).get(blk.name.lower(), 0) > 1:
+            df = df.persist()
         res.frames[blk.name.lower()] = df
         self._run_sinks(blk, df, res)
 

@@ -300,3 +300,26 @@ def test_asof_transform(spark):
 
     rows = {r["TradeId"]: r["LastPx"] for r in json.loads(res.console[0])}
     assert rows == {1: 100, 2: 101, 3: None}
+
+
+def test_fan_out_block_is_persisted_then_released(spark):
+    """A block with two consumers gets the multiplexer treatment:
+    persisted during the job (each sink replays cached partitions),
+    unpersisted afterwards."""
+    script = """
+    DATA 'Vals' (
+        [[1], [2], [3]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'N');
+
+    TRANSFORM 'TotA' FROM BLOCK Vals (
+        AGGREGATE SUM(N) AS Total
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON');
+
+    TRANSFORM 'TotB' FROM BLOCK Vals (
+        AGGREGATE COUNT(1) AS Cnt
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')
+    """
+    res = execute_script(spark, script)
+    assert sorted(res.console) == ['[{"Cnt":3}]', '[{"Total":6}]']
+    # fan-out frame released after the job
+    assert res.frames["vals"].storageLevel.useMemory is False
