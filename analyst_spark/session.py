@@ -37,6 +37,11 @@ def get_spark(app_name: str = "analyst_spark", cpus: str | None = None) -> Spark
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary-column safety: default 10k rows/batch × MB-scale
+        # image/audio cells = multi-GB Arrow batches in the Python
+        # worker; 2048 caps batch memory with negligible overhead for
+        # narrow rows
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
