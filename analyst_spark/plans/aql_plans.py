@@ -1,0 +1,88 @@
+"""The AQL DSL under the correctness gate: complete scripts — parse →
+compile → execute — whose RESULT is hash-compared against a DuckDB
+oracle. Everything else in the catalog gates individual operators;
+these two gate the language layer end to end (parser, topo scheduler,
+GLOBAL source, LOOKUP/AGGREGATE transforms, block fan-in), the way
+the reference's compiler_test.go gates ExecuteString output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from analyst_spark.aql.engine import execute_script
+from analyst_spark.tables import register_views
+
+
+def aql_global_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY FROM GLOBAL over the session catalog (the reference's
+    'SQL on the shared store' path, compiler.go:836-851 — temp views
+    instead of shared SQLite)."""
+    register_views(spark, sf_dir)
+    script = """
+    QUERY 'OrdersRollup' FROM GLOBAL (
+        SELECT o_orderstatus AS status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    """
+    return execute_script(spark, script).frames["ordersrollup"]
+
+
+AQL_GLOBAL_ROLLUP_ORACLE = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def aql_lookup_aggregate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-block pipeline: two GLOBAL queries feed a LOOKUP
+    (broadcast last-wins join) whose output feeds an AGGREGATE —
+    the reference's canonical transform chain (docs transforms.md),
+    here compiled to Catalyst end to end."""
+    register_views(spark, sf_dir)
+    script = """
+    QUERY 'Custs' FROM GLOBAL (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    );
+
+    QUERY 'Nations' FROM GLOBAL (
+        SELECT n_nationkey, n_name FROM nation
+    );
+
+    TRANSFORM 'Joined' FROM BLOCK Custs, BLOCK Nations (
+        LOOKUP Custs.c_custkey, Custs.c_acctbal, Nations.n_name
+        FROM Custs
+        INNER JOIN Nations ON Custs.c_nationkey = Nations.n_nationkey
+    );
+
+    TRANSFORM 'PerNation' FROM BLOCK Joined (
+        AGGREGATE n_name, COUNT(1) AS n_custs, SUM(c_acctbal) AS total_bal
+        GROUP BY n_name
+    )
+    """
+    res = execute_script(spark, script)
+    df = res.frames["pernation"]
+    # AGGREGATE reducers return double (transforms/aggregate.go:238) —
+    # round for the float-stable hash and surface as typed columns
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "n_name",
+        F.col("n_custs").cast("long").alias("n_custs"),
+        F.round("total_bal", 2).alias("total_bal"),
+    )
+
+
+AQL_LOOKUP_AGG_ORACLE = """
+SELECT n_name,
+       count(*) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from analyst_spark.plans import analytics_plans as an
+from analyst_spark.plans import aql_plans as aq
 from analyst_spark.plans import events_plans as ev
 from analyst_spark.plans import multimodal_plans as mm
 from analyst_spark.plans import reference_ops as ro
@@ -71,6 +72,10 @@ _register("lookup_outer", ro.lookup_outer, ro.LOOKUP_OUTER_ORACLE)
 _register("apply_cast", ro.apply_cast_matrix, ro.APPLY_CAST_ORACLE)
 _register("select_filter_distinct", ro.select_filter_distinct, ro.SELECT_FILTER_DISTINCT_ORACLE)
 _register("union_all_sources", ro.union_all_sources, ro.UNION_ALL_ORACLE)
+
+# --- AQL DSL end-to-end (parse → compile → execute → hash) ----------
+_register("aql_global_rollup", aq.aql_global_rollup, aq.AQL_GLOBAL_ROLLUP_ORACLE)
+_register("aql_lookup_aggregate_pipeline", aq.aql_lookup_aggregate_pipeline, aq.AQL_LOOKUP_AGG_ORACLE)
 
 # --- event-stream analytics -----------------------------------------
 _register("events_hourly_rollup", ev.events_hourly_rollup, ev.EVENTS_HOURLY_ORACLE)
