@@ -323,3 +323,27 @@ def test_fan_out_block_is_persisted_then_released(spark):
     assert sorted(res.console) == ['[{"Cnt":3}]', '[{"Total":6}]']
     # fan-out frame released after the job
     assert res.frames["vals"].storageLevel.useMemory is False
+
+
+def test_include_composes_scripts(spark, tmp_path):
+    """INCLUDE inlines another script file (aql/parser.go:792-813,
+    max depth 8)."""
+    (tmp_path / "data.aql").write_text(
+        "DATA 'Vals' ([[5], [6]]) "
+        "WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'N');"
+    )
+    script = """
+    INCLUDE 'data.aql';
+
+    TRANSFORM 'Tot' FROM BLOCK Vals (
+        AGGREGATE SUM(N) AS Total
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')
+    """
+    res = execute_script(spark, script, script_dir=str(tmp_path))
+    assert res.console == ['[{"Total":11}]']
+
+
+def test_include_depth_limit(spark, tmp_path):
+    (tmp_path / "loop.aql").write_text("INCLUDE 'loop.aql';")
+    with pytest.raises(SyntaxError):
+        execute_script(spark, "INCLUDE 'loop.aql';", script_dir=str(tmp_path))
