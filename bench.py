@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "knn_label_propagation",
+    "orders_merge_upsert",
+    "aql_lookup_aggregate_pipeline",
 ]
 
 
