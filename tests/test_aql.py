@@ -347,3 +347,26 @@ def test_include_depth_limit(spark, tmp_path):
     (tmp_path / "loop.aql").write_text("INCLUDE 'loop.aql';")
     with pytest.raises(SyntaxError):
         execute_script(spark, "INCLUDE 'loop.aql';", script_dir=str(tmp_path))
+
+
+def test_cli_run_and_validate(spark, tmp_path, capsys):
+    """tools/run_aql.py — the `analyst run`/`validate` analog
+    (cmd/main.go:15-88) driven in-process."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from run_aql import main
+
+    script = tmp_path / "job.aql"
+    script.write_text(
+        "DATA 'V' ([[1], [2]]) WITH (FORMAT='JSON_ARRAY', COLUMNS='N');\n"
+        "TRANSFORM 'T' FROM BLOCK V (AGGREGATE SUM(N) AS Total)\n"
+        "INTO CONSOLE WITH (OUTPUT_FORMAT='JSON');\n"
+        "TEST T WITH ASSERTIONS (IT OUTPUTS EXACTLY 1 ROWS)"
+    )
+    assert main(["validate", str(script)]) == 0
+    assert main(["run", str(script), "--cpus", "8"]) == 0
+    out = capsys.readouterr().out
+    assert '[{"Total":3}]' in out
+    assert main(["test", str(script), "--cpus", "8"]) == 0
+    assert "TESTS PASSED" in capsys.readouterr().out
