@@ -73,3 +73,26 @@ def python_destination(
             fn(batch)
 
     df.foreachPartition(handle_partition)
+
+
+def split_by_destination(
+    df: DataFrame,
+    destinations: list[str],
+    dest_col: str = "destination",
+    drop: bool = True,
+) -> dict[str, DataFrame]:
+    """Per-destination routing: a transform-plugin output row may be
+    addressed to one consumer (plugins/api.go:55-58; multiplexer
+    routing engine/multiplexer.go:30-52). The Spark form: the UDF
+    emits a ``destination`` column; this splits it into one DataFrame
+    per declared consumer. NULL/absent destination = broadcast to all
+    (the reference's wildcard message)."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for d in destinations:
+        part = df.filter(
+            F.col(dest_col).isNull() | (F.col(dest_col) == d)
+        )
+        out[d] = part.drop(dest_col) if drop else part
+    return out

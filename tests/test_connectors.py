@@ -304,3 +304,17 @@ def test_http_source_distributed_live(spark, http_server):
     assert got == sorted(
         [(str(i), f"n{i}") for i in range(5)] + [("2", "n2"), ("3", "n3")]
     )
+
+
+def test_split_by_destination_routing(spark):
+    """Addressed rows reach only their consumer; NULL-destination rows
+    broadcast to all (multiplexer wildcard semantics)."""
+    from analyst_spark.sources.plugin import split_by_destination
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "n int, destination string"
+    )
+    parts = split_by_destination(df, ["a", "b"])
+    assert sorted(r.n for r in parts["a"].collect()) == [1, 3]
+    assert sorted(r.n for r in parts["b"].collect()) == [2, 3]
+    assert parts["a"].columns == ["n"]
