@@ -1,0 +1,77 @@
+"""Connected components over candidate-duplicate pairs: the step
+after near-dup detection — group transitively-linked documents into
+clusters so one representative per cluster survives.
+
+Algorithm: iterative min-label propagation (each node repeatedly
+adopts the smallest label among itself and its neighbors until
+fixpoint). Converges in O(diameter) rounds; near-dup clusters are
+shallow (diameter ≲ 5 in practice), so the loop is short. Each round
+is one shuffle on the node id — at 100 TB this is the standard
+large-graph CC pattern (GraphX/GraphFrames use the same skeleton);
+``max_iter`` bounds the worst case and localCheckpoint() every few
+rounds truncates the growing lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component id =
+    min node id in the component. Deterministic."""
+    p = pairs.persist()
+    edges = (
+        p.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(p.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        # eager, lineage-truncating: every loop round re-reads the
+        # edge list — without this the (possibly expensive) pair
+        # pipeline upstream re-executes inside each round's actions
+        .localCheckpoint()
+    )
+    p.unpersist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for i in range(max_iter):
+        # each node's candidate label: min of its own and its
+        # neighbors' current labels
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label").union(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node"), F.col("label").alias("component")
+    )

@@ -73,3 +73,17 @@ def test_ngram_jaccard_values(spark):
     assert pairs[(0, 1)] == 1.0  # identical shingle sets
     assert 0.5 < pairs[(0, 3)] < 1.0  # near dup
     assert not any(4 in p for p in pairs)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from analyst_spark.functions.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3, needs multiple rounds) + island 8-9
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
