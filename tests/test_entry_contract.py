@@ -30,3 +30,15 @@ def test_entry_runs_at_smallest_sf(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns[0] == "l_returnflag"
+
+
+def test_bench_headline_queries_are_registered():
+    """bench.py's headline set must be a subset of the catalog —
+    a renamed query key would otherwise break the driver's per-round
+    BENCH run."""
+    import bench
+
+    qs = entrymod.queries()
+    missing = [q for q in bench.BENCH_QUERIES if q not in qs]
+    assert not missing, missing
+    assert len(bench.BENCH_QUERIES) >= 20
