@@ -227,7 +227,7 @@ def apply_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 APPLY_CAST_ORACLE = """
 SELECT o_orderkey,
-       epoch(o_orderdate)                                    AS orderdate_epoch,
+       CAST(epoch(o_orderdate) AS BIGINT)                    AS orderdate_epoch,
        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')           AS orderdate_rfc3339,
        CAST(o_custkey AS VARCHAR)                            AS custkey_str,
        o_orderdate                                           AS orderdate_roundtrip
