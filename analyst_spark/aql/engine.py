@@ -91,7 +91,24 @@ def _bind_params(sql: str, names: list[str], params: dict[str, object]) -> str:
         if key not in params:
             raise KeyError(f"parameter @{key} not set")
         values.append(params[key])
-    parts = sql.split("?")
+    # Split on '?' outside quoted literals only, so WHERE note = 'why?'
+    # doesn't eat a placeholder (same quote tracking as the statement
+    # splitter).
+    parts, buf, quote = [], [], None
+    for ch in sql:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "?":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
     if len(parts) - 1 != len(values):
         raise ValueError(
             f"{len(parts)-1} placeholders but {len(values)} parameters"
@@ -339,7 +356,9 @@ def execute_script(
     lookup_order_cols=None,
 ) -> JobResult:
     merged = dict(options or {})
-    blocks = parse_script(script, script_dir, merged or None)
+    # First parse only harvests SET blocks — no template rendering yet,
+    # or a SET-defined {{ .Var }} would KeyError before the merge.
+    blocks = parse_script(script, script_dir, None)
     # SET statements merge under CLI params (compiler.go:239-268:
     # script SET beats CLI)
     for b in blocks:
@@ -364,7 +383,7 @@ def test_script(
     """`analyst test` mode: destinations neutralized, EXECs skipped,
     TEST assertions enforced (compiler.go:293-303)."""
     merged = dict(options or {})
-    blocks = parse_script(script, script_dir, merged or None)
+    blocks = parse_script(script, script_dir, None)
     for b in blocks:
         if b.kind == "set":
             merged[b.key] = b.value

@@ -264,8 +264,8 @@ def build_lookup(
 ) -> DataFrame:
     """LOOKUP semantics via operators.lookup_join. The reference's
     'last row wins' needs an ordering column for determinism
-    (SURVEY §7.3); None falls back to arbitrary-but-single row via
-    max_by on a constant (any row)."""
+    (SURVEY §7.3); None still collapses to one row per key — the
+    greatest whole-row tuple wins (see lookup_join)."""
     pairs = []
     for t1, c1, t2, c2 in spec.on:
         if t1.lower() == spec.base.lower():

@@ -8,6 +8,7 @@ from analyst_spark.functions.dedup import (
     exact_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
+    release_cached,
     shingle_tokens,
     simhash_signatures,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "minhash_pairs",
     "simhash_signatures",
     "ngram_jaccard_pairs",
+    "release_cached",
     "cosine_topk",
     "ivf_topk",
     "lsh_bucket_topk",

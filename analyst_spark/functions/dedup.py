@@ -32,6 +32,21 @@ from analyst_spark.functions.text import doc_fingerprint, normalize_text, tokens
 from analyst_spark.tables import spread
 
 
+def _with_cached_deps(out: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Record persisted intermediates on the result so long-lived
+    sessions can release them via :func:`release_cached` once the
+    consuming action has run (one-shot jobs can ignore this — the
+    cache dies with the session)."""
+    out._asp_cached_deps = list(deps)  # type: ignore[attr-defined]
+    return out
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist intermediates persisted while building ``df``."""
+    for dep in getattr(df, "_asp_cached_deps", ()):
+        dep.unpersist()
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -49,9 +64,10 @@ def exact_dedup(
     ).alias("__fp")
     with_fp = spread(df, id_col).withColumn("__fp", fp).persist()
     keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return (
+    return _with_cached_deps(
         with_fp.join(keep, [id_col, "__fp"], "inner")  # survivors only
-        .drop("__fp")
+        .drop("__fp"),
+        with_fp,
     )
 
 
@@ -132,7 +148,7 @@ def minhash_pairs(
     ).select(id_col, "bb.band", "bb.bucket").persist()
     a = buckets.alias("a")
     b_ = buckets.alias("b")
-    return (
+    return _with_cached_deps(
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -142,7 +158,8 @@ def minhash_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands")),
+        buckets,
     )
 
 
@@ -210,12 +227,13 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
+    return _with_cached_deps(
         inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
     )

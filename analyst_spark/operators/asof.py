@@ -39,22 +39,28 @@ def asof_join(
         "__side", F.lit(0)
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    order = [F.col(ts_col).asc(), F.col("__side").asc()] + [
-        F.col(c).asc_nulls_first() for c in value_cols
+    order = [
+        F.col(ts_col).asc(),
+        F.col("__side").asc(),
+        F.struct(*value_cols).asc_nulls_first(),
     ]
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    fills = [
-        F.last(
-            F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
-        ).over(w).alias(c + suffix)
-        for c in value_cols
-    ]
+    # Forward-fill ONE struct of all value columns so a tie at
+    # (key, ts) resolves to a single whole right row — independent
+    # per-column fills could mix columns from different tied rows.
+    fill = F.last(
+        F.when(F.col("__side") == 0, F.struct(*value_cols)),
+        ignorenulls=True,
+    ).over(w).alias("__vals")
     return (
-        u.select(*u.columns, *fills)
+        u.select(*u.columns, fill)
         .filter(F.col("__side") == 1)
-        .select(*out_cols, *[c + suffix for c in value_cols])
+        .select(
+            *out_cols,
+            *[F.col(f"__vals.{c}").alias(c + suffix) for c in value_cols],
+        )
     )

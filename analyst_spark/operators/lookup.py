@@ -43,8 +43,11 @@ def lookup_join(
                 (reference grammar's per-column AS aliases).
     how       — 'inner' | 'outer' (outer == LEFT outer, lookup.go:232).
     order_col — lookup-side column defining which duplicate "wins"
-                (max wins). None → keys assumed unique (cheaper: skips
-                the dedup aggregation).
+                (max wins). None → duplicates still collapse to one
+                row per key (reference lookup.go:185-188 stores one
+                row per key); the winner is the greatest whole-row
+                tuple, a deterministic stand-in for the reference's
+                nondeterministic stream-arrival "last".
     """
     how = {"inner": "inner", "outer": "left"}[how.lower()]
     select = dict(select or {})
@@ -56,8 +59,16 @@ def lookup_join(
         lk = lk.groupBy(*lkeys).agg(
             *[F.max_by(c, order_col).alias(c) for c in proj_cols]
         )
+    elif proj_cols:
+        # One whole row per key: max over a struct keeps columns from
+        # the SAME winning row (per-column max would mix rows).
+        lk = (
+            lk.groupBy(*lkeys)
+            .agg(F.max(F.struct(*proj_cols)).alias("__row"))
+            .select(*lkeys, *[F.col(f"__row.{c}").alias(c) for c in proj_cols])
+        )
     else:
-        lk = lk.select(*lkeys, *proj_cols)
+        lk = lk.select(*lkeys).distinct()
 
     if broadcast:
         lk = F.broadcast(lk)

@@ -370,3 +370,44 @@ def test_cli_run_and_validate(spark, tmp_path, capsys):
     assert '[{"Total":3}]' in out
     assert main(["test", str(script), "--cpus", "8"]) == 0
     assert "TESTS PASSED" in capsys.readouterr().out
+
+
+def test_set_template_var_with_cli_options(spark):
+    # ADVICE r1: a SET-defined template variable must render even when
+    # CLI options are also passed (the first parse used to apply
+    # templates with only the CLI dict and KeyError on the SET var).
+    script = """
+    SET Metric = 'v';
+    GLOBAL 'T' (
+        CREATE TABLE ts ( t text, v real );
+        INSERT INTO ts (t, v) VALUES ('a', 1), ('b', 3);
+    )
+    QUERY 'R' FROM GLOBAL (
+        SELECT sum({{ .Metric }}) AS total FROM ts
+    ) INTO GLOBAL WITH (Table = 'Out')
+    """
+    res = execute_script(spark, script, options={"Unrelated": "x"})
+    assert res.globals.get("out").collect()[0].total == 4.0
+
+
+def test_question_mark_inside_string_literal_not_a_placeholder(spark):
+    # ADVICE r1: '?' inside a quoted literal must not count as a
+    # USING PARAMETER placeholder.
+    script = """
+    DECLARE @Id;
+    GLOBAL 'Init' (
+        CREATE TABLE notes ( id integer, note text );
+        INSERT INTO notes (id, note) VALUES (1, 'why?'), (2, 'ok');
+    );
+    QUERY 'GetId' FROM GLOBAL (
+        SELECT 1 AS 'Id'
+    ) INTO PARAMETER (@Id);
+    QUERY 'Q' FROM GLOBAL (
+        SELECT note FROM notes WHERE note = 'why?' AND id = ?
+    )
+    USING PARAMETER @Id
+    INTO GLOBAL WITH (Table = 'Out')
+    AFTER GetId
+    """
+    res = execute_script(spark, script)
+    assert [r.note for r in res.globals.get("out").collect()] == ["why?"]

@@ -37,3 +37,19 @@ def test_asof_tie_break_greatest_value(spark):
     )
     (row,) = asof_join(left, right, "ts", ["k"], ["v"]).collect()
     assert row.v_asof == 9  # greatest value tuple wins deterministically
+
+
+def test_asof_tie_break_whole_row_not_mixed(spark):
+    # ADVICE r1: two right rows tied on (key, ts) must contribute ONE
+    # whole row, never col A from one and col B from the other.
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10))], "lid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 1, 900), ("u1", _ts(10), 2, 100)],
+        "k string, ts timestamp, v1 long, v2 long",
+    )
+    (row,) = asof_join(left, right, "ts", ["k"], ["v1", "v2"]).collect()
+    # greatest (v1, v2) struct is (2, 100); a per-column fill would
+    # have produced the mixed (2, 900)
+    assert (row.v1_asof, row.v2_asof) == (2, 100)

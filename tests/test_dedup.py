@@ -87,3 +87,14 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_release_cached_unpersists_intermediates(spark):
+    from analyst_spark.functions.dedup import exact_dedup, release_cached
+
+    out = exact_dedup(_docs(spark))
+    out.collect()
+    deps = out._asp_cached_deps
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    release_cached(out)
+    assert all(not d.storageLevel.useMemory for d in deps)

@@ -87,3 +87,34 @@ def test_alias_projection(spark):
         select={"first_name": "fn"}, how="inner", order_col="ord",
     )
     assert "fn" in out.columns and "first_name" not in out.columns
+
+
+def test_duplicate_keys_no_order_col_single_whole_row(spark):
+    # ADVICE r1: with order_col=None the lookup side must still
+    # collapse to one row per key (lookup.go:185-188), and the
+    # surviving columns must come from the SAME row.
+    lookup = spark.createDataFrame(
+        [(1, "A", 900), (1, "B", 100), (2, "C", 5)],
+        ["id", "name", "score"],
+    )
+    base = spark.createDataFrame([(1,), (2,)], ["k"])
+    out = lookup_join(
+        base, lookup, on=[("k", "id")],
+        select={"name": "name", "score": "score"},
+        how="inner", order_col=None,
+    ).collect()
+    assert len(out) == 2  # no row multiplication
+    got = {r.k: (r.name, r.score) for r in out}
+    # greatest whole-row tuple wins: ("B", 100) beats ("A", 900) on name
+    assert got[1] == ("B", 100)
+    assert got[2] == ("C", 5)
+
+
+def test_keys_only_select_no_order_col(spark):
+    lookup = spark.createDataFrame([(1,), (1,), (2,)], ["id"])
+    base = spark.createDataFrame([(1,), (3,)], ["k"])
+    out = lookup_join(
+        base, lookup, on=[("k", "id")], select={}, how="inner",
+        order_col=None,
+    ).collect()
+    assert [r.k for r in out] == [1]
