@@ -215,3 +215,72 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "cosine_sim")
     )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    bits_per_band: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) without an
+    all-pairs join: sign-LSH banding for candidate generation, exact
+    cosine verify within candidates only.
+
+    Each vector gets ``bands`` bucket ids (one per band of
+    ``bits_per_band`` sign bits); two vectors become a candidate pair
+    iff they share a bucket in at least one band. The self-join keys
+    on (band, bucket), so the pair space is sum-of-squares of bucket
+    sizes — ~n/2^bits_per_band expected collisions per vector for
+    unclustered data, never O(n²). Exact cosine then filters
+    candidates, so precision is 1.0; recall is the banding OR:
+    P(found) = 1-(1-p^r)^b with p = 1-angle/pi. Colinear duplicates
+    (cosine 1.0) have identical sign bits and are found with
+    probability exactly 1.
+
+    At 100 TB: two shuffles (bucket join, verify join-back on id);
+    hot buckets are AQE skew-split; raise bits_per_band to thin
+    buckets before raising bands.
+
+    Output: (id_a, id_b, cosine_sim), id_a < id_b.
+    """
+    v = spread(df, id_col).select(F.col(id_col), F.col(vec_col).alias("__v"))
+    planes = _pseudo_planes(bands * bits_per_band, dim)
+    band_structs = []
+    for b in range(bands):
+        bits = hyperplane_bits(
+            F.col("__v"), planes[b * bits_per_band : (b + 1) * bits_per_band]
+        )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bits.alias("bucket"))
+        )
+    buckets = v.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    eb = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

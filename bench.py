@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "knn_label_propagation",

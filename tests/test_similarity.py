@@ -57,3 +57,27 @@ def test_lsh_recall_on_clusters(spark):
     approx_set = {(r.query_id, r.vec_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_neardup_pairs_finds_planted_twins(spark):
+    from analyst_spark.functions.similarity import lsh_neardup_pairs
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    out = lsh_neardup_pairs(base.unionByName(twins), 0.9, dim=64)
+    rows = out.collect()
+    n_twins = twins.count()
+    # colinear twins share every sign bit -> recall exactly 1
+    assert {(r.id_a, r.id_b) for r in rows} == {
+        (r.vec_id - 10_000, r.vec_id) for r in twins.select("vec_id").collect()
+    }
+    assert all(r.cosine_sim == 1.0 for r in rows) and len(rows) == n_twins
+    # the scale contract: no all-pairs join in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
