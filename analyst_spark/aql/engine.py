@@ -134,6 +134,7 @@ class Executor:
         connections: dict[str, "callable"] | None = None,
         plugins: dict[str, "callable"] | None = None,
         lookup_order_cols: dict[str, str] | None = None,
+        tx_manager=None,
     ):
         self.spark = spark
         self.test_mode = test_mode
@@ -142,6 +143,10 @@ class Executor:
         self.connections = {k.lower(): v for k, v in (connections or {}).items()}
         self.plugins = {k.lower(): v for k, v in (plugins or {}).items()}
         self.lookup_order_cols = lookup_order_cols or {}
+        # optional JobTransactionManager: sinks stage during the run,
+        # one commit point after the last block (engine/
+        # transaction_manager.go:21-41's job-end Commit/Rollback)
+        self.tx_manager = tx_manager
 
     # -- source resolution -------------------------------------------
 
@@ -210,10 +215,16 @@ class Executor:
         try:
             for blk in order:
                 self._run_block(blk, res)
+        except Exception:
+            if self.tx_manager is not None:
+                self.tx_manager.rollback()
+            raise
         finally:
             for name, df in res.frames.items():
                 if fan_out.get(name, 0) > 1:
                     df.unpersist()
+        if self.tx_manager is not None and not self.test_mode:
+            self.tx_manager.commit()
         return res
 
     def _run_block(self, blk: Block, res: JobResult) -> None:
@@ -354,6 +365,7 @@ def execute_script(
     connections=None,
     plugins=None,
     lookup_order_cols=None,
+    tx_manager=None,
 ) -> JobResult:
     merged = dict(options or {})
     # First parse only harvests SET blocks — no template rendering yet,
@@ -367,7 +379,7 @@ def execute_script(
     blocks = parse_script(script, script_dir, merged or None)
     ex = Executor(
         spark, test_mode=False, connections=connections, plugins=plugins,
-        lookup_order_cols=lookup_order_cols,
+        lookup_order_cols=lookup_order_cols, tx_manager=tx_manager,
     )
     return ex.run(blocks, merged)
 
