@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from analyst_spark.aql.assertions import check_assertions
 from analyst_spark.aql.globals_store import GlobalStore
-from analyst_spark.aql.parser import Block, parse_script, truthy
+from analyst_spark.aql.parser import (
+    Block,
+    find_overridable_option,
+    parse_script,
+    truthy,
+)
 from analyst_spark.aql.transforms_parser import (
     build_aggregate,
     build_apply,
@@ -135,6 +140,7 @@ class Executor:
         plugins: dict[str, "callable"] | None = None,
         lookup_order_cols: dict[str, str] | None = None,
         tx_manager=None,
+        connection_options: dict[str, dict] | None = None,
     ):
         self.spark = spark
         self.test_mode = test_mode
@@ -147,6 +153,12 @@ class Executor:
         # one commit point after the last block (engine/
         # transaction_manager.go:21-41's job-end Commit/Rollback)
         self.tx_manager = tx_manager
+        # connection-level options: the middle tier of the reference's
+        # block > connection > CLI > SET precedence (parser.go:558-587)
+        self.connection_options = {
+            k.lower(): v for k, v in (connection_options or {}).items()
+        }
+        self._job_opts: dict[str, object] = {}
 
     # -- source resolution -------------------------------------------
 
@@ -184,10 +196,13 @@ class Executor:
 
     def run(self, blocks: list[Block], options: dict | None = None) -> JobResult:
         res = JobResult(globals=GlobalStore(self.spark))
+        # script SET globals override same-named CLI options
+        # (compiler.go:239-268 mergeOptions)
         opts = dict(options or {})
         for b in blocks:
             if b.kind == "set":
-                opts.setdefault(b.key, b.value)
+                opts[b.key] = b.value
+        self._job_opts = opts
         # GLOBAL blocks run sequentially before everything else
         # (compiler.go:352-366)
         for b in blocks:
@@ -324,17 +339,40 @@ class Executor:
             return fn(self.spark, blk.options)
         raise ValueError(f"unsupported source kind {ref.kind}")
 
+    def _effective_options(self, blk: Block, namespace: str) -> dict:
+        """Every option visible to one destination, resolved through
+        the reference's precedence chain — block > connection > CLI >
+        SET — trying the ``{NAMESPACE}_{OPT}`` destination-specific
+        key before the generic key at each level
+        (aql/parser.go:558-587 FindOverridableOption)."""
+        ns = (namespace or "").upper()
+        levels = (
+            blk.options,
+            self.connection_options.get((namespace or "").lower(), {}),
+            {str(k).upper(): v for k, v in self._job_opts.items()},
+        )
+        needles = set()
+        for lv in levels:
+            for k in lv:
+                key = str(k).upper()
+                if ns and key.startswith(ns + "_"):
+                    key = key[len(ns) + 1 :]
+                needles.add(key)
+        out = {}
+        for needle in needles:
+            v, ok = find_overridable_option(needle, ns, *levels)
+            if ok:
+                out[needle] = v
+        return out
+
     def _run_sinks(self, blk: Block, df: DataFrame, res: JobResult) -> None:
         for sink in blk.sinks:
             if self.test_mode:
                 devnull_sink(df)
                 continue
             if sink.kind == "console":
-                fmt = str(
-                    blk.options.get("OUTPUT_FORMAT")
-                    or blk.options.get("CONSOLE_OUTPUT_FORMAT")
-                    or "table"
-                )
+                eff = self._effective_options(blk, "CONSOLE")
+                fmt = str(eff.get("OUTPUT_FORMAT") or "table")
                 res.console.append(console_sink(df, fmt, writer=_Null()))
             elif sink.kind == "global":
                 table = str(blk.options.get("TABLE") or blk.name)
@@ -347,7 +385,7 @@ class Executor:
                     raise ValueError(
                         f"no write handler for connection {sink.name!r}"
                     )
-                fn(df, blk.options)
+                fn(df, self._effective_options(blk, sink.name))
             else:
                 raise ValueError(f"unsupported sink {sink.kind}")
 
@@ -366,6 +404,7 @@ def execute_script(
     plugins=None,
     lookup_order_cols=None,
     tx_manager=None,
+    connection_options=None,
 ) -> JobResult:
     merged = dict(options or {})
     # First parse only harvests SET blocks — no template rendering yet,
@@ -380,6 +419,7 @@ def execute_script(
     ex = Executor(
         spark, test_mode=False, connections=connections, plugins=plugins,
         lookup_order_cols=lookup_order_cols, tx_manager=tx_manager,
+        connection_options=connection_options,
     )
     return ex.run(blocks, merged)
 

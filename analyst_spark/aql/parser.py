@@ -238,12 +238,50 @@ def parse_options(body: str) -> dict[str, object]:
 
 
 def truthy(v: object) -> bool:
-    """Option truthiness (aql/parser.go:357-377)."""
+    """Option truthiness, exactly the reference's rule
+    (aql/parser.go:357-377): non-zero numbers are truthy,
+    case-insensitive 'TRUE' strings are truthy, everything else —
+    including '1', 'yes', None — is falsy."""
+    if v is None:
+        return False
     if isinstance(v, bool):
         return v
     if isinstance(v, (int, float)):
         return v != 0
-    return str(v).strip().lower() in ("true", "1", "yes", "t", "y")
+    return str(v).strip().upper() == "TRUE"
+
+
+_MISSING = object()
+
+
+def find_option(options: dict[str, object], needle: str) -> object:
+    """Case-insensitive option lookup (aql/parser.go:556-567
+    FindOption); returns _MISSING when absent."""
+    n = needle.lower()
+    for k, v in options.items():
+        if k.lower() == n:
+            return v
+    return _MISSING
+
+
+def find_overridable_option(
+    needle: str, namespace: str, *hierarchy: dict[str, object]
+) -> tuple[object, bool]:
+    """Search the option hierarchy in the order given, at each level
+    trying the destination-specific ``{NAMESPACE}_{OPT}`` key before
+    the generic key (aql/parser.go:558-587 FindOverridableOption).
+    Returns (value, found)."""
+    for opts in hierarchy:
+        if not opts:
+            continue
+        if namespace:
+            v = find_option(opts, f"{namespace}_{needle}")
+            if v is not _MISSING:
+                return v, True
+        v = find_option(opts, needle)
+        if v is not _MISSING:
+            return v, True
+    return None, False
 
 
 def _parse_source(sc: _Scanner) -> SourceRef:

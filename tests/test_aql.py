@@ -411,3 +411,95 @@ def test_question_mark_inside_string_literal_not_a_placeholder(spark):
     """
     res = execute_script(spark, script)
     assert [r.note for r in res.globals.get("out").collect()] == ["why?"]
+
+
+def test_find_overridable_option_reference_cases():
+    # ported from aql/parser_test.go TestFindOverridableOption
+    from analyst_spark.aql.parser import find_overridable_option
+
+    opts = {"asdf_O1": 1.0, "O2": 2.0}
+    opts2 = {"O1": 3.0, "O3": 4.0}
+    v, ok = find_overridable_option("O3", "", opts, opts2)
+    assert ok and v == 4.0
+    # namespaced key in the FIRST level beats the generic in the second
+    v, ok = find_overridable_option("O1", "ASDF", opts, opts2)
+    assert ok and v == 1.0
+    # generic fallback within a level
+    v, ok = find_overridable_option("O2", "ASDF", opts, opts2)
+    assert ok and v == 2.0
+    v, ok = find_overridable_option("MISSING", "ASDF", opts, opts2)
+    assert not ok and v is None
+
+
+def test_truthy_reference_cases():
+    # ported from aql/parser_test.go TestTruthy: nonzero numbers and
+    # 'true' strings only
+    from analyst_spark.aql.parser import truthy
+
+    assert truthy(1.0) and truthy(-2) and truthy("true") and truthy("TRUE")
+    assert not truthy(0) and not truthy("false")
+    assert not truthy("1") and not truthy("yes") and not truthy(None)
+
+
+def test_namespace_override_reaches_connection_sink(spark):
+    # block-level EXCELA_SHEET overrides the connection's SHEET for
+    # destination ExcelA only; destination B sees the generic value
+    from analyst_spark.aql.engine import execute_script
+
+    seen = {}
+
+    def mk_writer(name):
+        def write(df, options):
+            seen[name] = options.get("SHEET")
+        return write
+
+    script = """
+    DATA 'D' (
+        [[1]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'k', EXCELA_SHEET = 'Override')
+    INTO CONNECTION ExcelA
+    DATA 'D2' (
+        [[2]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'k')
+    INTO CONNECTION B
+    """
+    execute_script(
+        spark, script,
+        connections={"excela.write": mk_writer("ExcelA"), "b.write": mk_writer("B")},
+        connection_options={"ExcelA": {"SHEET": "ConnSheet"}, "B": {"SHEET": "BSheet"}},
+    )
+    assert seen["ExcelA"] == "Override"  # block namespaced > connection
+    assert seen["B"] == "BSheet"
+
+
+def test_option_precedence_block_conn_cli_set(spark):
+    # full chain: block > connection > job tier, where script SET
+    # overrides same-named CLI options (compiler.go:239-268)
+    from analyst_spark.aql.engine import execute_script
+
+    seen = {}
+
+    def write(df, options):
+        seen.update(options)
+
+    base = """
+    SET FromSet = 'set';
+    SET Overridden = 'set';
+    DATA 'D' (
+        [[1]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'k', BlockOpt = 'block')
+    INTO CONNECTION C
+    """
+    execute_script(
+        spark, base,
+        options={"CliOpt": "cli", "Overridden": "cli"},
+        connections={"c.write": write},
+        connection_options={"C": {"ConnOpt": "conn", "CLIOPT": "conn-shadow"}},
+    )
+    assert seen["BLOCKOPT"] == "block"
+    # connection tier beats CLI tier
+    assert seen["CLIOPT"] == "conn-shadow"
+    assert seen["CONNOPT"] == "conn"
+    # script SET overrides the same-named CLI option
+    assert seen["OVERRIDDEN"] == "set"
+    assert seen["FROMSET"] == "set"
