@@ -47,11 +47,86 @@ class JobResult:
     frames: dict[str, DataFrame] = field(default_factory=dict)
 
 
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%M", "mm"), ("%S", "ss"), ("%f", "ss.SSS"), ("%j", "DDD"),
+    ("%%", "%"),
+]
+
+# one nesting level of parens inside a function argument
+_ARG = r"[^()]*(?:\([^()]*\)[^()]*)*"
+# group_concat expr: no top-level commas (they separate the separator)
+_GC_EXPR = r"[^(),]*(?:\([^()]*\)[^(),]*)*"
+
+
+def _strftime_repl(m: "re.Match") -> str:
+    fmt, arg = m.group(1), m.group(2).strip()
+    if fmt == "%s":
+        return f"CAST(to_unix_timestamp({arg}) AS STRING)"
+    if fmt == "%w":
+        return f"CAST(dayofweek({arg}) - 1 AS STRING)"
+    out = fmt
+    for k, v in _STRFTIME_MAP:
+        out = out.replace(k, v)
+    return f"date_format(to_timestamp({arg}), '{out}')"
+
+
 def translate_sql(sql: str) -> str:
     """SQLite-dialect shim for the corpus the reference's tests use
-    (SURVEY §7.3): single-quoted column aliases → backticks; IFNULL
-    exists in Spark already; everything else passes through."""
-    return re.sub(r"(?i)\bAS\s+'([^']*)'", lambda m: f"AS `{m.group(1)}`", sql)
+    (SURVEY §7.3). Spark already speaks most of it natively —
+    ``IFNULL``, ``||`` concat, ``CAST``, double-quoted strings — so
+    the rewrites are only what Spark genuinely lacks:
+
+    * single-quoted column aliases → backticks
+    * ``strftime(fmt, x)`` → ``date_format`` with the pattern
+      converted (``%s``/``%w`` get arithmetic forms)
+    * ``datetime(x)`` / ``time(x)`` → formatted timestamp strings
+      (SQLite returns text; ``date(x)`` is valid Spark already)
+    * ``julianday(x)`` → unix-epoch arithmetic
+    * ``GROUP_CONCAT([DISTINCT] x[, sep])`` →
+      ``array_join(collect_list|collect_set(x), sep)``
+    """
+    sql = re.sub(r"(?i)\bAS\s+'([^']*)'", lambda m: f"AS `{m.group(1)}`", sql)
+    sql = re.sub(
+        r"(?i)\bstrftime\s*\(\s*'([^']*)'\s*,\s*(" + _ARG + r")\)",
+        _strftime_repl,
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bdatetime\s*\(\s*(" + _ARG + r")\)",
+        lambda m: (
+            "date_format(to_timestamp("
+            + m.group(1).strip()
+            + "), 'yyyy-MM-dd HH:mm:ss')"
+        ),
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\btime\s*\(\s*(" + _ARG + r")\)",
+        lambda m: "date_format(to_timestamp(" + m.group(1).strip() + "), 'HH:mm:ss')",
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bjulianday\s*\(\s*(" + _ARG + r")\)",
+        lambda m: (
+            "(to_unix_timestamp(" + m.group(1).strip() + ") / 86400.0 + 2440587.5)"
+        ),
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bgroup_concat\s*\(\s*(DISTINCT\s+)?(" + _GC_EXPR + r")"
+        r"(?:,\s*'([^']*)')?\s*\)",
+        lambda m: (
+            "array_join("
+            + ("collect_set(" if m.group(1) else "collect_list(")
+            + m.group(2).strip()
+            + "), '"
+            + (m.group(3) if m.group(3) is not None else ",")
+            + "')"
+        ),
+        sql,
+    )
+    return sql
 
 
 def _topo_order(blocks: list[Block]) -> list[Block]:

@@ -503,3 +503,68 @@ def test_option_precedence_block_conn_cli_set(spark):
     # script SET overrides the same-named CLI option
     assert seen["OVERRIDDEN"] == "set"
     assert seen["FROMSET"] == "set"
+
+
+def test_translate_sql_sqlite_isms():
+    from analyst_spark.aql.engine import translate_sql
+
+    assert translate_sql("SELECT 1 AS 'Id'") == "SELECT 1 AS `Id`"
+    assert (
+        translate_sql("SELECT strftime('%Y-%m-%d', t) FROM x")
+        == "SELECT date_format(to_timestamp(t), 'yyyy-MM-dd') FROM x"
+    )
+    assert (
+        translate_sql("SELECT strftime('%s', t) FROM x")
+        == "SELECT CAST(to_unix_timestamp(t) AS STRING) FROM x"
+    )
+    assert (
+        translate_sql("SELECT datetime('2017-01-01T12:00:00Z') AS d")
+        == "SELECT date_format(to_timestamp('2017-01-01T12:00:00Z'), "
+           "'yyyy-MM-dd HH:mm:ss') AS d"
+    )
+    assert (
+        translate_sql("SELECT julianday(t) - julianday(s) FROM x")
+        == "SELECT (to_unix_timestamp(t) / 86400.0 + 2440587.5) - "
+           "(to_unix_timestamp(s) / 86400.0 + 2440587.5) FROM x"
+    )
+    assert (
+        translate_sql("SELECT group_concat(name) FROM x")
+        == "SELECT array_join(collect_list(name), ',') FROM x"
+    )
+    assert (
+        translate_sql("SELECT group_concat(DISTINCT name, '; ') FROM x")
+        == "SELECT array_join(collect_set(name), '; ') FROM x"
+    )
+    # things Spark speaks natively pass through untouched
+    for native in (
+        "SELECT IFNULL(a, 0), b || c FROM x",
+        "SELECT date(t) FROM x",
+        "SELECT CAST(a AS INTEGER) FROM x",
+    ):
+        assert translate_sql(native) == native
+
+
+def test_sqlite_dialect_queries_run_on_spark(spark):
+    # the dialect corpus end-to-end: a GLOBAL table queried with
+    # SQLite-isms produces the SQLite answers
+    script = """
+    GLOBAL 'T' (
+        CREATE TABLE ev ( name text, t text );
+        INSERT INTO ev (name, t) VALUES
+          ('a', '2017-12-01T11:59:00Z'),
+          ('b', '2017-12-01T12:13:01Z'),
+          ('a', '2017-12-02T09:00:00Z');
+    )
+    QUERY 'Q' FROM GLOBAL (
+        SELECT strftime('%Y-%m-%d', t) AS 'Day',
+               group_concat(name, '+') AS 'Names',
+               IFNULL(NULL, 'x') || '!' AS 'Concat'
+        FROM ev GROUP BY strftime('%Y-%m-%d', t) ORDER BY Day
+    ) INTO GLOBAL WITH (Table = 'Out')
+    """
+    res = execute_script(spark, script)
+    rows = [(r.Day, r.Names, r.Concat) for r in res.globals.get("out").collect()]
+    assert rows == [
+        ("2017-12-01", "a+b", "x!"),
+        ("2017-12-02", "a", "x!"),
+    ]
