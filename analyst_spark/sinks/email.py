@@ -54,12 +54,30 @@ def render_messages(
     return [{"subject": subject, "content": rows}]
 
 
+def render_template(template: str, content) -> str:
+    """Local stand-in for Mandrill's template rendering
+    (MessagesSendTemplate, mandrill_destination.go:73, :87): merge
+    vars appear as ``{{ name }}``. A list of rows renders the
+    template once per row, newline-joined."""
+    rows = content if isinstance(content, list) else [content]
+    out = []
+    for row in rows:
+        body = template
+        for k, v in row.items():
+            body = re.sub(
+                r"\{\{\s*" + re.escape(str(k)) + r"\s*\}\}", str(v), body
+            )
+        out.append(body)
+    return "\n".join(out)
+
+
 def email_sink(
     df: DataFrame,
     recipients: str,
     sender: str,
     subject: str = "",
     split: bool = False,
+    template: str = "",
     send_fn: Callable[[dict], None] | None = None,
 ) -> int:
     """Validate, render, send. Returns the number of messages sent."""
@@ -68,12 +86,84 @@ def email_sink(
     messages = render_messages(df, subject, split=split)
     if send_fn is None:
         raise NotImplementedError(
-            "no email transport configured in this environment; pass "
-            "send_fn (e.g. an SMTP or HTTP-API callable) to deliver "
+            "no email transport configured; pass send_fn (e.g. "
+            "smtp_transport(...)) to deliver "
             f"{len(messages)} rendered message(s)"
         )
     for msg in messages:
         msg["to"] = to
         msg["from"] = frm
+        if template:
+            msg["body"] = render_template(template, msg["content"])
         send_fn(msg)
     return len(messages)
+
+
+def smtp_transport(
+    host: str,
+    port: int = 25,
+    username: str | None = None,
+    password: str | None = None,
+    use_tls: bool = False,
+    smtp_factory=None,
+) -> Callable[[dict], None]:
+    """A real send_fn over stdlib smtplib (lazily imported; no mail
+    service is assumed in CI — inject ``smtp_factory`` to test).
+
+    The message body is the template rendering when TEMPLATE was
+    given, else the JSON of the rendered content."""
+
+    def send(msg: dict) -> None:
+        import json
+
+        if smtp_factory is not None:
+            client = smtp_factory(host, port)
+        else:  # pragma: no cover - needs a live SMTP server
+            import smtplib
+
+            client = smtplib.SMTP(host, port)
+        try:
+            if use_tls:
+                client.starttls()
+            if username:
+                client.login(username, password or "")
+            body = msg.get("body") or json.dumps(msg["content"], default=str)
+            frm_name, frm_addr = msg["from"]
+            payload = (
+                f"From: {frm_name} <{frm_addr}>\r\n"
+                + "To: "
+                + ", ".join(f"{n} <{e}>" for n, e in msg["to"])
+                + "\r\n"
+                + f"Subject: {msg.get('subject', '')}\r\n\r\n"
+                + body
+            )
+            client.sendmail(
+                frm_addr, [e for _n, e in msg["to"]], payload.encode()
+            )
+        finally:
+            client.quit()
+
+    return send
+
+
+def email_write_handler(
+    send_fn: Callable[[dict], None] | None = None,
+) -> Callable:
+    """AQL connection write handler: INTO CONNECTION Mail with
+    WITH (RECIPIENTS=..., SENDER=..., SUBJECT=..., SPLIT=...,
+    TEMPLATE=...) — option names per the reference's aql tags
+    (mandrill_destination.go:19-29)."""
+    from analyst_spark.aql.parser import truthy
+
+    def write(df: DataFrame, options) -> None:
+        email_sink(
+            df,
+            recipients=str(options.get("RECIPIENTS", "")),
+            sender=str(options.get("SENDER", "")),
+            subject=str(options.get("SUBJECT", "")),
+            split=truthy(options.get("SPLIT")),
+            template=str(options.get("TEMPLATE", "")),
+            send_fn=send_fn,
+        )
+
+    return write
