@@ -17,6 +17,8 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -217,13 +219,59 @@ def lsh_bucket_topk(
     )
 
 
+def band_signature_udf(bands: int, bits_per_band: int, dim: int):
+    """Arrow-batched signature computation: all ``bands`` sign-LSH
+    bucket ids for a vector in ONE vectorized pass.
+
+    The pure-Catalyst formulation (``hyperplane_bits`` × 128 planes)
+    builds an expression tree of 128 interpreted higher-order-function
+    dot products per row — at 16 bands × 8 bits the plan *compiles*
+    for tens of seconds before touching data. Here numpy does the
+    same arithmetic per Arrow batch; per-row cost is a (dim × planes)
+    fused multiply-add, embarrassingly parallel, no shuffle.
+
+    Determinism contract: the accumulation loops over coordinates in
+    index order, so each dot product is the exact left-to-right
+    sequential FP sum the Catalyst/oracle ``aggregate`` expression
+    computes. A colinear twin (all coordinates scaled by 2.0 — an
+    exact FP exponent shift) therefore has bit-identical partial sums
+    scaled by 2 and provably identical sign bits, independent of
+    Arrow batch boundaries or BLAS kernel scheduling.
+
+    Returns a pandas UDF: array<float> column -> array<long> of
+    ``bands`` bucket ids (band i at position i).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.asarray(
+        _pseudo_planes(bands * bits_per_band, dim), dtype=np.float64
+    )  # (bands*r, dim)
+    r = bits_per_band
+    weights = 1 << np.arange(r, dtype=np.int64)  # bit i -> 2**i, as hyperplane_bits
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in col])
+        acc = np.zeros((mat.shape[0], planes.shape[0]), dtype=np.float64)
+        for k in range(mat.shape[1]):  # fixed coordinate order — see contract above
+            acc += mat[:, k : k + 1] * planes[:, k]
+        bits = (acc >= 0.0).reshape(mat.shape[0], bands, r)
+        buckets = (bits.astype(np.int64) * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return sig
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 16,
-    bits_per_band: int = 8,
+    bands: int = 32,
+    bits_per_band: int = 12,
     dim: int = 64,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -238,29 +286,30 @@ def lsh_neardup_pairs(
     sizes — ~n/2^bits_per_band expected collisions per vector for
     unclustered data, never O(n²). Exact cosine then filters
     candidates, so precision is 1.0; recall is the banding OR:
-    P(found) = 1-(1-p^r)^b with p = 1-angle/pi. Colinear duplicates
-    (cosine 1.0) have identical sign bits and are found with
-    probability exactly 1.
+    P(found) = 1-(1-p^r)^b with p = 1-angle/pi. At the defaults
+    (b=32, r=12) recall is 0.996 at cosine exactly 0.9 and rises
+    toward 1 above it; colinear duplicates (cosine 1.0) have
+    identical sign bits and are found with probability exactly 1.
+    r=12 keeps expected bucket occupancy n/4096 so the candidate set
+    stays ~b·n²/2^r(+2) — thin buckets are what holds at 100 TB;
+    raise ``bits_per_band`` further before raising ``bands``.
+
+    Each vector's norm is computed once (O(n·dim)) and joined to the
+    candidate pairs; only the dot product (O(candidates·dim)) runs
+    per pair. The quotient dot/(norm_a·norm_b) performs the same FP
+    operations in the same order as the single-expression cosine, so
+    oracle parity is preserved.
 
     At 100 TB: two shuffles (bucket join, verify join-back on id);
-    hot buckets are AQE skew-split; raise bits_per_band to thin
-    buckets before raising bands.
+    hot buckets are AQE skew-split.
 
     Output: (id_a, id_b, cosine_sim), id_a < id_b.
     """
     v = spread(df, id_col).select(F.col(id_col), F.col(vec_col).alias("__v"))
-    planes = _pseudo_planes(bands * bits_per_band, dim)
-    band_structs = []
-    for b in range(bands):
-        bits = hyperplane_bits(
-            F.col("__v"), planes[b * bits_per_band : (b + 1) * bits_per_band]
-        )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bits.alias("bucket"))
-        )
+    sig = band_signature_udf(bands, bits_per_band, dim)
     buckets = v.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+        F.col(id_col), F.posexplode(sig(F.col("__v"))).alias("band", "bucket")
+    )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -275,9 +324,17 @@ def lsh_neardup_pairs(
         )
         .distinct()
     )
-    ea = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    eb = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+    vn = v.select(F.col(id_col), F.col("__v"), _norm(F.col("__v")).alias("__n"))
+    ea = vn.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    eb = vn.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    sim = F.round(
+        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        round_digits,
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
