@@ -499,6 +499,47 @@ def execute_script(
     return ex.run(blocks, merged)
 
 
+def validate_script(
+    script: str,
+    options: dict | None = None,
+    script_dir: str = ".",
+) -> int:
+    """Compile-only validation — the ``analyst validate`` /
+    websocket COMPILE analog (compiler.go:317-326 ValidateString,
+    which runs the compiler with compileOnly=true: parse, build the
+    DAG, resolve references, execute nothing).
+
+    Checks, Spark-free: grammar + includes + templating (via
+    parse_script), SET/CLI option merge, FROM BLOCK / AFTER
+    references resolve to declared blocks, and the job graph is
+    acyclic. Returns the number of blocks; raises ValueError on any
+    compile error.
+    """
+    merged = dict(options or {})
+    blocks = parse_script(script, script_dir, None)
+    for b in blocks:
+        if b.kind == "set":
+            merged[b.key] = b.value
+    blocks = parse_script(script, script_dir, merged or None)
+    executable = [
+        b for b in blocks if b.kind in ("query", "exec", "data", "transform", "test")
+    ]
+    named = {b.name.lower() for b in executable if b.name}
+    for b in executable:
+        for ref in b.sources:
+            if ref.kind == "block" and ref.name and ref.name.lower() not in named:
+                raise ValueError(
+                    f"block {b.name!r} references undeclared block {ref.name!r}"
+                )
+        for name in b.after:
+            if name.lower() not in named:
+                raise ValueError(
+                    f"block {b.name!r} AFTER references undeclared block {name!r}"
+                )
+    _topo_order(executable)
+    return len(blocks)
+
+
 def test_script(
     spark: SparkSession,
     script: str,

@@ -1,0 +1,199 @@
+"""HTTP API server tests (http/main.go, task_handler.go).
+
+Route logic is exercised socket-free through AnalystServer.handle;
+one test drives the real ThreadingHTTPServer end to end. Scheduler
+time is driven by a fake clock so ticks are deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from datetime import datetime, timedelta
+
+import pytest
+
+from analyst_spark.server import AnalystServer, serve
+
+
+class FakeClock:
+    def __init__(self, start: datetime):
+        self.t = start
+
+    def __call__(self) -> datetime:
+        return self.t
+
+    def advance(self, **kw):
+        self.t += timedelta(**kw)
+
+
+def echo_runner(script: str, params: dict) -> list[str]:
+    if "BOOM" in script:
+        raise RuntimeError("exploded")
+    return [f"ran: {script.strip()[:20]}", f"params: {sorted(params)}"]
+
+
+@pytest.fixture()
+def srv(tmp_path):
+    clock = FakeClock(datetime(2026, 1, 1, 0, 0, 0))
+    s = AnalystServer(
+        script_runner=echo_runner,
+        db_path=str(tmp_path / "analyst.db"),
+        clock=clock,
+        task_runner=lambda task, args: f"task {task.name} ok",
+    )
+    return s, clock
+
+
+def test_task_crud_roundtrip(srv):
+    s, clock = srv
+    status, t = s.handle("POST", "/tasks", {"name": "nightly", "schedule": "0 0 3 * * *"})
+    assert status == 201 and t["id"] == 1 and t["enabled"]
+    assert t["next_run"] == "2026-01-01T03:00:00"
+
+    status, listing = s.handle("GET", "/tasks")
+    assert status == 200 and [x["name"] for x in listing] == ["nightly"]
+
+    status, t = s.handle("PUT", "/tasks/1", {"schedule": "0 0 5 * * *"})
+    assert status == 200 and t["next_run"] == "2026-01-01T05:00:00"
+
+    status, t = s.handle("PUT", "/tasks/1/disable", {})
+    assert status == 200 and not t["enabled"]
+    status, t = s.handle("PUT", "/tasks/1/enable", {})
+    assert status == 200 and t["enabled"]
+
+    status, out = s.handle("DELETE", "/tasks/1")
+    assert status == 200 and out["deleted"] == 1
+    status, _ = s.handle("GET", "/tasks/1/invocations")
+    assert status == 404
+
+
+def test_create_task_validates_schedule_and_fields(srv):
+    s, _ = srv
+    status, err = s.handle("POST", "/tasks", {"name": "x"})
+    assert status == 400 and "schedule" in err["error"]
+    status, err = s.handle("POST", "/tasks", {"name": "x", "schedule": "not a cron"})
+    assert status == 400
+
+
+def test_tick_runs_due_tasks_and_records_invocations(srv):
+    s, clock = srv
+    s.handle("POST", "/tasks", {"name": "hourly", "schedule": "0 0 * * * *"})
+    s.tick()
+    assert s.handle("GET", "/invocations")[1] == []  # not due yet
+    # next_run == now does NOT run (the reference's catch-up loop is
+    # strictly Before(now), scheduler.go:144) — advance past it
+    clock.advance(hours=1, seconds=1)
+    examined = s.tick()
+    assert [t.name for t in examined] == ["hourly"]
+
+    status, invs = s.handle("GET", "/tasks/1/invocations")
+    assert status == 200 and len(invs) == 1
+    assert invs[0]["success"] and invs[0]["log"] == "task hourly ok"
+    assert invs[0]["scheduled_to_start_at"] == "2026-01-01T01:00:00"
+
+    status, last = s.handle("GET", "/tasks/1/last-invocation")
+    assert status == 200 and last["id"] == invs[0]["id"]
+
+    status, all_invs = s.handle("GET", "/invocations")
+    assert status == 200 and len(all_invs) == 1
+
+
+def test_restart_recovers_tasks_and_invocations(tmp_path):
+    db = str(tmp_path / "analyst.db")
+    clock = FakeClock(datetime(2026, 1, 1))
+    s1 = AnalystServer(script_runner=echo_runner, db_path=db, clock=clock,
+                       task_runner=lambda t, a: "ok")
+    s1.handle("POST", "/tasks", {"name": "j", "schedule": "0 0 * * * *", "coalesce": True})
+    clock.advance(hours=1, seconds=1)
+    s1.tick()
+    s1.db.close()
+
+    # downtime: 3 missed activations; coalesced task collapses them
+    clock.advance(hours=3)
+    s2 = AnalystServer(script_runner=echo_runner, db_path=db, clock=clock,
+                       task_runner=lambda t, a: "ok")
+    status, tasks = s2.handle("GET", "/tasks")
+    assert status == 200 and tasks[0]["name"] == "j"
+    status, invs = s2.handle("GET", "/invocations")
+    assert len(invs) == 1  # history survived
+    # repair() recomputed next_run from the last invocation; the
+    # coalesced catch-up runs once, not three times
+    s2.tick()
+    status, invs = s2.handle("GET", "/invocations")
+    assert len(invs) == 2
+
+
+def test_run_and_compile_endpoints(srv):
+    s, _ = srv
+    status, out = s.handle("POST", "/run", {"script": "DATA 'x' (...)"})
+    assert status == 200 and out["success"] and out["output"][0].startswith("ran:")
+
+    status, out = s.handle("POST", "/run", {"script": "BOOM"})
+    assert status == 200 and not out["success"] and "exploded" in out["error"]
+
+    good = """
+    QUERY 'a' FROM GLOBAL (SELECT 1 AS x);
+    TRANSFORM 'b' FROM BLOCK a (AGGREGATE x, COUNT(1) AS n GROUP BY x)
+    """
+    status, out = s.handle("POST", "/compile", {"script": good})
+    assert status == 200 and out["success"] and out["blocks"] == 2
+
+    bad_ref = "TRANSFORM 'b' FROM BLOCK missing (AGGREGATE x, COUNT(1) AS n GROUP BY x)"
+    status, out = s.handle("POST", "/compile", {"script": bad_ref})
+    assert status == 200 and not out["success"] and "undeclared block" in out["error"]
+
+    status, out = s.handle("POST", "/compile", {"script": "NOT AQL AT ALL ("})
+    assert status == 200 and not out["success"]
+
+
+def test_compile_detects_cycles(srv):
+    s, _ = srv
+    cyc = """
+    TRANSFORM 'a' FROM BLOCK b (AGGREGATE x, COUNT(1) AS n GROUP BY x);
+    TRANSFORM 'b' FROM BLOCK a (AGGREGATE x, COUNT(1) AS n GROUP BY x)
+    """
+    status, out = s.handle("POST", "/compile", {"script": cyc})
+    assert status == 200 and not out["success"] and "cycle" in out["error"]
+
+
+def test_unknown_routes_404(srv):
+    s, _ = srv
+    assert s.handle("GET", "/nope")[0] == 404
+    assert s.handle("PUT", "/tasks/99/enable", {})[0] == 404
+    assert s.handle("GET", "/tasks/1/last-invocation")[0] == 404
+
+
+def test_live_http_server_end_to_end(srv):
+    s, clock = srv
+    httpd = serve(s, port=0, tick_interval=3600)  # port 0 = ephemeral
+    port = httpd.server_address[1]
+    import threading
+
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def call(method, path, body=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                method=method,
+                data=json.dumps(body).encode() if body is not None else None,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        status, task = call("POST", "/tasks", {"name": "t", "schedule": "@every 1h"})
+        assert status == 201 and task["id"] == 1
+        status, tasks = call("GET", "/tasks")
+        assert status == 200 and len(tasks) == 1
+        status, out = call("POST", "/run", {"script": "anything"})
+        assert status == 200 and out["success"]
+        status, out = call("GET", "/bogus")
+        assert status == 404
+    finally:
+        httpd._analyst_stop.set()
+        httpd.shutdown()

@@ -37,10 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     params = json.loads(args.params)
 
     if args.mode == "validate":
-        from analyst_spark.aql.parser import parse_script
+        from analyst_spark.aql.engine import validate_script
 
-        blocks = parse_script(text, script_dir, params or None)
-        print(f"OK: {len(blocks)} blocks")
+        n = validate_script(text, params or None, script_dir)
+        print(f"OK: {n} blocks")
         return 0
 
     from analyst_spark.aql.engine import execute_script, test_script
