@@ -17,6 +17,7 @@ from analyst_spark.plans import analytics_plans as an
 from analyst_spark.plans import aql_plans as aq
 from analyst_spark.plans import events_plans as ev
 from analyst_spark.plans import multimodal_plans as mm
+from analyst_spark.plans import pipeline_plans as pp
 from analyst_spark.plans import reference_ops as ro
 from analyst_spark.plans import streaming_plans as st
 from analyst_spark.plans import text_plans as tp
@@ -105,6 +106,10 @@ _register("text_quality", tp.text_quality, tp.TEXT_QUALITY_ORACLE)
 _register("text_langid", tp.text_langid, tp.TEXT_LANGID_ORACLE)
 _register("doc_fingerprints", tp.doc_fingerprints, tp.DOC_FINGERPRINTS_ORACLE)
 _register("corpus_prep_pipeline", tp.corpus_prep_pipeline, tp.CORPUS_PREP_ORACLE)
+_register("contamination_ngram", pp.contamination_ngram, pp.CONTAMINATION_ORACLE)
+_register("text_pii_scan", pp.text_pii_scan, pp.TEXT_PII_ORACLE)
+_register("text_repetition", pp.text_repetition, pp.TEXT_REPETITION_ORACLE)
+_register("text_top_tokens", pp.text_top_tokens, pp.TEXT_TOP_TOKENS_ORACLE)
 
 # --- deduplication ---------------------------------------------------
 _register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)

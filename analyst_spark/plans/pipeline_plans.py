@@ -1,0 +1,299 @@
+"""Training-data curation plans beyond the reference surface:
+benchmark contamination, PII scan/scrub, intra-document repetition,
+and vocabulary building. Companions to text_plans.py — same oracle
+conventions (parameters shared between the Spark plan and the
+generated DuckDB SQL so they cannot drift).
+
+The synthetic documents are clean word-salad, so the PII entry plants
+deterministic PII (emails/phones keyed off doc_id) on BOTH sides —
+the detector must recover exactly the planted set, the same
+plant-and-recover pattern dedup_embedding uses for its twins.
+
+Scale notes per function; common to all: one pass over documents,
+tokenization and n-gram construction are built-in column expressions
+(split/slice/transform — JVM-side, no Python), aggregations get
+map-side partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from analyst_spark.tables import load_tables, spread
+
+# ------------------------------------------------- shared expressions
+
+_NGRAM_N = 8          # contamination shingle width
+_BENCH_MOD = 97       # doc_id % _BENCH_MOD == 0 → benchmark member
+_REP_N = 3            # repetition shingle width
+_TOP_K = 5            # vocabulary depth per language
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_PHONE_RE = r"555-[0-9]{4}"
+_PII_RE = f"({_EMAIL_RE}|{_PHONE_RE})"
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams of a token array as space-joined strings;
+    empty when the document is shorter than n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _duck_ngrams(n: int) -> str:
+    """DuckDB twin of _ngrams: 1-based inclusive list slicing,
+    range(1, len-n+2) = positions 1..len-n+1."""
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(1, len(t) - {n - 2}), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# ------------------------------------------- benchmark contamination
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag documents whose 8-gram
+    overlap with a benchmark set is >= 50% of their own 8-grams.
+
+    The benchmark is the documents with doc_id % 97 == 0 (standing in
+    for an eval set like GSM8K/MMLU prompts); every other document is
+    scored by how many of its 8-gram occurrences appear in the
+    benchmark's distinct 8-gram set. Benchmark members self-flag at
+    ratio 1.0; documents sharing long phrase runs with a benchmark
+    member (the synthetic corpus plants such near-copies) flag when
+    they cross the threshold — both engines compute the same exact
+    integer counts, so the oracle comparison is exact.
+
+    At 100 TB: benchmark n-grams are small by definition (an eval
+    suite, not the corpus) → broadcast; the corpus side is one scan +
+    explode (factor ≈ tokens/doc) + one hash aggregation keyed on
+    doc_id. No corpus-sized shuffle joins.
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).select("doc_id", _ngrams(F.col("t"), _NGRAM_N).alias("gs"))
+
+    bench = (
+        toks.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    exploded = toks.select("doc_id", F.size("gs").alias("n_ngrams"),
+                           F.explode("gs").alias("g"))
+    scored = (
+        exploded.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        scored.withColumn(
+            "overlap_ratio",
+            F.round(F.col("n_matched") / F.col("n_ngrams"), 6),
+        )
+        .filter(F.col("overlap_ratio") >= 0.5)
+        .select("doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                F.col("n_matched").cast("long").alias("n_matched"),
+                "overlap_ratio")
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), ng AS (
+    SELECT doc_id, {_duck_ngrams(_NGRAM_N)} AS gs FROM toks
+), bench AS (
+    SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % {_BENCH_MOD} = 0
+), exploded AS (
+    SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM ng
+), scored AS (
+    SELECT e.doc_id, e.n_ngrams, count(*) AS n_matched
+    FROM exploded e JOIN bench b ON e.g = b.g
+    GROUP BY e.doc_id, e.n_ngrams
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       round(n_matched / CAST(n_ngrams AS DOUBLE), 6) AS overlap_ratio
+FROM scored
+WHERE round(n_matched / CAST(n_ngrams AS DOUBLE), 6) >= 0.5
+"""
+
+
+# --------------------------------------------------- PII scan / scrub
+
+def _planted_text() -> Column:
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.format_string(" contact user%d@example.com", F.col("doc_id")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        ).otherwise(""),
+    )
+
+
+_DUCK_PLANTED = """text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+            ELSE '' END"""
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + scrub accounting, rolled up per source: how many
+    documents carry emails / phone numbers, total occurrences, and
+    how many characters scrubbing removes.
+
+    Detection is regex column expressions (regexp_count /
+    regexp_replace — JVM, codegen'd); patterns are shared string
+    constants with the oracle. At 100 TB this is a pure map + one
+    small aggregation by source: no joins, no Python, scales with
+    scan bandwidth. A real deployment swaps the planted-PII column
+    for the raw text and adds patterns; the plan shape is unchanged.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(_planted_text(), F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(_planted_text(), F.lit(_PHONE_RE)).alias("n_phone"),
+        (
+            F.length(_planted_text())
+            - F.length(F.regexp_replace(_planted_text(), _PII_RE, ""))
+        ).alias("removed_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("long")).alias("docs_with_email"),
+        F.sum("n_email").cast("long").alias("total_emails"),
+        F.sum((F.col("n_phone") > 0).cast("long")).alias("docs_with_phone"),
+        F.sum("n_phone").cast("long").alias("total_phones"),
+        F.sum("removed_chars").cast("long").alias("total_removed_chars"),
+    )
+
+
+TEXT_PII_ORACLE = f"""
+WITH planted AS (
+    SELECT source, {_DUCK_PLANTED} AS p FROM documents
+), per_doc AS (
+    SELECT source,
+           len(regexp_extract_all(p, '{_EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(p, '{_PHONE_RE}')) AS n_phone,
+           length(p) - length(regexp_replace(p, '{_PII_RE}', '', 'g')) AS removed_chars
+    FROM planted
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(n_email) AS BIGINT) AS total_emails,
+       CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(sum(n_phone) AS BIGINT) AS total_phones,
+       CAST(sum(removed_chars) AS BIGINT) AS total_removed_chars
+FROM per_doc
+GROUP BY source
+"""
+
+
+# ------------------------------------------------- repetition stats
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of word 3-gram occurrences that are repeats of an
+    earlier 3-gram in the same document, plus 2-gram counterparts.
+
+    Everything is per-row array arithmetic (size vs array_distinct
+    size — exact integers, so the derived ratio is bit-identical
+    across engines). At 100 TB: map-only over the corpus scan, no
+    shuffle at all; the downstream filter (drop documents above a
+    repetition threshold) composes as a predicate on this output.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = F.split(F.col("text"), " ")
+    g3, g2 = _ngrams(t, _REP_N), _ngrams(t, 2)
+    return docs.select(
+        "doc_id",
+        F.size(g3).cast("long").alias("n_gram3"),
+        (F.size(g3) - F.size(F.array_distinct(g3))).cast("long").alias("n_dup3"),
+        F.round(
+            (F.size(g3) - F.size(F.array_distinct(g3)))
+            / F.greatest(F.size(g3), F.lit(1)),
+            6,
+        ).alias("dup3_ratio"),
+        (F.size(g2) - F.size(F.array_distinct(g2))).cast("long").alias("n_dup2"),
+    )
+
+
+TEXT_REPETITION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), ng AS (
+    SELECT doc_id,
+           {_duck_ngrams(_REP_N)} AS g3,
+           {_duck_ngrams(2)} AS g2
+    FROM toks
+)
+SELECT doc_id,
+       CAST(len(g3) AS BIGINT) AS n_gram3,
+       CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS n_dup3,
+       round((len(g3) - len(list_distinct(g3)))
+             / CAST(greatest(len(g3), 1) AS DOUBLE), 6) AS dup3_ratio,
+       CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS n_dup2
+FROM ng
+"""
+
+
+# -------------------------------------------------- vocabulary build
+
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-5 tokens per language by occurrence
+    count, ties broken by token ascending (deterministic).
+
+    At 100 TB: explode + hash-aggregate on (lang, token) gets
+    map-side partial combine, so the shuffle carries one row per
+    distinct (lang, token) — vocabulary-sized, not corpus-sized; the
+    rank window then runs per language over vocabulary-sized groups.
+    The classic first step of tokenizer training.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("lang", "token", "cnt", "rnk")
+    )
+
+
+TEXT_TOP_TOKENS_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY lang, token
+)
+SELECT lang, token, cnt,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
+FROM counts
+QUALIFY rnk <= {_TOP_K}
+"""

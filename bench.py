@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "events_user_sessions",
     "text_quality",
     "text_langid",
+    "contamination_ngram",
+    "text_top_tokens",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

@@ -1,0 +1,103 @@
+"""Training-data curation plans: contamination, PII, repetition,
+vocabulary. Semantics asserted at sf0.001; oracle parity is covered
+by the verify gate (tools/verify_local.py)."""
+
+import contextlib
+import io
+
+from analyst_spark.plans.pipeline_plans import (
+    _BENCH_MOD,
+    contamination_ngram,
+    text_pii_scan,
+    text_repetition,
+    text_top_tokens,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_contamination_flags_benchmark_members_and_only_high_overlap(spark):
+    rows = contamination_ngram(spark, SF).collect()
+    flagged = {r.doc_id: r for r in rows}
+    # every benchmark member long enough to have 8-grams self-flags at 1.0
+    from analyst_spark.tables import load_tables
+
+    bench_ids = [
+        r.doc_id
+        for r in load_tables(spark, SF)["documents"].select("doc_id").collect()
+        if r.doc_id % _BENCH_MOD == 0
+    ]
+    for did in bench_ids:
+        assert did in flagged and flagged[did].overlap_ratio == 1.0
+    # anything else flagged genuinely crossed the threshold (the
+    # synthetic docs share phrase chunks, so near-copies can flag too)
+    for r in rows:
+        assert r.overlap_ratio >= 0.5
+        assert 0 < r.n_matched <= r.n_ngrams
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    plan = _plan(contamination_ngram(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scan_counts_the_planted_set(spark):
+    rows = text_pii_scan(spark, SF).collect()
+    total = {c: sum(getattr(r, c) for r in rows)
+             for c in ("n_docs", "docs_with_email", "total_emails",
+                       "docs_with_phone", "total_phones", "total_removed_chars")}
+    n = total["n_docs"]
+    # plant density: one email per doc_id%7==0, one phone per doc_id%11==0
+    assert total["total_emails"] == total["docs_with_email"] == (n + 6) // 7
+    assert total["total_phones"] == total["docs_with_phone"] == (n + 10) // 11
+    # every planted email is 'user<id>@example.com' (>= 17 chars), each
+    # phone is 8 chars — removal accounting must cover all of them
+    assert total["total_removed_chars"] >= 17 * total["total_emails"] + 8 * total["total_phones"]
+
+
+def test_pii_scan_is_map_side_only(spark):
+    plan = _plan(text_pii_scan(spark, SF))
+    assert "Join" not in plan  # pure scan + aggregate
+    # exactly one shuffle: the final group-by-source ("formatted"
+    # prints each node twice — tree and details)
+    assert plan.count(") Exchange") == 1
+
+
+def test_repetition_ratios_are_consistent(spark):
+    rows = text_repetition(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_dup3 <= r.n_gram3
+        assert abs(r.dup3_ratio - r.n_dup3 / max(r.n_gram3, 1)) < 1e-6
+    # word salad over a small vocabulary: some doc repeats a 2-gram
+    assert any(r.n_dup2 > 0 for r in rows)
+
+
+def test_repetition_has_no_shuffle(spark):
+    plan = _plan(text_repetition(spark, SF))
+    assert "Exchange" not in plan  # map-only over the scan
+
+
+def test_top_tokens_shape_and_determinism(spark):
+    rows = text_top_tokens(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == list(
+            range(1, len(rs) + 1)
+        )
+        assert len(rs) <= 5
+        # ranks follow (count desc, token asc)
+        rs = sorted(rs, key=lambda r: r.rnk)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.cnt, b.token) >= (b.cnt, a.token) or a.cnt > b.cnt
+    assert text_top_tokens(spark, SF).collect() == rows  # stable rerun
