@@ -133,3 +133,5 @@ _register("multimodal_audio_features", mm.multimodal_audio_features, mm.MULTIMOD
 
 # --- structured streaming (real readStream → memory sink run) -------
 _register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HOURLY_ORACLE)
+_register("streaming_sessionize", st.streaming_sessionize, st.STREAMING_SESSIONIZE_ORACLE)
+_register("streaming_dedup", st.streaming_dedup, st.STREAMING_DEDUP_ORACLE)

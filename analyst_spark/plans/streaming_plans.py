@@ -58,3 +58,151 @@ SELECT date_trunc('hour', ts)  AS hour,
 FROM events
 GROUP BY 1, 2
 """
+
+
+_SESS_SINK = "streaming_sessionize_gate"
+_DEDUP_SINK = "streaming_dedup_gate"
+
+
+def _stage_events_parquet(spark: SparkSession, sf_dir: str, df=None) -> str:
+    """Stage events as parquet files for readStream. Parquet, not
+    JSON: the JSON writer's default timestampFormat truncates to
+    milliseconds, which is invisible to hour-window rollups but
+    corrupts session boundaries and any µs-exact oracle."""
+    ev = df if df is not None else load_tables(spark, sf_dir)["events"]
+    tmp = tempfile.mkdtemp(prefix="asp_stream_stage_")
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    return tmp
+
+
+def _read_events_stream_parquet(spark: SparkSession, path: str) -> DataFrame:
+    from analyst_spark.streaming.events import EVENT_SCHEMA
+
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the real streaming path: file source →
+    ``session_window`` (30 min gap) → memory sink in ``complete``
+    mode, so every merged session is emitted and the result must
+    equal the batch gaps-and-islands computation — a full DuckDB
+    oracle for Spark's streaming session-merge state machine.
+
+    Boundary semantics: ``session_window`` extends a session to
+    [first, last + gap) with an exclusive end, so an event at exactly
+    last + gap starts a NEW session — the oracle's break condition is
+    therefore ``diff >= gap``, not ``>``.
+
+    At 100 TB: state per in-flight (user, session) only; the
+    watermark closes sessions whose end precedes it, so state is
+    bounded by the gap + lateness horizon, not history.
+    """
+    from analyst_spark.streaming.events import sessionize_stream
+
+    tmp = _stage_events_parquet(spark, sf_dir)
+    try:
+        q = run_to_memory_sink(
+            sessionize_stream(
+                _read_events_stream_parquet(spark, tmp), gap_minutes=30
+            ),
+            _SESS_SINK,
+            output_mode="complete",
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    from pyspark.sql import functions as F
+
+    # epoch-µs integers, not timestamps: the oracle view reads the
+    # parquet's TIMESTAMP(NANOS) directly while Spark's ts is the
+    # ns DIV 1000 rebuild, so isoformat strings would differ in
+    # sub-µs digits even for identical sessions
+    return spark.table(_SESS_SINK).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+STREAMING_SESSIONIZE_ORACLE = """
+WITH us AS (  -- µs domain first: the exact values Spark computes on
+    SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+    SELECT user_id, ts_us,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM us
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sessions AS (
+    SELECT user_id, ts_us,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous exact dedup on the real streaming path: the event
+    stream is polluted with replayed copies (every event_id % 101 ==
+    0 re-sent one minute later), dropDuplicatesWithinWatermark
+    collapses them in the state store, and the surviving rows are
+    rolled up per event_type. The rollup of the deduped stream must
+    equal the rollup of the CLEAN batch table — which copy survives
+    is racy, but every aggregated measure (count, distinct users,
+    id checksum) is copy-invariant, so the oracle is exact.
+
+    At 100 TB: state is O(keys within the watermark horizon); the
+    replay window a Kafka redelivery can span is exactly the
+    watermark, which is the reference point for sizing it.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.streaming.dedup import dedup_stream
+
+    ev = load_tables(spark, sf_dir)["events"]
+    replayed = ev.filter(F.col("event_id") % 101 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    tmp = _stage_events_parquet(spark, sf_dir, ev.unionByName(replayed))
+    try:
+        q = run_to_memory_sink(
+            dedup_stream(_read_events_stream_parquet(spark, tmp), keys=["event_id"]),
+            _DEDUP_SINK,
+            output_mode="append",
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(_DEDUP_SINK)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM events
+GROUP BY event_type
+"""
