@@ -278,6 +278,15 @@ class Executor:
             if b.kind == "set":
                 opts[b.key] = b.value
         self._job_opts = opts
+        # CONNECTION blocks populate the connection tier of the option
+        # chain (the reference configures destinations from connection
+        # params merged under block WITH options — parser.go:558-587);
+        # caller-injected connection_options win over script blocks
+        for b in blocks:
+            if b.kind == "connection":
+                merged = dict(b.options)
+                merged.update(self.connection_options.get(b.name.lower(), {}))
+                self.connection_options[b.name.lower()] = merged
         # GLOBAL blocks run sequentially before everything else
         # (compiler.go:352-366)
         for b in blocks:
@@ -450,7 +459,13 @@ class Executor:
                 fmt = str(eff.get("OUTPUT_FORMAT") or "table")
                 res.console.append(console_sink(df, fmt, writer=_Null()))
             elif sink.kind == "global":
-                table = str(blk.options.get("TABLE") or blk.name)
+                # TABLE resolves through the full option chain so a
+                # script-level SET can name the target, as the
+                # reference's mergeOptions allows (compiler_test.go
+                # TestCompilerWithAggregateTransform: SET Table +
+                # bare INTO GLOBAL)
+                eff = self._effective_options(blk, "GLOBAL")
+                table = str(eff.get("TABLE") or blk.name)
                 res.globals.register(table, df)
             elif sink.kind == "parameter":
                 parameter_sink(df, sink.params, res.parameters)

@@ -418,6 +418,10 @@ def parse_script(
         sc.skip_ws()
         if sc.pos < len(sc.text) and sc.text[sc.pos] == "(":
             blk.body = sc.next_paren_body()
+            if kwu == "CONNECTION":
+                # a CONNECTION's paren body IS its option list
+                # (aql grammar: CONNECTION 'name' (k = 'v', ...))
+                blk.options.update(parse_options(blk.body))
         if blk.extern:
             blk.body = open(os.path.join(script_dir, blk.extern)).read()
         _parse_tail(sc, blk)

@@ -174,6 +174,11 @@ def build_aggregate(df: DataFrame, body: str) -> DataFrame:
         return out
     exprs = [_agg_expr(t) for t in terms if t.fn]
     if group_by:
+        if not exprs:
+            # every projected column is a group key — one row per
+            # group, no measures (compiler_test.go
+            # TestCompilerWithEmail: AGGREGATE a, b GROUP BY a, b)
+            return df.select(*group_by).distinct()
         return df.groupBy(*group_by).agg(*exprs)
     return df.agg(*exprs)
 

@@ -82,7 +82,9 @@ def email_sink(
 ) -> int:
     """Validate, render, send. Returns the number of messages sent."""
     to = parse_recipients(recipients)
-    frm = parse_recipients(sender)[0]
+    # Sender is optional in the reference (mandrill_destination.go:22,
+    # the template default applies) — None signals transport default
+    frm = parse_recipients(sender)[0] if sender.strip() else None
     messages = render_messages(df, subject, split=split)
     if send_fn is None:
         raise NotImplementedError(

@@ -1,0 +1,332 @@
+"""The reference's compiler e2e scripts (compiler_test.go), run
+VERBATIM through the PySpark engine — only environment-bound bits
+(sqlite files, Mandrill keys, subprocess plugins) are swapped for the
+engine's injection points, exactly as the reference's own hooks swap
+them. Each test cites the Go test it ports.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from analyst_spark.aql.engine import execute_script
+from analyst_spark.aql.parser import parse_script
+
+
+def _global_rows(res, sql):
+    return [tuple(r) for r in res.globals.spark.sql(sql).collect()]
+
+
+def test_lookup_transform_script(spark):
+    # compiler_test.go:328-411 TestCompilerWithLookupTransform, verbatim
+    script = """
+    GLOBAL 'CreateTables' (
+        CREATE TABLE LookupTable (
+            id INT PRIMARY KEY,
+            first_name TEXT
+        );
+
+        CREATE TABLE BaseTable (
+            lookup_id INT PRIMARY KEY,
+            last_name TEXT
+        );
+
+        CREATE TABLE JoinedTable (
+            first_name TEXT,
+            last_name TEXT
+        );
+    );
+
+    GLOBAL 'SeedTables' (
+        INSERT INTO LookupTable VALUES (1, 'Bob');
+        INSERT INTO LookupTable VALUES (2, 'John');
+        INSERT INTO LookupTable VALUES (3, 'Steve');
+
+        INSERT INTO BaseTable VALUES (1, 'Bobbertson');
+        INSERT INTO BaseTable VALUES (2, 'Johnson');
+    );
+
+    QUERY 'FirstNames' FROM GLOBAL (
+        SELECT id, first_name FROM LookupTable
+    );
+
+    QUERY 'LastNames' FROM GLOBAL (
+        SELECT lookup_id, last_name FROM BaseTable
+    );
+
+    TRANSFORM 'Join' FROM BLOCK FirstNames, BLOCK LastNames (
+        LOOKUP FirstNames.first_name, LastNames.last_name FROM FirstNames
+        INNER JOIN LastNames ON FirstNames.id = LastNames.lookup_id
+    ) INTO GLOBAL WITH(Table = 'JoinedTable')
+    """
+    res = execute_script(spark, script)
+    rows = sorted(_global_rows(
+        res, "SELECT first_name, last_name FROM JoinedTable"))
+    assert rows == [("Bob", "Bobbertson"), ("John", "Johnson")]
+
+
+def test_aggregate_transform_with_set_table(spark):
+    # compiler_test.go:413-476 TestCompilerWithAggregateTransform:
+    # the INTO GLOBAL destination takes its Table from the SET global
+    script = """
+    SET Table = 'Result2';
+
+    GLOBAL 'Initialize' (
+        CREATE TABLE ContactStats (
+            id integer PRIMARY KEY,
+            first_name text NOT NULL,
+            number_of_calls real
+        );
+
+        INSERT INTO  ContactStats (id, first_name, number_of_calls) VALUES (1, 'Bob', 5);
+        INSERT INTO  ContactStats (id, first_name, number_of_calls) VALUES (2, 'Steven', 0);
+        INSERT INTO  ContactStats (id, first_name, number_of_calls) VALUES (3, 'Bob', 3);
+    );
+
+    GLOBAL 'Result' (
+        CREATE TABLE Result2 (
+            first_name text PRIMARY KEY,
+            calls real
+        );
+    )
+
+    QUERY 'Fetch' FROM GLOBAL (
+        SELECT * FROM ContactStats
+    )
+
+    TRANSFORM 'SumByFirstName' FROM BLOCK Fetch (
+        AGGREGATE first_name, SUM(number_of_calls) As calls
+        GROUP BY first_name
+    ) INTO GLOBAL
+    """
+    res = execute_script(spark, script)
+    rows = dict(_global_rows(res, "SELECT first_name, calls FROM Result2"))
+    assert rows == {"Bob": 8.0, "Steven": 0.0}
+
+
+def test_unmanaged_transaction_rows_per_batch(spark):
+    # compiler_test.go:226-280 TestUnmanagedTransaction, verbatim
+    script = """
+    SET MANAGED_TRANSACTION = 'False';
+    EXEC 'Initialize' FROM GLOBAL (
+        CREATE TABLE ContactStats3 (
+            id integer PRIMARY KEY,
+            first_name text NOT NULL,
+            calls real
+        );
+    );
+
+    QUERY 'InsertResults' FROM GLOBAL (
+        SELECT 1 AS id, 'Bob' AS first_name, 8 AS calls
+        UNION ALL
+        SELECT 2 AS id, 'Steven' AS first_name, 0 AS calls
+        UNION ALL
+        SELECT 3 AS id, 'Jack' AS first_name, 1 AS calls
+    ) INTO GLOBAL WITH (TABLE = 'ContactStats3',
+                    ROWS_PER_BATCH=2)
+      AFTER Initialize
+    """
+    res = execute_script(spark, script)
+    rows = dict(_global_rows(
+        res, "SELECT first_name, calls FROM ContactStats3"))
+    assert rows == {"Bob": 8.0, "Steven": 0.0, "Jack": 1.0}
+
+
+def test_execs_into_global(spark):
+    # compiler_test.go:281-327 TestCompilerWithExecs, verbatim
+    script = """
+    GLOBAL 'Initialize' (
+        CREATE TABLE ContactStats2 (
+            id integer PRIMARY KEY,
+            first_name text NOT NULL,
+            calls real
+        );
+    );
+
+    EXEC 'InsertResults' FROM GLOBAL (
+        INSERT INTO  ContactStats2 (id, first_name, calls) VALUES (1, 'Bob', 8);
+        INSERT INTO ContactStats2 (id, first_name, calls) VALUES (2, 'Steven', 0);
+    )
+    """
+    res = execute_script(spark, script)
+    rows = dict(_global_rows(
+        res, "SELECT first_name, calls FROM ContactStats2"))
+    assert rows == {"Bob": 8.0, "Steven": 0.0}
+
+
+def test_parameter_roundtrip_script(spark):
+    # compiler_test.go:477-524 TestCompilerWithParameters — the
+    # reference SKIPS this test (SkipConvey); we run it. GetId puts 1
+    # into @Id, GetName selects WHERE id = ? giving (4, 'Bob') which
+    # appends to Contacts.
+    script = """
+    DECLARE @Id;
+
+    GLOBAL 'Initialize' (
+        CREATE TABLE Contacts (
+            id integer PRIMARY KEY,
+            first_name text NOT NULL
+        );
+
+        INSERT INTO  Contacts (id, first_name) VALUES (1, 'Bob');
+        INSERT INTO  Contacts (id, first_name) VALUES (2, 'Steven');
+        INSERT INTO  Contacts (id, first_name) VALUES (3, 'Jack');
+    );
+
+    QUERY 'GetId' FROM GLOBAL (
+        SELECT 1 AS 'Id'
+    ) INTO PARAMETER (@Id);
+
+    QUERY 'GetName' FROM GLOBAL (
+        SELECT 4 As Id, first_name FROM Contacts
+        WHERE id = ?
+    )
+    USING PARAMETER @Id
+    INTO GLOBAL WITH (Table = 'Contacts')
+    AFTER GetId
+    """
+    res = execute_script(spark, script)
+    rows = _global_rows(res, "SELECT first_name FROM Contacts ORDER BY id")
+    assert [r[0] for r in rows] == ["Bob", "Steven", "Jack", "Bob"]
+
+
+def test_email_script_split_mode(spark):
+    # compiler_test.go:525-556 TestCompilerWithEmail — the Mandrill
+    # client is the injection point (the reference test hits the real
+    # sandbox API; we inject the transport the sink renders into)
+    from analyst_spark.sinks.email import email_write_handler
+
+    sent = []
+    script = """
+    CONNECTION 'SendTestEmail' (
+        DRIVER = 'MANDRILL',
+        API_KEY = 'XIrAnHAcpAMpOONkJYjiNg',
+        RECIPIENTS = 'Test <test@test.com>, Test2 <test2@test2.com>',
+        TEMPLATE = 'analyst-test',
+        SPLIT = 'True'
+    )
+
+    DATA 'Values' (
+    [
+        ["Bob Bobbertson", 123.123],
+        ["Steve Stevenson", 234.234]
+      ]
+    )WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'Engineer,Current');
+
+    TRANSFORM 'PopulateEmail' FROM BLOCK Values (
+        AGGREGATE Engineer, Current
+        GROUP BY Engineer, Current
+    ) INTO CONNECTION SendTestEmail
+    """
+    handler = email_write_handler(send_fn=sent.append)
+    execute_script(
+        spark, script, connections={"sendtestemail.write": handler}
+    )
+    assert len(sent) == 2  # SPLIT = one message per row
+    engineers = {
+        v for m in sent
+        for k, v in m["content"].items() if k.lower() == "engineer"
+    }
+    assert engineers == {"Bob Bobbertson", "Steve Stevenson"}
+    for m in sent:
+        assert {r[1] for r in m["to"]} == {"test@test.com", "test2@test2.com"}
+
+
+def test_connection_map_script():
+    # compiler_test.go:609-639 TestConnectionMap — parser-level: both
+    # connections parsed with their drivers, map keyed case-insensitively
+    script = """
+    CONNECTION 'DB' (
+        Driver = 'sqlite3',
+        ConnectionString = './engine/testing/test_insert.db'
+    )
+
+    CONNECTION 'Workbook' (
+        Driver = 'Excel',
+        File = './output.xlsx'
+    )
+
+    QUERY 'DumpData' FROM CONNECTION DB (
+        SELECT 1 AS 'Id', 'Bob' AS 'Name'
+    ) INTO CONNECTION Workbook
+    WITH (Sheet = 'Test', Range = '[0,0]:[0,N]')
+    """
+    blocks = parse_script(script, ".", None)
+    conns = {b.name.lower(): b for b in blocks if b.kind == "connection"}
+    assert len(conns) == 2
+    assert conns["workbook"].options["DRIVER"] == "Excel"
+    assert conns["db"].options["DRIVER"] == "sqlite3"
+
+
+def test_tx_manager_rollback_script(spark, tmp_path):
+    # compiler_test.go:640-688 TestTxManagerRollback: three EXECs on
+    # one sqlite connection, the last violates a PK — EVERY write
+    # including the CREATE TABLE must roll back (sqlite DDL is
+    # transactional), leaving the database without the table.
+    from analyst_spark.sinks.transaction import JobTransactionManager
+
+    db_path = str(tmp_path / "tx_manager_rollback_test.db")
+    conn = sqlite3.connect(db_path)
+    # one explicit transaction for the whole job, as the reference's
+    # shared managed transaction does — python's default isolation
+    # autocommits DDL, which would exempt CREATE from the rollback
+    conn.isolation_level = None
+    conn.execute("BEGIN")
+    tx = JobTransactionManager()
+    tx.register("db", conn)
+
+    def db_exec(body, options):
+        cur = tx.conn("db").cursor()
+        for stmt in body.split(";"):
+            if stmt.strip():
+                cur.execute(stmt)
+
+    script = """
+    CONNECTION 'DB' (
+        Driver = 'sqlite3',
+        ConnectionString = 'tx_manager_rollback_test.db'
+    )
+
+    EXEC 'CreateTables' FROM CONNECTION DB (
+        CREATE TABLE Test (
+            id INT PRIMARY KEY
+        );
+    )
+
+    --Insert a single value into TEST
+    EXEC 'InsertOne' FROM CONNECTION DB (
+        INSERT INTO Test VALUES (1);
+    ) AFTER CreateTables;
+
+    EXEC 'InsertTwo' FROM CONNECTION DB (
+        INSERT INTO Test VALUES (2);
+        INSERT INTO Test VALUES (1); --violates primary key
+    ) AFTER InsertOne;
+    """
+    with pytest.raises(sqlite3.IntegrityError):
+        execute_script(
+            spark, script,
+            connections={"db.exec": db_exec},
+            tx_manager=tx,
+        )
+    conn.close()
+    check = sqlite3.connect(db_path)
+    with pytest.raises(sqlite3.OperationalError):  # no such table
+        check.execute("SELECT * FROM Test")
+    check.close()
+
+
+def test_data_literal_console_golden(spark, capsys):
+    # compiler_test.go:146-169 TestCompilerDataLiteralSourceDest,
+    # verbatim — golden console JSON output
+    script = """
+        DATA 'MyMessage' (
+        [
+            ["Hello, World"]
+        ]
+        ) INTO CONSOLE WITH (COLUMNS = 'Message', OUTPUT_FORMAT='JSON')
+    """
+    res = execute_script(spark, script)
+    assert res.console == ['[{"Message":"Hello, World"}]']
