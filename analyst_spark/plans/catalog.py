@@ -135,3 +135,4 @@ _register("multimodal_audio_features", mm.multimodal_audio_features, mm.MULTIMOD
 _register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HOURLY_ORACLE)
 _register("streaming_sessionize", st.streaming_sessionize, st.STREAMING_SESSIONIZE_ORACLE)
 _register("streaming_dedup", st.streaming_dedup, st.STREAMING_DEDUP_ORACLE)
+_register("streaming_running_totals", st.streaming_running_totals, st.STREAMING_TOTALS_ORACLE)

@@ -206,3 +206,52 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+_TOTALS_SINK = "streaming_running_totals_gate"
+
+
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) on the real
+    streaming path: per-user running counters in update mode. The
+    memory sink accumulates every update-mode emission, so the entry
+    reduces to each user's FINAL counter (max n_events — the counter
+    is monotone), which must equal the batch per-user event count.
+
+    Only the exact-integer counter is oracle-gated: the running value
+    sum is a float accumulated in arrival order, so its low bits are
+    execution-order-dependent by nature (the pytest suite bounds it
+    instead).
+
+    At 100 TB: state is one compact tuple per user, Arrow-batched;
+    processing-time timeout expires inactive users so the store does
+    not grow with history.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.streaming.stateful import running_user_totals
+
+    tmp = _stage_events_parquet(spark, sf_dir)
+    try:
+        q = run_to_memory_sink(
+            running_user_totals(
+                _read_events_stream_parquet(spark, tmp), expire=False
+            ),
+            _TOTALS_SINK,
+            output_mode="update",
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(_TOTALS_SINK)
+        .groupBy("user_id")
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+    )
+
+
+STREAMING_TOTALS_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""

@@ -17,34 +17,49 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n long, total double"
 
 
-def _update_user_state(key, pdfs, state: GroupState):
-    import pandas as pd
+def _make_update_fn(expire: bool):
+    def _update_user_state(key, pdfs, state: GroupState):
+        import pandas as pd
 
-    (user_id,) = key
-    if state.hasTimedOut:
-        n, total = state.get
-        state.remove()
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if expire:
+            state.setTimeoutDuration(60 * 60 * 1000)  # 1h inactivity expiry
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_value": [total]}
         )
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    state.setTimeoutDuration(60 * 60 * 1000)  # 1h inactivity expiry
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
-    )
+
+    return _update_user_state
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """Continuously-updated per-user totals (update output mode)."""
+def running_user_totals(events: DataFrame, expire: bool = True) -> DataFrame:
+    """Continuously-updated per-user totals (update output mode).
+
+    ``expire=True`` (production): processing-time timeout evicts
+    inactive users' state. ``expire=False`` (bounded replays): no
+    timers, so an availableNow run terminates when the data is
+    exhausted — with timers armed, the query would stay alive waiting
+    to fire them.
+    """
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_state,
+        _make_update_fn(expire),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if expire
+            else GroupStateTimeout.NoTimeout
+        ),
     )

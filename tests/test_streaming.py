@@ -136,10 +136,12 @@ def test_dedup_stream_by_content(spark, tmp_path):
 
 def test_running_user_totals_stateful(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
+    # expire=False: a bounded availableNow replay must terminate; with
+    # timers armed the query would idle waiting to fire them
     q = run_to_memory_sink(
-        running_user_totals(stream), "totals_test", output_mode="update"
+        running_user_totals(stream, expire=False), "totals_test", output_mode="update"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "bounded stateful query must terminate"
     rows = spark.sql(
         "SELECT user_id, max(n_events) AS n, max(total_value) AS t "
         "FROM totals_test GROUP BY user_id"
