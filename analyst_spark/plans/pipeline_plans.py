@@ -78,9 +78,19 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. No corpus-sized shuffle joins.
     """
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    # n-grams carry only a 64-bit xxhash into the join: membership is
+    # set-intersection, so the string itself never needs to shuffle or
+    # broadcast (~8x less volume). A hash collision could only inflate
+    # a count by claiming a non-benchmark 8-gram; at p ~ n²/2⁶⁴ that
+    # is beyond negligible, and the oracle run would surface it.
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
-    ).select("doc_id", _ngrams(F.col("t"), _NGRAM_N).alias("gs"))
+    ).select(
+        "doc_id",
+        F.transform(
+            _ngrams(F.col("t"), _NGRAM_N), lambda g: F.xxhash64(g)
+        ).alias("gs"),
+    )
 
     bench = (
         toks.filter(F.col("doc_id") % _BENCH_MOD == 0)
