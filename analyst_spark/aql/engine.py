@@ -216,9 +216,16 @@ class Executor:
         lookup_order_cols: dict[str, str] | None = None,
         tx_manager=None,
         connection_options: dict[str, dict] | None = None,
+        logger=None,
+        slack_post_fn=None,
     ):
+        from analyst_spark.logging import ERROR, ConsoleLogger
+
         self.spark = spark
         self.test_mode = test_mode
+        # quiet by default, like the reference's NewConsoleLogger(Error)
+        self.logger = logger or ConsoleLogger(min_level=ERROR)
+        self.slack_post_fn = slack_post_fn
         # connection name -> fn(spark, options) -> DataFrame (source)
         # or fn(df, options) -> None (sink); user/test-injected
         self.connections = {k.lower(): v for k, v in (connections or {}).items()}
@@ -287,6 +294,11 @@ class Executor:
                 merged = dict(b.options)
                 merged.update(self.connection_options.get(b.name.lower(), {}))
                 self.connection_options[b.name.lower()] = merged
+        # Slack alert hook activates off the merged options
+        # (compiler.go:73-95 checkWrapLogger at execute entry)
+        from analyst_spark.logging import maybe_wrap_slack
+
+        self.logger = maybe_wrap_slack(self.logger, opts, self.slack_post_fn)
         # GLOBAL blocks run sequentially before everything else
         # (compiler.go:352-366)
         for b in blocks:
@@ -311,10 +323,17 @@ class Executor:
                 if ref.kind == "block" and ref.name:
                     fan_out[ref.name.lower()] = fan_out.get(ref.name.lower(), 0) + 1
         self._fan_out = fan_out
+        from analyst_spark.logging import ERROR, INFO, Event
+
         try:
             for blk in order:
+                self.logger.log(Event(blk.name or blk.kind, INFO,
+                                      f"{blk.kind} block started"))
                 self._run_block(blk, res)
-        except Exception:
+                self.logger.log(Event(blk.name or blk.kind, INFO,
+                                      f"{blk.kind} block finished"))
+        except Exception as e:
+            self.logger.log(Event(blk.name or blk.kind, ERROR, str(e)))
             if self.tx_manager is not None:
                 self.tx_manager.rollback()
             raise
@@ -495,6 +514,8 @@ def execute_script(
     lookup_order_cols=None,
     tx_manager=None,
     connection_options=None,
+    logger=None,
+    slack_post_fn=None,
 ) -> JobResult:
     merged = dict(options or {})
     # First parse only harvests SET blocks — no template rendering yet,
@@ -509,7 +530,8 @@ def execute_script(
     ex = Executor(
         spark, test_mode=False, connections=connections, plugins=plugins,
         lookup_order_cols=lookup_order_cols, tx_manager=tx_manager,
-        connection_options=connection_options,
+        connection_options=connection_options, logger=logger,
+        slack_post_fn=slack_post_fn,
     )
     return ex.run(blocks, merged)
 
