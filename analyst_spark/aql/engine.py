@@ -386,10 +386,32 @@ class Executor:
     def _run_transform(self, blk: Block, res: JobResult) -> DataFrame:
         if blk.plugin:
             fn = self.plugins.get(blk.name.lower())
-            if fn is None:
-                raise ValueError(f"no plugin registered: {blk.name!r}")
-            inputs = [self._ref_frame(r, blk, res) for r in blk.sources]
-            return fn(self.spark, inputs, blk.options)
+            if fn is not None:
+                inputs = [self._ref_frame(r, blk, res) for r in blk.sources]
+                return fn(self.spark, inputs, blk.options)
+            exe = blk.options.get("EXECUTABLE")
+            if exe:
+                # subprocess JSON-RPC plugin, the reference's protocol
+                # (WITH Executable/Args — compiler_test.go:557-607)
+                import json as _json
+
+                from analyst_spark.plugins_rpc import run_transform_plugin
+
+                args = _json.loads(str(blk.options.get("ARGS", "[]")))
+                named = {}
+                for r in blk.sources:
+                    named[(r.alias or r.name or "global")] = (
+                        self._ref_frame(r, blk, res)
+                    )
+                outs = run_transform_plugin(
+                    self.spark, named, str(exe), args, blk.options
+                )
+                frames = list(outs.values())
+                out = frames[0]
+                for f in frames[1:]:
+                    out = out.unionByName(f, allowMissingColumns=True)
+                return out
+            raise ValueError(f"no plugin registered: {blk.name!r}")
         kind = dispatch(blk.body)
         if kind in ("AGGREGATE", "APPLY"):
             frames = [self._ref_frame(r, blk, res) for r in blk.sources]
