@@ -48,6 +48,7 @@ _BLOCK_KEYWORDS = (
     "SET",
     "INCLUDE",
     "TEST",
+    "DESCRIPTION",
 )
 
 
@@ -301,7 +302,9 @@ def _parse_source(sc: _Scanner) -> SourceRef:
         # bare name == block reference (TEST blocks use it)
         ref = SourceRef("block", w)
     if sc.try_consume("AS"):
-        ref.alias = sc.next_word()
+        # aliases may be bare words or quoted (parser_test.go:412
+        # `FROM GLOBAL AS 'source'`)
+        ref.alias = sc.next_word() or sc.next_quoted()
     return ref
 
 
@@ -343,7 +346,10 @@ def _parse_tail(sc: _Scanner, blk: Block):
             while sc.try_char(","):
                 blk.using_params.append(sc.next_word())
         elif sc.try_consume("INTO"):
+            # comma list: INTO CONNECTION d, GLOBAL (parser_test.go:375)
             blk.sinks.append(_parse_sink(sc))
+            while sc.try_char(","):
+                blk.sinks.append(_parse_sink(sc))
         elif sc.try_consume("WITH"):
             blk.options.update(parse_options(sc.next_paren_body()))
         elif sc.try_consume("AFTER"):
@@ -383,6 +389,13 @@ def parse_script(
                 sc.pos += m.end()
             blocks.append(Block("set", key=key.upper(), value=val))
             continue
+        if kwu == "DESCRIPTION":
+            # DESCRIPTION 'free text' — documentation block, no
+            # execution semantics (parser_test.go:536-552)
+            blk = Block("description")
+            blk.body = sc.next_quoted()
+            blocks.append(blk)
+            continue
         if kwu == "DECLARE":
             blk = Block("declare")
             blk.declares.append(sc.next_word())
@@ -392,6 +405,10 @@ def parse_script(
             continue
         if kwu == "INCLUDE":
             path = sc.next_quoted()
+            if options:
+                # parametrized include paths: INCLUDE '{{ .Source }}.txt'
+                # (parser_test.go:443-456 EvaluateParametrizedExtern)
+                path = render_templates(path, options)
             inc = open(os.path.join(script_dir, path)).read()
             blocks.extend(
                 parse_script(inc, script_dir, options, _depth + 1)
