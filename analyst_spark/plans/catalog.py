@@ -110,6 +110,7 @@ _register("contamination_ngram", pp.contamination_ngram, pp.CONTAMINATION_ORACLE
 _register("text_pii_scan", pp.text_pii_scan, pp.TEXT_PII_ORACLE)
 _register("text_repetition", pp.text_repetition, pp.TEXT_REPETITION_ORACLE)
 _register("text_top_tokens", pp.text_top_tokens, pp.TEXT_TOP_TOKENS_ORACLE)
+_register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACLE)
 
 # --- deduplication ---------------------------------------------------
 _register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)

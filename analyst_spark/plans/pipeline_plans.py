@@ -307,3 +307,85 @@ SELECT lang, token, cnt,
 FROM counts
 QUALIFY rnk <= {_TOP_K}
 """
+
+
+# ---------------------------------------------- sequence packing
+
+_SEQ_LEN = 2048
+_PACK_BUCKET = 64  # docs per prefix-sum bucket
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into fixed-length training
+    sequences of _SEQ_LEN tokens: each document's global token offset
+    is a prefix sum, and its sequence id is offset DIV _SEQ_LEN — the
+    standard LLM pre-training packing step (greedy concatenation, a
+    document may straddle two sequences; output accounts it to the
+    sequence where it starts).
+
+    The prefix sum is DISTRIBUTED, not a single-partition global
+    window: documents hash into doc_id-range buckets, each bucket
+    computes its internal running sum under a per-bucket window, and
+    the tiny per-bucket totals (one row per bucket) cumulate into
+    bucket base offsets that broadcast-join back. No stage ever
+    orders the full corpus in one partition — the classic two-phase
+    scan pattern, and the reason this survives 100 TB while
+    ``Window.orderBy(doc_id)`` alone would not.
+
+    Output per sequence: n_docs, n_tokens (== _SEQ_LEN except the
+    tail), first/last doc ids. Integer-exact both engines.
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = toks.withColumn(
+        "local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
+    )
+    bucket_totals = toks.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # one row per bucket — tiny by construction, safe to order globally
+    bases = bucket_totals.withColumn(
+        "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("bucket", "base")
+    placed = within.join(F.broadcast(bases), "bucket").select(
+        "doc_id", "n_tok",
+        ((F.col("base") + F.col("local_off")) / _SEQ_LEN)
+        .cast("long").alias("seq_id"),
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), placed AS (
+    SELECT doc_id, n_tok,
+           CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_SEQ_LEN} AS BIGINT) AS seq_id
+    FROM toks
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY seq_id
+"""

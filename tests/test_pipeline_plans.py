@@ -101,3 +101,33 @@ def test_top_tokens_shape_and_determinism(spark):
         for a, b in zip(rs, rs[1:]):
             assert (a.cnt, b.token) >= (b.cnt, a.token) or a.cnt > b.cnt
     assert text_top_tokens(spark, SF).collect() == rows  # stable rerun
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from analyst_spark.plans.pipeline_plans import _SEQ_LEN, docs_pack_sequences
+    from analyst_spark.tables import load_tables
+
+    rows = sorted(
+        docs_pack_sequences(spark, SF).collect(), key=lambda r: r.seq_id
+    )
+    # contiguous sequence ids from 0
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    # doc ranges are ordered and non-overlapping across sequences
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+    # token accounting is exact: every token lands in exactly one seq
+    docs = load_tables(spark, SF)["documents"]
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == total
+    # a sequence holds roughly SEQ_LEN tokens: every non-tail sequence
+    # crosses its boundary only by the straddling document's tail
+    max_doc_toks = docs.select(
+        F.max(F.size(F.split("text", " "))).alias("m")
+    ).collect()[0].m
+    for r in rows[:-1]:
+        assert r.n_tokens >= _SEQ_LEN - max_doc_toks
+        assert r.n_tokens <= _SEQ_LEN + max_doc_toks
