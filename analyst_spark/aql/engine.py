@@ -242,6 +242,28 @@ class Executor:
         }
         self._job_opts: dict[str, object] = {}
 
+    # -- connection resolution ---------------------------------------
+
+    def _connection_handler(self, key: str):
+        """Injected handler, else one auto-built from the CONNECTION
+        block's DRIVER (compiler.go's connectionMap → engine source/
+        destination instantiation). Built lazily so unused or
+        injected-over connections never open resources."""
+        fn = self.connections.get(key)
+        if fn is not None:
+            return fn
+        base = key.split(".")[0]
+        opts = self.connection_options.get(base)
+        if not opts:
+            return None
+        from analyst_spark.aql.connections import build_connection_handlers
+
+        for k, v in build_connection_handlers(
+            base, opts, self.tx_manager
+        ).items():
+            self.connections.setdefault(k, v)
+        return self.connections.get(key)
+
     # -- source resolution -------------------------------------------
 
     def _source_frame(self, blk: Block, res: JobResult) -> DataFrame:
@@ -257,14 +279,19 @@ class Executor:
             if ref.kind == "block":
                 frames.append(res.frames[ref.name.lower()])
             elif ref.kind == "connection":
-                fn = self.connections.get(ref.name.lower())
+                fn = self._connection_handler(ref.name.lower())
                 if fn is None:
                     raise ValueError(f"no connection registered: {ref.name!r}")
-                df = fn(self.spark, blk.options)
-                if blk.body and blk.kind == "query":
-                    view = (ref.alias or ref.name).lower()
-                    df.createOrReplaceTempView(view)
-                    df = self.spark.sql(translate_sql(blk.body))
+                if getattr(fn, "executes_sql", False):
+                    # a SQL connection is a remote engine: the query
+                    # body runs ON it, not on Spark over a view
+                    df = fn(self.spark, blk.options, blk.body or "")
+                else:
+                    df = fn(self.spark, blk.options)
+                    if blk.body and blk.kind == "query":
+                        view = (ref.alias or ref.name).lower()
+                        df.createOrReplaceTempView(view)
+                        df = self.spark.sql(translate_sql(blk.body))
                 frames.append(df)
         if len(frames) == 1:
             return frames[0]
@@ -360,7 +387,7 @@ class Executor:
                 if ref.kind == "global":
                     res.globals.run_global_block(blk.body or "")
                 elif ref.kind == "connection":
-                    fn = self.connections.get(f"{ref.name.lower()}.exec")
+                    fn = self._connection_handler(f"{ref.name.lower()}.exec")
                     if fn is None:
                         raise ValueError(
                             f"no exec handler for connection {ref.name!r}"
@@ -511,7 +538,7 @@ class Executor:
             elif sink.kind == "parameter":
                 parameter_sink(df, sink.params, res.parameters)
             elif sink.kind == "connection":
-                fn = self.connections.get(f"{sink.name.lower()}.write")
+                fn = self._connection_handler(f"{sink.name.lower()}.write")
                 if fn is None:
                     raise ValueError(
                         f"no write handler for connection {sink.name!r}"
