@@ -341,3 +341,77 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd k-means over an embedding column — the
+    centroid-selection step ivf_topk's docstring promises is pluggable
+    (its deterministic lowest-id centroids keep the oracle; these
+    trained centroids are the quality path).
+
+    Per iteration: assignment is one Arrow-batched numpy pass per
+    partition against the broadcast (k × dim) centroid matrix —
+    embarrassingly parallel, no shuffle; the update is an element-wise
+    mean via posexplode + (cluster, position) hash-agg, whose shuffle
+    carries k·dim rows (centroid-sized, not corpus-sized). Centroids
+    round-trip through the driver between iterations, which is the
+    standard structure at any scale — they are tiny by construction.
+    Init is the k lowest-id vectors (deterministic, like ivf_topk).
+
+    Returns (centroids, assignments(id, cluster)).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    v = spread(df, id_col).select(F.col(id_col), F.col(vec_col).alias("__v"))
+    v = v.persist()
+    cents = [
+        list(r[0])
+        for r in v.orderBy(id_col).limit(k).select("__v").collect()
+    ]
+    assigned = None
+    for _ in range(iters):
+        cmat = np.asarray(cents, dtype=np.float64)  # (k, dim)
+
+        @pandas_udf(LongType())
+        def nearest(col: pd.Series) -> pd.Series:
+            mat = np.array([np.asarray(x, dtype=np.float64) for x in col])
+            if mat.size == 0:
+                return pd.Series([], dtype="int64")
+            # squared L2 via the expansion; argmin is tie-stable
+            d = (
+                (mat * mat).sum(axis=1, keepdims=True)
+                - 2.0 * (mat @ cmat.T)
+                + (cmat * cmat).sum(axis=1)
+            )
+            return pd.Series(d.argmin(axis=1).astype("int64"))
+
+        assigned = v.withColumn("cluster", nearest(F.col("__v")))
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_cluster = {r.cluster: list(r.centroid) for r in means}
+        # empty clusters keep their previous centroid (standard Lloyd)
+        cents = [by_cluster.get(i, cents[i]) for i in range(k)]
+    out = assigned.select(F.col(id_col), "cluster")
+    v.unpersist()
+    return cents, out

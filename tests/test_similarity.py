@@ -81,3 +81,35 @@ def test_lsh_neardup_pairs_finds_planted_twins(spark):
     # the scale contract: no all-pairs join in the physical plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_kmeans_train_converges_and_is_deterministic(spark):
+    import math
+
+    from analyst_spark.functions.similarity import kmeans_train
+
+    emb = _vectors(spark, n=120, dim=16, clusters=8)
+    n = 120
+
+    def inertia(cents, assigned):
+        joined = assigned.join(emb, "vec_id")
+        rows = joined.collect()
+        tot = 0.0
+        for r in rows:
+            c = cents[r.cluster]
+            tot += sum((a - b) ** 2 for a, b in zip(r.embedding, c))
+        return tot
+
+    cents1, asg1 = kmeans_train(emb, k=8, iters=1)
+    cents3, asg3 = kmeans_train(emb, k=8, iters=3)
+    assert len(cents3) == 8 and all(len(c) == 16 for c in cents3)
+    assert asg3.count() == n
+    assert asg3.select("cluster").distinct().count() <= 8
+    # Lloyd iterations never increase inertia
+    i1, i3 = inertia(cents1, asg1), inertia(cents3, asg3)
+    assert i3 <= i1 + 1e-6 and math.isfinite(i3)
+    # deterministic: same input -> same assignment
+    _, asg3b = kmeans_train(emb, k=8, iters=3)
+    a = {r.vec_id: r.cluster for r in asg3.collect()}
+    b = {r.vec_id: r.cluster for r in asg3b.collect()}
+    assert a == b
