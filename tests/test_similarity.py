@@ -113,3 +113,56 @@ def test_kmeans_train_converges_and_is_deterministic(spark):
     a = {r.vec_id: r.cluster for r in asg3.collect()}
     b = {r.vec_id: r.cluster for r in asg3b.collect()}
     assert a == b
+
+
+def test_ivf_with_trained_centroids_recall(spark):
+    """Composition check: kmeans_train centroids plugged into the IVF
+    probe pattern recover most exact top-k neighbors on clustered
+    data — the quality story behind the pluggable-centroid claim."""
+    from analyst_spark.functions.similarity import cosine, kmeans_train
+    from pyspark.sql import Window
+
+    corpus = _vectors(spark, n=200, dim=16, clusters=8)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    cents, assigned = kmeans_train(corpus, k=8, iters=2)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["centroid_id", "__cent"]
+    )
+    # assign queries to their nearest 2 centroids, probe those lists
+    qc = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("__csim", cosine(F.col("embedding"), F.col("__cent")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("__csim").desc())
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("__qv"), "centroid_id")
+    )
+    lists = assigned.join(corpus, "vec_id").select(
+        "vec_id", F.col("embedding").alias("__cv"),
+        F.col("cluster").alias("centroid_id"),
+    )
+    scored = (
+        lists.join(F.broadcast(qc), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    approx = {(r.query_id, r.vec_id) for r in scored.collect()}
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
