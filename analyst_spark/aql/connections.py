@@ -37,21 +37,101 @@ def _split_columns(v) -> list[str]:
 
 class SQLiteConnection:
     """Shared DB-API connection for one CONNECTION name (engine/
-    sql_source.go + sql_dest.go semantics on the embedded engine)."""
+    sql_source.go + sql_dest.go semantics on the embedded engine).
+
+    When ``managed`` is True (registered with the job transaction
+    manager) writes and EXECs do NOT commit per block: the reference
+    holds one uncommitted transaction per connection until job-end
+    Commit/Rollback (transaction_manager.go:21-41), so a mid-job
+    failure must be able to undo every earlier block's writes. The
+    manager's job-end commit point commits this connection."""
 
     def __init__(self, path: str):
         import sqlite3
 
         self.conn = sqlite3.connect(path, check_same_thread=False)
+        self.managed = False
+
+    def set_managed(self) -> None:
+        """Join the job-wide transaction: one explicit BEGIN now, and
+        the job tx_manager's commit/rollback ends it. isolation_level
+        None disables python's implicit transaction control, which
+        would otherwise let sqlite autocommit DDL and exempt CREATE
+        TABLE from a job-end rollback (the ported
+        TestTxManagerRollback case requires DDL to roll back too)."""
+        self.managed = True
+        self.conn.isolation_level = None
+        self.conn.execute("BEGIN")
+
+    def _schema(self, body: str) -> list[tuple[str, str]]:
+        """(name, spark_type) per result column, from sqlite's own
+        declared-type derivation over a temp view — the SAME schema
+        whether the query returns rows or not (a plan's column types
+        must not depend on data presence). Expression columns with no
+        derivable affinity fall back to string."""
+        cur = self.conn.cursor()
+        probe = "_aql_schema_probe"
+        cur.execute(f"DROP VIEW IF EXISTS temp.{probe}")
+        cur.execute(f"CREATE TEMP VIEW {probe} AS {body.rstrip().rstrip(';')}")
+        cur.execute(f"PRAGMA table_info({probe})")
+        info = cur.fetchall()  # (cid, name, decl_type, notnull, dflt, pk)
+        cur.execute(f"DROP VIEW temp.{probe}")
+        out = []
+        for _cid, name, decl, *_ in info:
+            d = (decl or "").upper()
+            if not d:
+                t = None  # expression column — no derivable affinity
+            elif "INT" in d:
+                t = "bigint"
+            elif any(k in d for k in ("REAL", "FLOA", "DOUB")):
+                t = "double"
+            else:
+                t = "string"
+            out.append((name, t))
+        return out
 
     def source(self, spark: SparkSession, options: dict, body: str) -> DataFrame:
+        schema = self._schema(body)
         cur = self.conn.cursor()
         cur.execute(body)
-        cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
-        if not rows:
-            return spark.createDataFrame([], schema=", ".join(f"`{c}` string" for c in cols))
-        return spark.createDataFrame([tuple(r) for r in rows], schema=cols)
+        # demote any declared-typed column whose actual values don't
+        # fit (sqlite columns are dynamically typed); type expression
+        # columns (None = no derivable affinity) from their values —
+        # widening int → double → string, string when empty
+        types = [t for _n, t in schema]
+        for r in rows:
+            for i, v in enumerate(r):
+                if v is None or types[i] == "string":
+                    continue
+                if types[i] is None:
+                    types[i] = (
+                        "bigint" if isinstance(v, int)
+                        else "double" if isinstance(v, float)
+                        else "string"
+                    )
+                elif types[i] == "bigint" and not isinstance(v, int):
+                    types[i] = "double" if isinstance(v, float) else "string"
+                elif types[i] == "double" and not isinstance(v, (int, float)):
+                    types[i] = "string"
+        types = [t or "string" for t in types]
+        ddl = ", ".join(
+            f"`{n}` {t}" for (n, _), t in zip(schema, types)
+        )
+
+        def conv(v, t):
+            if v is None:
+                return None
+            if t == "bigint":
+                return int(v)
+            if t == "double":
+                return float(v)
+            return str(v)
+
+        data = [
+            tuple(conv(v, t) for v, t in zip(r, types)) for r in rows
+        ]
+        return spark.createDataFrame(data, schema=ddl)
 
     source.executes_sql = True  # engine: don't re-run the body on Spark
 
@@ -78,13 +158,15 @@ class SQLiteConnection:
                 buf = []
         if buf:
             cur.executemany(sql, buf)
-        self.conn.commit()
+        if not self.managed:  # managed: job tx_manager commits at job end
+            self.conn.commit()
 
     def exec_(self, body: str, options: dict) -> None:
         cur = self.conn.cursor()
         for stmt in _split_statements(body):
             cur.execute(stmt)
-        self.conn.commit()
+        if not self.managed:
+            self.conn.commit()
 
 
 def _split_statements(body: str) -> list[str]:
@@ -195,6 +277,7 @@ def build_connection_handlers(
         c = SQLiteConnection(connstr)
         if tx_manager is not None:
             tx_manager.register(name, c.conn)
+            c.set_managed()  # defer commits to the job-end 2PC point
 
         def source(spark, blk_options, body=None):
             return c.source(spark, blk_options, body)

@@ -158,7 +158,17 @@ def _frames_from_rows(
         cols = out_cols.get(d) or wildcard_cols
         if not cols:
             raise PluginError(f"plugin declared no columns for {d!r}")
-        out[d] = spark.createDataFrame(by_dest[d], schema=cols)
+        if by_dest[d]:
+            out[d] = spark.createDataFrame(by_dest[d], schema=cols)
+        else:
+            # names-only schema can't be inferred from zero rows; a
+            # declared destination with no output is still an empty
+            # frame, not a crash (all-string, like empty SQL results)
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            out[d] = spark.createDataFrame(
+                [], StructType([StructField(c, StringType()) for c in cols])
+            )
     return out
 
 

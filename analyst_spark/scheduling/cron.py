@@ -127,7 +127,9 @@ class CronSchedule:
         """First activation strictly after ``t`` (second resolution),
         or None if none within the search horizon."""
         t = t.replace(microsecond=0) + timedelta(seconds=1)
-        limit = t.replace(year=t.year + _YEAR_LIMIT)
+        # timedelta, not t.replace(year=...): replace raises on Feb 29
+        # of a leap year (+5y lands on a nonexistent date)
+        limit = t + timedelta(days=365 * _YEAR_LIMIT + 2)
         while t < limit:
             if t.month not in self.months:
                 # first instant of next month

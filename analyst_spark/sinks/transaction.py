@@ -15,10 +15,15 @@ the target), and the job-end commit point becomes a real two-phase
 publish driven from the driver:
 
 * **phase 1 — prepare**: per connection, open one transaction and run
-  every staged publish (``DELETE`` target, ``INSERT … SELECT`` from
-  staging, ``DELETE`` staging) WITHOUT committing. Any failure rolls
-  back every open transaction — no target table on any connection is
-  modified.
+  every staged publish (``INSERT … SELECT`` from staging, ``DELETE``
+  staging) WITHOUT committing. Any failure rolls back every open
+  transaction — no target table on any connection is modified.
+  Publish is APPEND-ONLY, matching the reference's shared-tx SQL
+  destination (engine/sql_dest.go InsertBatch appends rows inside the
+  job Tx — an incremental load into a populated table keeps the
+  pre-existing rows). ``stage(..., replace=True)`` opts a table into
+  DELETE-then-INSERT full replacement, an extension the reference
+  does not have.
 * **phase 2 — commit**: commit each connection's transaction with
   bounded retries (mirroring the reference's retry loop). A fault
   here is the classic 2PC in-doubt window; the reference accepts the
@@ -48,7 +53,8 @@ class JobTransactionManager:
         sleep: Callable[[float], None] = time.sleep,
     ):
         self._conns: dict[str, object] = {}
-        self._staged: list[tuple[str, str]] = []  # (conn_name, table)
+        # (conn_name, table) or (conn_name, table, replace)
+        self._staged: list[tuple] = []
         self._finished = False
         self._max_retries = max_retries
         self._sleep = sleep
@@ -64,15 +70,17 @@ class JobTransactionManager:
     def conn(self, name: str):
         return self._conns[name.lower()]
 
-    def stage(self, name: str, table: str) -> None:
+    def stage(self, name: str, table: str, replace: bool = False) -> None:
         """Record that ``<table>_staging`` on connection ``name`` is
-        loaded and must be published at the commit point."""
+        loaded and must be published at the commit point. Publish
+        appends (reference semantics); ``replace=True`` deletes the
+        target's pre-existing rows first."""
         self._check_live()
         key = name.lower()
         if key not in self._conns:
             raise KeyError(f"connection not registered: {name!r}")
-        if (key, table) not in self._staged:
-            self._staged.append((key, table))
+        if not any(s[0] == key and s[1] == table for s in self._staged):
+            self._staged.append((key, table, replace))
 
     # -- commit point ------------------------------------------------
 
@@ -83,7 +91,7 @@ class JobTransactionManager:
         # phase 1: run publish DML inside per-connection transactions
         prepared: list[str] = []
         try:
-            for key, table in self._staged:
+            for key, table, *rest in self._staged:
                 # mark BEFORE executing so a connection whose publish
                 # fails midway is rolled back along with the others
                 if key not in prepared:
@@ -91,7 +99,8 @@ class JobTransactionManager:
                 conn = self._conns[key]
                 cur = conn.cursor()
                 try:
-                    cur.execute(f"DELETE FROM {table}")
+                    if rest and rest[0]:  # replace=True: full refresh
+                        cur.execute(f"DELETE FROM {table}")
                     cur.execute(
                         f"INSERT INTO {table} SELECT * FROM {table}_staging"
                     )
@@ -99,11 +108,18 @@ class JobTransactionManager:
                 finally:
                     cur.close()
         except Exception:
-            for key in prepared:
+            # roll back EVERY registered connection: managed direct
+            # writes (connections.py) sit uncommitted on connections
+            # that staged nothing
+            for key in self._conns:
                 self._retry(self._conns[key].rollback, key, "rollback")
             raise
-        # phase 2: commit each connection, with retries
-        for key in prepared:
+        # phase 2: commit each connection, with retries. All registered
+        # connections commit — not just the staged ones — because
+        # tx-managed connections defer their per-block commits to this
+        # point (transaction_manager.go:21-41 holds ONE transaction per
+        # connection until job end).
+        for key in self._conns:
             self._retry(self._conns[key].commit, key, "commit")
 
     def rollback(self) -> None:
@@ -111,9 +127,10 @@ class JobTransactionManager:
         (best-effort, like the reference's retried Rollback)."""
         self._check_live()
         self._finished = True
-        for key, table in self._staged:
+        for key in self._conns:  # every connection, staged or not
+            self._retry(self._conns[key].rollback, key, "rollback")
+        for key, table, *_rest in self._staged:
             conn = self._conns[key]
-            self._retry(conn.rollback, key, "rollback")
             try:  # best-effort staging cleanup, own tiny tx
                 cur = conn.cursor()
                 cur.execute(f"DELETE FROM {table}_staging")

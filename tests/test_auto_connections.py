@@ -117,3 +117,50 @@ def test_tx_manager_gets_auto_sqlite_connection(spark, tmp_path):
     """
     execute_script(spark, script, tx_manager=tx)
     assert "db" in tx._conns  # auto connection registered for 2PC
+
+
+def test_sqlite_source_schema_stable_empty_vs_nonempty(spark, tmp_path):
+    # a plan's column types must not depend on whether data happens to
+    # be present: schema comes from sqlite's declared-type derivation
+    from analyst_spark.aql.connections import SQLiteConnection
+
+    db = str(tmp_path / "schema_stable.db")
+    seed = sqlite3.connect(db)
+    seed.execute("CREATE TABLE T (x INTEGER, name TEXT, r REAL)")
+    seed.commit()
+    seed.close()
+    c = SQLiteConnection(db)
+    empty = c.source(spark, {}, "SELECT x, name, r FROM T")
+    c.conn.execute("INSERT INTO T VALUES (1, 'a', 1.5)")
+    full = c.source(spark, {}, "SELECT x, name, r FROM T")
+    assert empty.schema == full.schema
+    assert [f.dataType.simpleString() for f in full.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+    assert full.collect()[0][0] == 1
+
+
+def test_auto_sqlite_managed_rollback_undoes_earlier_blocks(spark, tmp_path):
+    # transaction_manager.go:21-41: ONE uncommitted transaction per
+    # connection until job end — a mid-job failure undoes EVERY earlier
+    # block's writes, including DDL, with no injected handlers
+    from analyst_spark.sinks.transaction import JobTransactionManager
+
+    db = str(tmp_path / "auto_tx_rollback.db")
+    tx = JobTransactionManager()
+    script = f"""
+    CONNECTION 'DB' (Driver = 'sqlite3', ConnectionString = '{db}')
+    EXEC 'Init' FROM CONNECTION DB (
+        CREATE TABLE T (id INT PRIMARY KEY);
+        INSERT INTO T VALUES (1);
+    )
+    EXEC 'Boom' FROM CONNECTION DB (
+        INSERT INTO T VALUES (1);
+    ) AFTER Init
+    """
+    with pytest.raises(sqlite3.IntegrityError):
+        execute_script(spark, script, tx_manager=tx)
+    check = sqlite3.connect(db)
+    with pytest.raises(sqlite3.OperationalError):  # no such table
+        check.execute("SELECT * FROM T")
+    check.close()

@@ -111,3 +111,17 @@ def test_plugin_error_surfaces(spark):
     with pytest.raises(PluginError):
         c.call("receive", None)
     c.close()
+
+
+def test_declared_destination_with_zero_rows_is_empty_frame(spark):
+    # a plugin that declares a destination but routes nothing to it
+    # must yield an empty frame, not crash schema inference
+    from analyst_spark.plugins_rpc import _frames_from_rows
+
+    outs = _frames_from_rows(
+        spark,
+        [{"destination": "a", "data": [1]}],
+        {"a": ["x"], "b": ["y"]},
+    )
+    assert outs["a"].count() == 1
+    assert outs["b"].count() == 0 and outs["b"].columns == ["y"]

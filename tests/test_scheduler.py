@@ -197,3 +197,10 @@ def test_scheduler_drives_aql_script(spark):
     s.tick(_dt(2026, 1, 1, 0, 1, 30))
     assert len(outputs) == 1 and len(outputs[0]) == 2
     assert s.invocations[0].success and s.invocations[0].log == "rows=2"
+
+
+def test_next_from_leap_day_does_not_raise():
+    # year+5 via replace() lands on a nonexistent Feb 29 and raised
+    # ValueError; the horizon must be computed with timedelta
+    s = parse_cron("0 0 0 1 1 *")
+    assert s.next(_dt(2028, 2, 29, 12, 0, 0)) == _dt(2029, 1, 1)

@@ -203,3 +203,29 @@ def test_aql_job_failure_rolls_back_staged_sink(spark):
     # nothing published, staging cleared
     assert a.execute("SELECT k, v FROM t").fetchall() == [(99, "pre")]
     assert a.execute("SELECT count(*) FROM t_staging").fetchone()[0] == 0
+
+
+def test_commit_appends_to_populated_target():
+    # reference semantics (engine/sql_dest.go InsertBatch in the job
+    # Tx): incremental load APPENDS — pre-existing rows survive
+    a = _db()
+    a.execute("INSERT INTO t VALUES (99, 'pre')")
+    a.commit()
+    tx = JobTransactionManager()
+    tx.register("A", a)
+    a.execute("INSERT INTO t_staging VALUES (1, 'a')")
+    tx.stage("A", "t")
+    tx.commit()
+    assert sorted(a.execute("SELECT k FROM t").fetchall()) == [(1,), (99,)]
+
+
+def test_commit_replace_option_refreshes_target():
+    a = _db()
+    a.execute("INSERT INTO t VALUES (99, 'pre')")
+    a.commit()
+    tx = JobTransactionManager()
+    tx.register("A", a)
+    a.execute("INSERT INTO t_staging VALUES (1, 'a')")
+    tx.stage("A", "t", replace=True)
+    tx.commit()
+    assert a.execute("SELECT k FROM t").fetchall() == [(1,)]
