@@ -14,6 +14,7 @@ neutralized, TEST assertion blocks evaluated.
 from __future__ import annotations
 
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -218,6 +219,7 @@ class Executor:
         connection_options: dict[str, dict] | None = None,
         logger=None,
         slack_post_fn=None,
+        stopper=None,
     ):
         from analyst_spark.logging import ERROR, ConsoleLogger
 
@@ -240,6 +242,9 @@ class Executor:
         self.connection_options = {
             k.lower(): v for k, v in (connection_options or {}).items()
         }
+        # optional Stopper (engine/stopper.go): checked between blocks,
+        # wired to cancelJobGroup so in-flight Spark stages abort too
+        self.stopper = stopper
         self._job_opts: dict[str, object] = {}
 
     # -- connection resolution ---------------------------------------
@@ -350,24 +355,56 @@ class Executor:
                 if ref.kind == "block" and ref.name:
                     fan_out[ref.name.lower()] = fan_out.get(ref.name.lower(), 0) + 1
         self._fan_out = fan_out
-        from analyst_spark.logging import ERROR, INFO, Event
+        from analyst_spark.logging import ERROR, INFO, WARNING, Event
+        from analyst_spark.stopper import JobInterrupted
 
+        # coordinator.go:277-413: context cancellation → Stop() →
+        # rollback → ErrInterrupted. Tag every action this job launches
+        # with a unique group so stop() can cancel in-flight stages.
+        sc = self.spark.sparkContext
+        job_group = None
+        if self.stopper is not None:
+            job_group = f"aql-{uuid.uuid4().hex[:12]}"
+            sc.setJobGroup(job_group, "AQL job", interruptOnCancel=True)
+            self.stopper.on_stop(
+                lambda g=job_group: sc.cancelJobGroup(g)
+            )
         try:
             for blk in order:
+                if self.stopper is not None and self.stopper.stopped():
+                    raise JobInterrupted("job stopped before block "
+                                         f"{blk.name or blk.kind!r}")
                 self.logger.log(Event(blk.name or blk.kind, INFO,
                                       f"{blk.kind} block started"))
                 self._run_block(blk, res)
                 self.logger.log(Event(blk.name or blk.kind, INFO,
                                       f"{blk.kind} block finished"))
         except Exception as e:
+            if (self.stopper is not None and self.stopper.stopped()
+                    and not isinstance(e, JobInterrupted)):
+                # a cancelled Spark action surfaces as a Py4J error;
+                # report the interrupt, not the symptom
+                self.logger.log(Event("Coordinator", WARNING,
+                                      "job interrupted - aborting"))
+                if self.tx_manager is not None:
+                    self.tx_manager.rollback()
+                raise JobInterrupted("job stopped") from e
             self.logger.log(Event(blk.name or blk.kind, ERROR, str(e)))
             if self.tx_manager is not None:
                 self.tx_manager.rollback()
             raise
         finally:
+            if job_group is not None:
+                sc.setLocalProperty("spark.jobGroup.id", None)
             for name, df in res.frames.items():
                 if fan_out.get(name, 0) > 1:
                     df.unpersist()
+        # the reference picks rollback-vs-commit off the stop flag at
+        # job end even when no component errored
+        if self.stopper is not None and self.stopper.stopped():
+            if self.tx_manager is not None:
+                self.tx_manager.rollback()
+            raise JobInterrupted("job stopped")
         if self.tx_manager is not None and not self.test_mode:
             self.tx_manager.commit()
         return res
@@ -565,6 +602,7 @@ def execute_script(
     connection_options=None,
     logger=None,
     slack_post_fn=None,
+    stopper=None,
 ) -> JobResult:
     merged = dict(options or {})
     # First parse only harvests SET blocks — no template rendering yet,
@@ -580,7 +618,7 @@ def execute_script(
         spark, test_mode=False, connections=connections, plugins=plugins,
         lookup_order_cols=lookup_order_cols, tx_manager=tx_manager,
         connection_options=connection_options, logger=logger,
-        slack_post_fn=slack_post_fn,
+        slack_post_fn=slack_post_fn, stopper=stopper,
     )
     return ex.run(blocks, merged)
 

@@ -131,6 +131,12 @@ class AnalystServer:
         runner = self.task_runner or self._run_task_command
         self.scheduler = Scheduler(runner=runner, clock=self.clock)
         self._n_persisted_invocations = 0
+        # cancellation registries (engine/stopper.go analog): detached
+        # /run jobs and in-flight scheduled tasks, stoppable while the
+        # main lock is held by the running job
+        self._jobs: dict[int, dict] = {}
+        self._next_job_id = 1
+        self._task_stoppers: dict[int, object] = {}
         self._load_tasks()
 
     # -- persistence ---------------------------------------------------
@@ -213,11 +219,38 @@ class AnalystServer:
     def _run_task_command(self, task: Task, args: str) -> str:
         """Default task runner: task.command is an AQL script path —
         the reference shells out to `analyst run --script <command>
-        --params <args>` (scheduler.go:192)."""
+        --params <args>` (scheduler.go:192). Each run registers a
+        Stopper so POST /tasks/<id>/stop can cancel it mid-flight."""
+        from analyst_spark.stopper import Stopper
+
         with open(task.command) as f:
             script = f.read()
         params = json.loads(args) if args else {}
-        return "\n".join(self.script_runner(script, params))
+        stopper = Stopper()
+        self._task_stoppers[task.id] = stopper
+        try:
+            return "\n".join(self._call_runner(script, params, stopper))
+        finally:
+            self._task_stoppers.pop(task.id, None)
+
+    def _call_runner(self, script: str, params: dict, stopper):
+        """Invoke script_runner, passing the stopper only when the
+        runner's signature takes it (injected 2-arg test runners keep
+        working unchanged)."""
+        import inspect
+
+        try:
+            sig = inspect.signature(self.script_runner)
+            takes_stopper = (
+                "stopper" in sig.parameters
+                or any(p.kind is inspect.Parameter.VAR_KEYWORD
+                       for p in sig.parameters.values())
+            )
+        except (TypeError, ValueError):
+            takes_stopper = False
+        if takes_stopper:
+            return self.script_runner(script, params, stopper=stopper)
+        return self.script_runner(script, params)
 
     # -- routing -------------------------------------------------------
 
@@ -226,6 +259,18 @@ class AnalystServer:
         Routes mirror main.go:160-175."""
         body = body or {}
         try:
+            # stop/status routes bypass the main lock: a running job or
+            # scheduled task HOLDS that lock (detached worker threads
+            # take it only to finalize), and cancellation must be able
+            # to land while it runs
+            m = re.fullmatch(r"/(?:jobs|tasks)/(\d+)/stop", path.rstrip("/"))
+            if method.upper() == "POST" and m:
+                if path.rstrip("/").startswith("/jobs/"):
+                    return self._stop_job(int(m.group(1)))
+                return self._stop_task(int(m.group(1)))
+            m = re.fullmatch(r"/jobs/(\d+)", path.rstrip("/"))
+            if method.upper() == "GET" and m:
+                return self._job_status(int(m.group(1)))
             with self._lock:
                 return self._route(method.upper(), path.rstrip("/"), body)
         except HTTPError as e:
@@ -320,15 +365,75 @@ class AnalystServer:
 
     def _run_script(self, body: dict):
         """POST /run — MsgRunScript (main.go:60-75): execute, reply
-        success/error; console output rides along as OUTPUT did."""
+        success/error; console output rides along as OUTPUT did.
+        ``detach: true`` runs in a worker thread and returns a job id
+        that GET /jobs/<id> polls and POST /jobs/<id>/stop cancels —
+        the reference's context-cancellation path
+        (coordinator.go:277-413) reached over REST."""
         script = body.get("script")
         if not script:
             raise HTTPError(400, "missing required field 'script'")
+        if body.get("detach"):
+            return self._start_detached(script, body.get("params") or {})
         try:
             output = self.script_runner(script, body.get("params") or {})
         except Exception as e:  # RunResponse carries the error, not a 5xx
             return 200, {"success": False, "error": str(e)}
         return 200, {"success": True, "output": output}
+
+    # -- detached jobs + cancellation ----------------------------------
+
+    def _start_detached(self, script: str, params: dict):
+        from analyst_spark.stopper import JobInterrupted, Stopper
+
+        jid = self._next_job_id
+        self._next_job_id += 1
+        job = {
+            "id": jid, "status": "running", "output": None,
+            "error": None, "stopper": Stopper(),
+            "done": threading.Event(),
+        }
+        self._jobs[jid] = job
+
+        def work():
+            try:
+                out = self._call_runner(script, params, job["stopper"])
+                job["status"], job["output"] = "succeeded", list(out)
+            except JobInterrupted as e:
+                job["status"], job["error"] = "interrupted", str(e)
+            except Exception as e:
+                job["status"], job["error"] = "failed", str(e)
+            finally:
+                job["done"].set()
+
+        threading.Thread(target=work, daemon=True).start()
+        return 202, {"job_id": jid, "status": "running"}
+
+    def _job_record(self, jid: int) -> dict:
+        job = self._jobs.get(jid)
+        if job is None:
+            raise HTTPError(404, f"no job with id {jid}")
+        return job
+
+    def _job_status(self, jid: int):
+        job = self._job_record(jid)
+        return 200, {
+            "job_id": jid, "status": job["status"],
+            "output": job["output"], "error": job["error"],
+        }
+
+    def _stop_job(self, jid: int):
+        job = self._job_record(jid)
+        job["stopper"].stop()
+        return 200, {"job_id": jid, "stopping": True,
+                     "status": job["status"]}
+
+    def _stop_task(self, tid: int):
+        stopper = self._task_stoppers.get(tid)
+        if stopper is None:
+            raise HTTPError(404, f"task {tid} has no running invocation")
+        stopper.stop()
+        return 200, {"task_id": tid, "stopping": True}
 
     def _compile_script(self, body: dict):
         """POST /compile — MsgCompileScript (main.go:76-90):
@@ -396,9 +501,11 @@ def spark_script_runner(spark, sf_dir: str | None = None):
     from analyst_spark.aql.engine import execute_script
     from analyst_spark.tables import register_views
 
-    def run(script: str, params: dict) -> list[str]:
+    def run(script: str, params: dict, stopper=None) -> list[str]:
         if sf_dir:
             register_views(spark, sf_dir)
-        return execute_script(spark, script, options=params or None).console
+        return execute_script(
+            spark, script, options=params or None, stopper=stopper
+        ).console
 
     return run
