@@ -207,6 +207,20 @@ def _bind_params(sql: str, names: list[str], params: dict[str, object]) -> str:
     return "".join(out)
 
 
+def _check_multisource_order(blk: Block) -> None:
+    """Validate MULTISOURCE_ORDER exactly as the reference does
+    (compiler.go:655-683): a string, PARALLEL or SEQUENTIAL,
+    case-insensitive; anything else is a compile error."""
+    val = blk.options.get("MULTISOURCE_ORDER")
+    if val is None:
+        return
+    if str(val).upper() not in ("PARALLEL", "SEQUENTIAL"):
+        raise ValueError(
+            "expected MULTISOURCE_ORDER to be PARALLEL or SEQUENTIAL "
+            f"in transform {blk.name} but got '{val}'"
+        )
+
+
 class Executor:
     def __init__(
         self,
@@ -300,7 +314,17 @@ class Executor:
                 frames.append(df)
         if len(frames) == 1:
             return frames[0]
-        # MULTISOURCE: deterministic ordered union (SURVEY §1.1)
+        # MULTISOURCE: deterministic ordered union (SURVEY §1.1).
+        # MULTISOURCE_ORDER (compiler.go:655-683 sequenceSources,
+        # engine/sequencer.go:11-60): SEQUENTIAL = rows of source i
+        # precede rows of source i+1; PARALLEL (default) = no ordering
+        # guarantee. An ordered unionByName satisfies both — Spark's
+        # union IS the sequencer here (partitions of f1 are numbered
+        # before f2's, so any order-sensitive sink that drains
+        # partition-ordered output sees the sequential order), and the
+        # sources still SCAN in parallel because they are all part of
+        # one lazy plan. The option is validated like the reference.
+        _check_multisource_order(blk)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
@@ -410,6 +434,7 @@ class Executor:
         return res
 
     def _run_block(self, blk: Block, res: JobResult) -> None:
+        _check_multisource_order(blk)
         if blk.kind == "test":
             if self.test_mode:
                 target = blk.sources[0].name
@@ -510,7 +535,16 @@ class Executor:
             raise ValueError(
                 f"LOOKUP sides {spec.base!r}/{spec.lookup!r} not among sources"
             )
+        # order column for last-wins dedup of duplicate lookup keys:
+        # Python-API injection wins, else the script's WITH
+        # (ORDER_BY = 'col') — reference scripts control it without
+        # touching Python (engine/lookup.go last-wins over the scan
+        # order; here the order must be an explicit column because a
+        # distributed scan has no stable arrival order)
         order_col = self.lookup_order_cols.get(blk.name.lower())
+        if order_col is None:
+            ob = blk.options.get("ORDER_BY")
+            order_col = str(ob) if ob else None
         return build_lookup(base, lookup, spec, order_col=order_col)
 
     def _ref_frame(self, ref, blk: Block, res: JobResult) -> DataFrame:
@@ -650,6 +684,7 @@ def validate_script(
     ]
     named = {b.name.lower() for b in executable if b.name}
     for b in executable:
+        _check_multisource_order(b)
         for ref in b.sources:
             if ref.kind == "block" and ref.name and ref.name.lower() not in named:
                 raise ValueError(

@@ -86,3 +86,36 @@ SELECT n_name,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+def aql_lookup_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOOKUP with duplicate lookup keys resolved by the script-level
+    WITH (ORDER_BY = ...) option — the reference's last-wins dedup
+    (lookup.go:185-188) made deterministic and reachable from AQL
+    alone: each customer matches many orders; the row with the
+    greatest o_orderkey wins."""
+    register_views(spark, sf_dir)
+    script = """
+    QUERY 'Custs' FROM GLOBAL (
+        SELECT c_custkey, c_name FROM customer
+    );
+
+    QUERY 'Ords' FROM GLOBAL (
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+    );
+
+    TRANSFORM 'LastOrder' FROM BLOCK Custs, BLOCK Ords (
+        LOOKUP Custs.c_custkey, Custs.c_name, Ords.o_totalprice
+        FROM Custs
+        INNER JOIN Ords ON Custs.c_custkey = Ords.o_custkey
+    ) WITH (ORDER_BY = 'o_orderkey')
+    """
+    return execute_script(spark, script).frames["lastorder"]
+
+
+AQL_LOOKUP_ORDER_BY_ORACLE = """
+SELECT c_custkey, c_name,
+       arg_max(o_totalprice, o_orderkey) AS o_totalprice
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""

@@ -568,3 +568,77 @@ def test_sqlite_dialect_queries_run_on_spark(spark):
         ("2017-12-01", "a+b", "x!"),
         ("2017-12-02", "a", "x!"),
     ]
+
+
+def test_multisource_order_sequential_honored(spark):
+    # compiler_test.go:556-607 (Multisource_Order = 'Sequential'):
+    # rows of source i precede rows of source i+1 at the sink
+    got = []
+    script = """
+    DATA 'SliceOfData' ( [[1], [-1], [2]] )
+    WITH (FORMAT='JSON_ARRAY', COLUMNS='Value');
+    DATA 'SliceOfData2' ( [[10], [11], [-2]] )
+    WITH (FORMAT='JSON_ARRAY', COLUMNS='Value');
+    TRANSFORM 'All' FROM BLOCK SliceOfData, BLOCK SliceOfData2 (
+        APPLY Value
+    ) INTO CONNECTION Sink
+    WITH (Multisource_Order = 'Sequential')
+    """
+    execute_script(
+        spark, script,
+        connections={"sink.write": lambda df, o: got.extend(
+            r.Value for r in df.collect())},
+    )
+    assert got == [1, -1, 2, 10, 11, -2]
+
+
+def test_multisource_order_parallel_accepted(spark):
+    script = """
+    DATA 'A' ( [[1]] ) WITH (FORMAT='JSON_ARRAY', COLUMNS='x');
+    DATA 'B' ( [[2]] ) WITH (FORMAT='JSON_ARRAY', COLUMNS='x');
+    TRANSFORM 'Sum' FROM BLOCK A, BLOCK B (
+        AGGREGATE SUM(x) AS total
+    ) INTO CONSOLE WITH (OUTPUT_FORMAT='JSON', MULTISOURCE_ORDER='PARALLEL')
+    """
+    res = execute_script(spark, script)
+    assert res.console == ['[{"total":3}]']
+
+
+def test_multisource_order_invalid_value_is_compile_error(spark):
+    from analyst_spark.aql.engine import validate_script
+
+    script = """
+    DATA 'A' ( [[1]] ) WITH (FORMAT='JSON_ARRAY', COLUMNS='x');
+    DATA 'B' ( [[2]] ) WITH (FORMAT='JSON_ARRAY', COLUMNS='x');
+    TRANSFORM 'Sum' FROM BLOCK A, BLOCK B (
+        AGGREGATE SUM(x) AS total
+    ) INTO CONSOLE WITH (MULTISOURCE_ORDER='ZIGZAG')
+    """
+    with pytest.raises(ValueError, match="PARALLEL or SEQUENTIAL"):
+        validate_script(script)
+    with pytest.raises(ValueError, match="PARALLEL or SEQUENTIAL"):
+        execute_script(spark, script)
+
+
+def test_lookup_order_by_option_last_wins(spark):
+    # AQL-level ORDER_BY: duplicate lookup keys resolve to the row
+    # with the greatest ORDER_BY value, with no Python API involvement
+    # (reference lookup.go:185-188 last-wins, made deterministic)
+    got = []
+    script = """
+    DATA 'Base' ( [[1, "x"], [2, "y"]] )
+    WITH (FORMAT='JSON_ARRAY', COLUMNS='id,tag');
+    DATA 'Prices' ( [[1, 100, 5], [1, 200, 9], [2, 300, 1], [2, 250, 4]] )
+    WITH (FORMAT='JSON_ARRAY', COLUMNS='pid,price,version');
+    TRANSFORM 'Enriched' FROM BLOCK Base, BLOCK Prices (
+        LOOKUP Base.id, price FROM Base INNER JOIN Prices ON Base.id = Prices.pid
+    ) INTO CONNECTION Sink
+    WITH (ORDER_BY = 'version')
+    """
+    execute_script(
+        spark, script,
+        connections={"sink.write": lambda df, o: got.extend(
+            sorted((r.id, r.price) for r in df.collect()))},
+    )
+    # id 1: version 9 row wins (price 200); id 2: version 4 row wins (250)
+    assert got == [(1, 200), (2, 250)]
