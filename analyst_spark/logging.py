@@ -158,3 +158,40 @@ def maybe_wrap_slack(
         script=str(opts.get("SLACK_NAME", "")),
         post_fn=post_fn,
     )
+
+
+class CollectingLogger:
+    """Thread-safe event collector backing the server's log-streaming
+    endpoints. The reference streams MsgLog frames over the RUN
+    websocket while the job executes (http/main.go:47-84); here block
+    events accumulate with sequence numbers and stream out via the
+    SSE adapter or incremental polls (``after``). Wraps an inner
+    logger when given so console/Slack behavior is unchanged."""
+
+    def __init__(self, inner=None):
+        import threading
+
+        self._lock = threading.Lock()
+        self.inner = inner
+        self.events: list[dict] = []
+
+    def log(self, event: Event) -> None:
+        if self.inner is not None:
+            self.inner.log(event)
+        with self._lock:
+            self.events.append({
+                "seq": len(self.events),
+                "time": event.time.isoformat(),
+                "level": _LEVEL_TAGS[event.level].strip("[]").lower(),
+                "source": event.source,
+                "message": event.message,
+            })
+
+    def error(self) -> str | None:
+        return self.inner.error() if self.inner is not None else None
+
+    def after(self, seq: int) -> list[dict]:
+        """Events with sequence >= seq (the incremental poll/stream
+        cursor)."""
+        with self._lock:
+            return list(self.events[seq:])

@@ -233,24 +233,24 @@ class AnalystServer:
         finally:
             self._task_stoppers.pop(task.id, None)
 
-    def _call_runner(self, script: str, params: dict, stopper):
-        """Invoke script_runner, passing the stopper only when the
-        runner's signature takes it (injected 2-arg test runners keep
-        working unchanged)."""
+    def _call_runner(self, script: str, params: dict, stopper, logger=None):
+        """Invoke script_runner, passing stopper/logger only when the
+        runner's signature takes them (injected 2-arg test runners
+        keep working unchanged)."""
         import inspect
 
+        kwargs = {}
         try:
             sig = inspect.signature(self.script_runner)
-            takes_stopper = (
-                "stopper" in sig.parameters
-                or any(p.kind is inspect.Parameter.VAR_KEYWORD
-                       for p in sig.parameters.values())
-            )
+            has_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                         for p in sig.parameters.values())
+            if "stopper" in sig.parameters or has_kw:
+                kwargs["stopper"] = stopper
+            if logger is not None and ("logger" in sig.parameters or has_kw):
+                kwargs["logger"] = logger
         except (TypeError, ValueError):
-            takes_stopper = False
-        if takes_stopper:
-            return self.script_runner(script, params, stopper=stopper)
-        return self.script_runner(script, params)
+            pass
+        return self.script_runner(script, params, **kwargs)
 
     # -- routing -------------------------------------------------------
 
@@ -271,6 +271,10 @@ class AnalystServer:
             m = re.fullmatch(r"/jobs/(\d+)", path.rstrip("/"))
             if method.upper() == "GET" and m:
                 return self._job_status(int(m.group(1)))
+            m = re.fullmatch(r"/jobs/(\d+)/logs", path.rstrip("/"))
+            if method.upper() == "GET" and m:
+                return self._job_logs(int(m.group(1)),
+                                      int(body.get("after", 0)))
             with self._lock:
                 return self._route(method.upper(), path.rstrip("/"), body)
         except HTTPError as e:
@@ -384,6 +388,7 @@ class AnalystServer:
     # -- detached jobs + cancellation ----------------------------------
 
     def _start_detached(self, script: str, params: dict):
+        from analyst_spark.logging import CollectingLogger
         from analyst_spark.stopper import JobInterrupted, Stopper
 
         jid = self._next_job_id
@@ -391,13 +396,15 @@ class AnalystServer:
         job = {
             "id": jid, "status": "running", "output": None,
             "error": None, "stopper": Stopper(),
-            "done": threading.Event(),
+            "logger": CollectingLogger(), "done": threading.Event(),
         }
         self._jobs[jid] = job
 
         def work():
             try:
-                out = self._call_runner(script, params, job["stopper"])
+                out = self._call_runner(
+                    script, params, job["stopper"], logger=job["logger"]
+                )
                 job["status"], job["output"] = "succeeded", list(out)
             except JobInterrupted as e:
                 job["status"], job["error"] = "interrupted", str(e)
@@ -420,6 +427,17 @@ class AnalystServer:
         return 200, {
             "job_id": jid, "status": job["status"],
             "output": job["output"], "error": job["error"],
+        }
+
+    def _job_logs(self, jid: int, after: int = 0):
+        """GET /jobs/<id>/logs — incremental poll of block-level
+        events; ``after`` is the cursor from the previous poll's
+        ``next`` (the REST face of the reference's MsgLog stream)."""
+        job = self._job_record(jid)
+        events = job["logger"].after(after)
+        return 200, {
+            "job_id": jid, "status": job["status"], "events": events,
+            "next": after + len(events),
         }
 
     def _stop_job(self, jid: int):
@@ -459,6 +477,9 @@ def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDU
 
     class Handler(BaseHTTPRequestHandler):
         def _dispatch(self):
+            m = re.fullmatch(r"/jobs/(\d+)/stream", self.path.rstrip("/"))
+            if self.command == "GET" and m:
+                return self._stream_logs(int(m.group(1)))
             length = int(self.headers.get("Content-Length") or 0)
             raw = self.rfile.read(length) if length else b""
             try:
@@ -473,6 +494,48 @@ def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDU
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def _stream_logs(self, jid: int):
+            """GET /jobs/<id>/stream — server-sent events: one `data:`
+            frame per log event while the job runs, then an `end`
+            event carrying the final status. The HTTP-native analog
+            of the reference's websocket MsgLog stream
+            (http/main.go:47-84)."""
+            job = server._jobs.get(jid)
+            if job is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            cursor = 0
+            try:
+                while True:
+                    for ev in job["logger"].after(cursor):
+                        cursor += 1
+                        self.wfile.write(
+                            b"data: " + json.dumps(ev).encode() + b"\n\n"
+                        )
+                    self.wfile.flush()
+                    if job["done"].is_set():
+                        # drain anything logged between poll and done
+                        for ev in job["logger"].after(cursor):
+                            cursor += 1
+                            self.wfile.write(
+                                b"data: " + json.dumps(ev).encode() + b"\n\n"
+                            )
+                        self.wfile.write(
+                            b"event: end\ndata: "
+                            + json.dumps({"status": job["status"]}).encode()
+                            + b"\n\n"
+                        )
+                        self.wfile.flush()
+                        return
+                    job["done"].wait(0.2)
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client went away; job keeps running
 
         do_GET = do_POST = do_PUT = do_DELETE = _dispatch
 
@@ -501,11 +564,12 @@ def spark_script_runner(spark, sf_dir: str | None = None):
     from analyst_spark.aql.engine import execute_script
     from analyst_spark.tables import register_views
 
-    def run(script: str, params: dict, stopper=None) -> list[str]:
+    def run(script: str, params: dict, stopper=None, logger=None) -> list[str]:
         if sf_dir:
             register_views(spark, sf_dir)
         return execute_script(
-            spark, script, options=params or None, stopper=stopper
+            spark, script, options=params or None, stopper=stopper,
+            logger=logger,
         ).console
 
     return run

@@ -8,7 +8,9 @@ Batched INSERT append with the reference's options:
   (``df.na.drop("any")`` — sql_dest.go:194-201's hasNulls).
 * Driver-specific bulk speed (the reference's BULK COPY / COPY
   inserters, sql_inserter.go:79-171) → ``reWriteBatchedInserts`` for
-  Postgres, ``bulkCopyToSqlDb``-style tuning left to driver options.
+  Postgres; ``useBulkCopyForBatchInsert`` for MSSQL (the public
+  mssql-jdbc ≥ 9.2 property that converts JDBC batches into TDS bulk
+  copy — the ``mssql.CopyIn`` analog, sql_inserter.go:99-124).
 
 Transactionality: Spark JDBC has no cross-sink transaction; the
 staging-table pattern replaces the reference's 2PC manager
@@ -21,6 +23,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def assemble_writer_options(
+    url: str,
+    table: str,
+    rows_per_batch: int = 500,
+    driver: str | None = None,
+    staging: bool = False,
+    **options: str,
+) -> dict[str, str]:
+    """The full JDBC writer option set, as a dict so the per-driver
+    bulk strategy selection (sql_inserter.go:41-57 newSQLInserter) is
+    unit-testable without database jars."""
+    from analyst_spark.sources.jdbc import DRIVER_CLASSES
+
+    out = {
+        "url": url,
+        "dbtable": f"{table}_staging" if staging else table,
+        "batchsize": str(rows_per_batch),
+    }
+    if driver:
+        out["driver"] = DRIVER_CLASSES.get(driver, driver)
+    if "postgresql" in url or (driver or "").lower() in ("postgres", "postgresql"):
+        # PostgresInserter's COPY-class speedup (sql_inserter.go:127-171):
+        # pgjdbc rewrites the batch into multi-row inserts
+        out["reWriteBatchedInserts"] = "true"
+    if "sqlserver" in url or (driver or "").lower() in ("mssql", "sqlserver"):
+        # MSSQLInserter's mssql.CopyIn (sql_inserter.go:99-124):
+        # mssql-jdbc >= 9.2 turns the JDBC batch into a TDS bulk copy
+        out["useBulkCopyForBatchInsert"] = "true"
+    out.update(options)
+    return out
+
+
 def jdbc_sink(
     df: DataFrame,
     url: str,
@@ -31,23 +65,12 @@ def jdbc_sink(
     staging: bool = False,
     **options: str,
 ) -> None:
-    from analyst_spark.sources.jdbc import DRIVER_CLASSES
-
     if drop_nulls:
         df = df.na.drop(how="any")
-    target = f"{table}_staging" if staging else table
-    writer = (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", target)
-        .option("batchsize", str(rows_per_batch))
-        .mode("append")
-    )
-    if driver:
-        writer = writer.option("driver", DRIVER_CLASSES.get(driver, driver))
-    if "postgresql" in url:
-        writer = writer.option("reWriteBatchedInserts", "true")
-    for k, v in options.items():
+    writer = df.write.format("jdbc").mode("append")
+    for k, v in assemble_writer_options(
+        url, table, rows_per_batch, driver, staging, **options
+    ).items():
         writer = writer.option(k, v)
     writer.save()
 

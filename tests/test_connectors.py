@@ -318,3 +318,28 @@ def test_split_by_destination_routing(spark):
     assert sorted(r.n for r in parts["a"].collect()) == [1, 3]
     assert sorted(r.n for r in parts["b"].collect()) == [2, 3]
     assert parts["a"].columns == ["n"]
+
+
+def test_jdbc_writer_bulk_strategy_per_driver():
+    # sql_inserter.go:41-57 newSQLInserter: driver picks the bulk
+    # strategy — MSSQL bulk copy (:99-124), Postgres rewrite (:127-171)
+    from analyst_spark.sinks.jdbc import assemble_writer_options
+
+    ms = assemble_writer_options(
+        "jdbc:sqlserver://h:1433;databaseName=db", "t", driver="mssql"
+    )
+    assert ms["useBulkCopyForBatchInsert"] == "true"
+    assert ms["driver"] == "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    assert "reWriteBatchedInserts" not in ms
+
+    pg = assemble_writer_options(
+        "jdbc:postgresql://h/db", "t", driver="postgres", staging=True
+    )
+    assert pg["reWriteBatchedInserts"] == "true"
+    assert pg["dbtable"] == "t_staging"
+    assert "useBulkCopyForBatchInsert" not in pg
+
+    lite = assemble_writer_options("jdbc:sqlite:f.db", "t", rows_per_batch=42)
+    assert lite["batchsize"] == "42"
+    assert "useBulkCopyForBatchInsert" not in lite
+    assert "reWriteBatchedInserts" not in lite

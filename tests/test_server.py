@@ -8,6 +8,8 @@ time is driven by a fake clock so ticks are deterministic.
 from __future__ import annotations
 
 import json
+import threading
+import time
 import urllib.request
 from datetime import datetime, timedelta
 
@@ -197,3 +199,77 @@ def test_live_http_server_end_to_end(srv):
     finally:
         httpd._analyst_stop.set()
         httpd.shutdown()
+
+
+def test_job_logs_incremental_poll():
+    from analyst_spark.logging import INFO, Event
+    from analyst_spark.server import AnalystServer
+
+    release = threading.Event()
+
+    def runner(script, params, stopper=None, logger=None):
+        logger.log(Event("BlockA", INFO, "query block started"))
+        logger.log(Event("BlockA", INFO, "query block finished"))
+        assert release.wait(5)
+        logger.log(Event("BlockB", INFO, "query block finished"))
+        return ["done"]
+
+    srv = AnalystServer(script_runner=runner)
+    _, out = srv.handle("POST", "/run", {"script": "X", "detach": True})
+    jid = out["job_id"]
+    # first poll: the two BlockA events arrive (wait for the thread)
+    deadline = time.monotonic() + 5
+    events = []
+    while len(events) < 2 and time.monotonic() < deadline:
+        _, log1 = srv.handle("GET", f"/jobs/{jid}/logs")
+        events = log1["events"]
+        time.sleep(0.02)
+    assert [e["source"] for e in events] == ["BlockA", "BlockA"]
+    assert events[0]["message"] == "query block started"
+    cursor = log1["next"]
+    release.set()
+    srv._jobs[jid]["done"].wait(5)
+    # second poll from the cursor: only the new BlockB event
+    _, log2 = srv.handle("GET", f"/jobs/{jid}/logs", {"after": cursor})
+    assert [e["source"] for e in log2["events"]] == ["BlockB"]
+    assert log2["status"] == "succeeded"
+
+
+def test_sse_stream_over_real_socket():
+    import http.client
+    import json as _json
+
+    from analyst_spark.logging import INFO, Event
+    from analyst_spark.server import AnalystServer, serve
+
+    def runner(script, params, stopper=None, logger=None):
+        for i in range(3):
+            logger.log(Event(f"Block{i}", INFO, f"block {i} finished"))
+            time.sleep(0.05)
+        return ["ok"]
+
+    srv = AnalystServer(script_runner=runner)
+    httpd = serve(srv, port=0, tick_interval=3600)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.request("POST", "/run",
+                  body=_json.dumps({"script": "X", "detach": True}),
+                  headers={"Content-Type": "application/json"})
+        jid = _json.loads(c.getresponse().read())["job_id"]
+        c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c2.request("GET", f"/jobs/{jid}/stream")
+        resp = c2.getresponse()
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        raw = resp.read().decode()  # server closes at job end
+        frames = [f for f in raw.split("\n\n") if f.strip()]
+        data = [_json.loads(f.split("data: ", 1)[1])
+                for f in frames if f.startswith("data: ")]
+        assert [d["source"] for d in data] == ["Block0", "Block1", "Block2"]
+        end = [f for f in frames if f.startswith("event: end")]
+        assert len(end) == 1 and '"succeeded"' in end[0]
+    finally:
+        httpd.shutdown()
+        httpd._analyst_stop.set()
