@@ -118,27 +118,38 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest
     centroid (inverted lists); each query probes only its ``n_probe``
     nearest lists instead of the full corpus.
 
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
-    deterministic, so the whole plan is SQL-expressible and
-    hash-checkable. Centroid *selection* is orthogonal to the plan
-    shape: at scale swap in k-means(||) centroids; assignment, probe,
-    and rescore stay identical. Similarities are rounded to 6dp BEFORE
-    ranking on both engines so float noise can't flip list order.
+    Default centroids are the ``n_centroids`` lowest-id corpus
+    vectors — deterministic, so the whole plan is SQL-expressible and
+    hash-checkable. Pass ``centroids`` (e.g. from ``kmeans_train``)
+    to swap in trained lists — assignment, probe, and rescore stay
+    identical; only the tiny broadcast side changes. Similarities are
+    rounded to 6dp BEFORE ranking on both engines so float noise
+    can't flip list order.
 
     At 100 TB the assignment is one broadcast pass over the corpus and
     candidate scoring touches ~n_probe/n_centroids of the data — the
     full-scan-per-query cost model brute force can't escape.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent"))
-    )
+    if centroids is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            schema="centroid_id long, __cent array<double>",
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("__cent"),
+            )
+        )
     sim_to_cent = F.round(cosine(F.col("__v"), F.col("__cent")), 6)
 
     def nearest(df: DataFrame, n: int, keep_vec: bool) -> DataFrame:

@@ -125,6 +125,7 @@ _register("dedup_clusters", tp.dedup_clusters, tp.DEDUP_CLUSTERS_ORACLE)
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
 _register("ann_lsh_topk", tp.ann_lsh_topk, None)  # generated hyperplanes → rows-only
 _register("ann_ivf_topk", tp.ann_ivf_topk, tp.ANN_IVF_ORACLE)
+_register("ann_ivf_trained", tp.ann_ivf_trained, None)  # k-means lists → rows-only
 _register("knn_label_propagation", tp.knn_label_propagation, tp.KNN_LABEL_ORACLE)
 
 # --- multimodal binary columns --------------------------------------

@@ -166,3 +166,24 @@ def test_ivf_with_trained_centroids_recall(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall}"
+
+
+def test_ann_ivf_trained_entry_recall_and_determinism(spark):
+    """The gated ann_ivf_trained entry (rows-only at the driver) is
+    held to a recall bound against exact top-k here: probing 4 of 16
+    trained lists must recover >= 60% of true neighbors on the real
+    embeddings table, and the whole composition must be run-to-run
+    deterministic (that is what the driver's rows+hash-stability
+    check relies on)."""
+    from analyst_spark.plans.text_plans import ann_cosine_topk, ann_ivf_trained
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = ann_ivf_trained(spark, sf_dir)
+    exact = ann_cosine_topk(spark, sf_dir)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert len(e) > 0
+    assert len(a & e) / len(e) >= 0.6
+    again = {(r.query_id, r.vec_id)
+             for r in ann_ivf_trained(spark, sf_dir).collect()}
+    assert again == a
