@@ -43,6 +43,9 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+MAX_EXACT_QUERIES = 1024
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,12 +53,31 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_queries: int | None = MAX_EXACT_QUERIES,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, vec_id, rank, cosine_sim), self-matches
     excluded, ties broken by corpus id ascending (deterministic).
+
+    This is the EXACT baseline: a broadcast nested-loop scan of the
+    whole corpus per query — cost is |queries| x |corpus| by
+    definition. To stop a large query set from silently launching a
+    quadratic job, the broadcast side is counted first and the call
+    fails fast above ``max_queries`` (pass None to bypass once you
+    know the cost is intended). The scale path for big query sets is
+    ``lsh_bucket_topk`` / ``ivf_topk``.
     """
+    if max_queries is not None:
+        n_q = queries.count()  # broadcast side: counting it is cheap
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk is the exact full-scan baseline: "
+                f"{n_q} query vectors would each scan the entire "
+                f"corpus (quadratic). Use ann_lsh_topk/ann_ivf_topk "
+                f"for large query sets, or pass max_queries=None to "
+                f"force the exact scan."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )

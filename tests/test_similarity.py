@@ -187,3 +187,18 @@ def test_ann_ivf_trained_entry_recall_and_determinism(spark):
     again = {(r.query_id, r.vec_id)
              for r in ann_ivf_trained(spark, sf_dir).collect()}
     assert again == a
+
+
+def test_cosine_topk_guards_large_query_sets(spark):
+    """The exact baseline fails fast instead of silently launching a
+    |queries| x |corpus| scan; the error routes users to the bucketed
+    variants, and max_queries=None is the explicit override."""
+    import pytest
+
+    from analyst_spark.functions.similarity import cosine_topk
+
+    df = _vectors(spark, n=50, dim=8, clusters=4)
+    with pytest.raises(ValueError, match="ann_lsh_topk/ann_ivf_topk"):
+        cosine_topk(df, df, k=3, max_queries=10)
+    # explicit opt-out still runs
+    assert cosine_topk(df, df.limit(12), k=3, max_queries=None).count() > 0
