@@ -53,18 +53,30 @@ def spread(df: DataFrame, *by: str) -> DataFrame:
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The testdata's parquet timestamps carry no timezone; Spark 4 would
+    # infer TIMESTAMP_NTZ, which rejects half the timestamp expression
+    # surface (unix_micros, unix_timestamp, ...). Read them as regular
+    # (UTC-based) TIMESTAMP instead — under a UTC session this matches
+    # DuckDB's naive-timestamp oracle wall-clock for wall-clock.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read nanos as long and rebuild the
-        # (lossless — data is microsecond-grained) timestamp column.
+        # some generator versions store TIMESTAMP(NANOS) which the
+        # vectorized parquet reader rejects; read nanos as long and
+        # rebuild the (lossless — data is microsecond-grained) column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division: ns-epoch values exceed 2^53, so a
             # float divide rounds some timestamps off by 1µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # belt-and-braces: if NTZ still slipped through (conf captured by an
+    # earlier cached plan, or a future Spark ignores it), cast in-plan.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 class _LazyTables(dict):
