@@ -7,7 +7,13 @@ rows sorted by their full value tuple, floats rounded to 9 sig
 places before hashing to absorb last-bit noise the real driver may or
 may not tolerate — we aim for exact anyway).
 
-Usage: python tools/verify_local.py [query ...]
+Usage: python tools/verify_local.py [--json out.json] [query ...]
+
+``--json`` additionally writes a driver-shaped report (one object per
+entry with rows_match/schema_match/hash_match/spark_rows/oracle_rows/
+err) so the full-catalog gate is a committed, reproducible artifact —
+the driver's CORRECTNESS file covers a fixed 50-entry subset; this
+covers every entry.
 """
 
 from __future__ import annotations
@@ -57,7 +63,7 @@ def table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
-def main(names):
+def main(names, json_path=None):
     import __spark_entry__ as entrymod
     from analyst_spark.session import get_spark
 
@@ -72,17 +78,25 @@ def main(names):
     oracles = entrymod.oracle_sql()
     names = names or list(qs)
     failures = []
+    report = {}
     for name in names:
         t0 = time.time()
+        rec = {"rows_match": None, "schema_match": None,
+               "hash_match": None, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
             df = qs[name](spark, SF_DIR)
             srows = df.collect()
             scols = df.columns
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"spark: {e}"
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec["err"] = "no_oracle"
             print(f"ok*   {name}: rows={len(srows)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             if len(srows) == 0:
@@ -94,17 +108,22 @@ def main(names):
             orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"duckdb: {e}"
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+        rec["oracle_rows"] = len(orows)
         scols_l = [c.lower() for c in scols]
         problems = []
-        if sorted(scols_l) != sorted(ocols):
+        rec["schema_match"] = sorted(scols_l) == sorted(ocols)
+        if not rec["schema_match"]:
             problems.append(f"cols spark={scols_l} duck={ocols}")
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if not problems:
             sh = table_hash(scols_l, [tuple(r) for r in srows])
             oh = table_hash(ocols, orows)
+            rec["hash_match"] = sh == oh
             if sh != oh:
                 problems.append(f"value-hash spark={sh} duck={oh}")
         if problems:
@@ -113,8 +132,24 @@ def main(names):
         else:
             print(f"ok    {name}: rows={len(srows)} hash={sh} [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - len(failures)}/{len(names)} green")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "n": len(names),
+                 "green": len(names) - len(failures),
+                 "failures": failures, "queries": report},
+                fh, indent=1)
+        print(f"report written to {json_path}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    raise SystemExit(main(argv, json_path=out))
