@@ -201,10 +201,25 @@ def _excel_handlers(name: str, options: dict) -> dict:
             columns=_split_columns(blk_options.get("COLUMNS")) or None,
         )
 
+    # Job-scoped multi-writer coordination (excel_source.go:37-93):
+    # the first block writing through this connection registers the
+    # path with the shared file manager; every block's cells then
+    # accumulate in ONE in-memory workbook, serialized once by the
+    # engine's job-end `.close` call — so N blocks building one
+    # spreadsheet merge instead of last-write-wins.
+    state = {"registered": False}
+
     def write(df, blk_options):
         from analyst_spark.aql.parser import truthy
-        from analyst_spark.sinks.excel import excel_sink
+        from analyst_spark.sinks.excel import FILE_MANAGER, excel_sink
 
+        if not state["registered"]:
+            FILE_MANAGER.register(
+                path,
+                template=blk_options.get("TEMPLATE"),
+                overwrite=truthy(blk_options.get("OVERWRITE", "True")),
+            )
+            state["registered"] = True
         excel_sink(
             df, path,
             sheet=str(blk_options.get("SHEET") or "Sheet1"),
@@ -213,9 +228,22 @@ def _excel_handlers(name: str, options: dict) -> dict:
             template=blk_options.get("TEMPLATE"),
             overwrite=truthy(blk_options.get("OVERWRITE", "True")),
             columns=_split_columns(blk_options.get("COLUMNS")) or None,
+            save=False,
         )
 
-    return {name: source, f"{name}.write": write}
+    def close(success=True):
+        from analyst_spark.sinks.excel import FILE_MANAGER
+
+        if not state["registered"]:
+            return
+        try:
+            if success:
+                FILE_MANAGER.save(path)
+        finally:
+            FILE_MANAGER.discard(path)
+            state["registered"] = False
+
+    return {name: source, f"{name}.write": write, f"{name}.close": close}
 
 
 def _http_handlers(name: str, conn_options: dict) -> dict:

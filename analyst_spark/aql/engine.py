@@ -404,6 +404,7 @@ class Executor:
                 self.logger.log(Event(blk.name or blk.kind, INFO,
                                       f"{blk.kind} block finished"))
         except Exception as e:
+            self._close_connections(success=False)
             if (self.stopper is not None and self.stopper.stopped()
                     and not isinstance(e, JobInterrupted)):
                 # a cancelled Spark action surfaces as a Py4J error;
@@ -426,12 +427,25 @@ class Executor:
         # the reference picks rollback-vs-commit off the stop flag at
         # job end even when no component errored
         if self.stopper is not None and self.stopper.stopped():
+            self._close_connections(success=False)
             if self.tx_manager is not None:
                 self.tx_manager.rollback()
             raise JobInterrupted("job stopped")
         if self.tx_manager is not None and not self.test_mode:
             self.tx_manager.commit()
+        # destination close analog (excel_dest.go:153-163): flush
+        # accumulated multi-writer state (e.g. the shared Excel
+        # workbook) only once the whole job succeeded
+        self._close_connections(success=True)
         return res
+
+    def _close_connections(self, success: bool) -> None:
+        """Invoke any ``<name>.close`` connection handlers. Handlers
+        are lazily built, so only connections actually touched this
+        run have one; each is responsible for being idempotent."""
+        for key, fn in list(self.connections.items()):
+            if key.endswith(".close") and callable(fn):
+                fn(success)
 
     def _run_block(self, blk: Block, res: JobResult) -> None:
         _check_multisource_order(blk)

@@ -5,13 +5,21 @@ Reference semantics: write rows into a declared sheet range
 instead of rows), optional TEMPLATE file copied then filled,
 OVERWRITE guard, optional COLUMNS re-projection by name.
 
-Cell-range layout is driver-side pure Python (`layout_cells`, fully
-tested); only the workbook writer needs openpyxl (absent in this
-container — import-gated)."""
+Concurrent-writer coordination (engine/excel_source.go:37-93): the
+reference keeps ONE in-memory workbook per filename in a process-wide
+``excelFileManager`` so that multiple destinations building the same
+spreadsheet each make incremental progress under a per-file lock
+instead of clobbering each other's saves. ``ExcelFileManager`` below
+is that singleton: registered paths accumulate cells across writers;
+``save`` serializes the merged state. Cell-range layout and the
+manager are driver-side pure Python (fully tested); only ``save``
+needs openpyxl (absent in this container — import-gated)."""
 
 from __future__ import annotations
 
+import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -58,6 +66,110 @@ def layout_cells(
     return cells
 
 
+class _ManagedWorkbook:
+    """In-memory workbook: sheet name → {(col, row): value}, guarded
+    by its own lock so writers to different files never serialize on
+    each other (excel_source.go:26-29 ``excelFile{sync.Mutex, F}``)."""
+
+    def __init__(self, template: str | None = None):
+        self.lock = threading.Lock()
+        self.template = template
+        self.sheets: dict[str, dict[tuple[int, int], object]] = {}
+
+
+class ExcelFileManager:
+    """Per-filename workbook registry (excel_source.go:37-93).
+
+    ``register`` is idempotent like the reference's; ``use`` applies a
+    function to the managed workbook under its per-file lock, which is
+    what lets N concurrent destinations interleave increments into one
+    spreadsheet. ``save`` writes the merged cells with openpyxl
+    (template copied first when one was registered)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._files: dict[str, _ManagedWorkbook] = {}
+
+    def register(
+        self,
+        path: str,
+        template: str | None = None,
+        overwrite: bool = True,
+    ) -> bool:
+        """Idempotent; returns True only for a fresh registration."""
+        with self._lock:
+            if path in self._files:
+                return False
+            if (template is None and not overwrite
+                    and os.path.exists(path)):
+                raise FileExistsError(path)
+            self._files[path] = _ManagedWorkbook(template)
+            return True
+
+    def is_registered(self, path: str) -> bool:
+        with self._lock:
+            return path in self._files
+
+    def use(self, path: str, fn):
+        with self._lock:
+            book = self._files.get(path)
+        if book is None:
+            raise RuntimeError(
+                f"Excel file {path!r} used before register() — "
+                "mirror of excel_source.go:88 panic"
+            )
+        with book.lock:
+            return fn(book)
+
+    def write_cells(
+        self, path: str, sheet: str,
+        cells: dict[tuple[int, int], object],
+    ) -> None:
+        def _merge(book: _ManagedWorkbook):
+            book.sheets.setdefault(sheet, {}).update(cells)
+
+        self.use(path, _merge)
+
+    def cells(self, path: str, sheet: str) -> dict[tuple[int, int], object]:
+        return self.use(path, lambda b: dict(b.sheets.get(sheet, {})))
+
+    def save(self, path: str) -> None:
+        if openpyxl is None:
+            raise ImportError(
+                "openpyxl is not installed; saving an Excel workbook "
+                "requires it (cell layout and multi-writer "
+                "coordination are pure Python, tested independently)"
+            )
+
+        def _save(book: _ManagedWorkbook):
+            if book.template:
+                shutil.copyfile(book.template, path)
+                wb = openpyxl.load_workbook(path)
+            else:
+                wb = openpyxl.Workbook()
+            for sheet, cells in book.sheets.items():
+                ws = (wb[sheet] if sheet in wb.sheetnames
+                      else wb.create_sheet(sheet))
+                for (x, y), v in cells.items():
+                    ws.cell(row=y, column=x, value=v)
+            wb.save(path)
+
+        self.use(path, _save)
+
+    def discard(self, path: str) -> None:
+        with self._lock:
+            self._files.pop(path, None)
+
+    def reset(self) -> None:
+        with self._lock:
+            self._files.clear()
+
+
+#: process-wide singleton, like the reference's ``fileManager``
+#: (excel_source.go:17,22-24 init())
+FILE_MANAGER = ExcelFileManager()
+
+
 def excel_sink(
     df: DataFrame,
     path: str,
@@ -68,27 +180,28 @@ def excel_sink(
     overwrite: bool = True,
     columns: list[str] | None = None,
     max_rows: int = 1_000_000,
+    manager: ExcelFileManager | None = None,
+    save: bool = True,
 ) -> None:
-    if openpyxl is None:
-        raise ImportError(
-            "openpyxl is not installed; excel_sink requires it "
-            "(cell layout core is layout_cells, tested independently)"
-        )
+    """Write ``df`` into the workbook at ``path`` via the file
+    manager. A standalone call (path not yet registered) registers,
+    writes, saves, and discards — the single-writer behavior. Inside
+    a job, the engine registers the path first and passes
+    ``save=False``; each block's cells then accumulate in the shared
+    in-memory workbook and the engine saves once at job end
+    (excel_dest.go:153-163 saves at destination close — with a shared
+    workbook the final save carries every writer's cells)."""
+    mgr = manager or FILE_MANAGER
     if columns:
         df = df.select(*columns)
     rows = [list(r) for r in df.limit(max_rows + 1).collect()]
     if len(rows) > max_rows:
         raise ValueError("row count guard exceeded for excel sink")
-    if template:
-        shutil.copyfile(template, path)
-        wb = openpyxl.load_workbook(path)
-    else:
-        import os
-
-        if os.path.exists(path) and not overwrite:
-            raise FileExistsError(path)
-        wb = openpyxl.Workbook()
-    ws = wb[sheet] if sheet in wb.sheetnames else wb.create_sheet(sheet)
-    for (x, y), v in layout_cells(rows, rng, transpose).items():
-        ws.cell(row=y, column=x, value=v)
-    wb.save(path)
+    standalone = mgr.register(path, template=template, overwrite=overwrite)
+    mgr.write_cells(path, sheet, layout_cells(rows, rng, transpose))
+    if save or standalone:
+        try:
+            mgr.save(path)
+        finally:
+            if standalone:
+                mgr.discard(path)
