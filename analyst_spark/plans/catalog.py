@@ -139,3 +139,4 @@ _register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HO
 _register("streaming_sessionize", st.streaming_sessionize, st.STREAMING_SESSIONIZE_ORACLE)
 _register("streaming_dedup", st.streaming_dedup, st.STREAMING_DEDUP_ORACLE)
 _register("streaming_running_totals", st.streaming_running_totals, st.STREAMING_TOTALS_ORACLE)
+_register("streaming_view_click_join", st.streaming_view_click_join, st.STREAMING_JOIN_ORACLE)

@@ -255,3 +255,60 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY user_id
 """
+
+
+_JOIN_SINK = "streaming_view_click_join_gate"
+
+
+def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join on the real streaming path: two file
+    streams (views, clicks) joined per user with a 30-minute event-time
+    bound (streaming/joins.py view_click_attribution_stream).
+
+    Inner stream-stream joins emit each match as soon as both sides
+    arrive — the watermark only bounds buffered state — so with the
+    availableNow trigger the append-mode sink holds exactly the batch
+    interval-join result, giving the stream-stream join machinery a
+    DuckDB oracle instead of a rows-only waiver.
+
+    At 100 TB this is the two-Kafka-topic attribution join: both sides
+    shuffle-partition on user_id so matches co-locate, and state per
+    executor stays O(rows inside the watermark horizon).
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.streaming.joins import view_click_attribution_stream
+
+    tmp = _stage_events_parquet(spark, sf_dir)
+    try:
+        views = _read_events_stream_parquet(spark, tmp).filter(
+            F.col("event_type") == "view"
+        )
+        clicks = _read_events_stream_parquet(spark, tmp).filter(
+            F.col("event_type") == "click"
+        )
+        q = run_to_memory_sink(
+            view_click_attribution_stream(
+                views, clicks, max_gap="30 minutes", watermark="1 hour"
+            ),
+            _JOIN_SINK,
+            output_mode="append",
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(_JOIN_SINK)
+
+
+STREAMING_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts AS view_ts,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""

@@ -103,12 +103,25 @@ def main() -> None:
     # charge one query 10x for a host hiccup. Min-of-2 across separate
     # passes reports steady-state engine time.
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for _pass in range(2):
         for name in BENCH_QUERIES:
             t0 = time.time()
             force(QUERIES[name](spark, SF_DIR))
             dt = round(time.time() - t0, 3)
+            if name in times:
+                spreads[name] = max(times[name], dt) / max(min(times[name], dt), 1e-9)
             times[name] = min(times.get(name, dt), dt)
+    # Adaptive third sample: when a query's two passes disagree by
+    # >1.5x, at least one was stall-inflated and the min itself may
+    # still carry part of a stall (observed: the same plan timing
+    # 4.6s and 31s back-to-back). Re-time just the disagreeing
+    # queries once more — bounded extra cost, targeted exactly at the
+    # stall victims.
+    for name in [n for n, s in spreads.items() if s > 1.5]:
+        t0 = time.time()
+        force(QUERIES[name](spark, SF_DIR))
+        times[name] = min(times[name], round(time.time() - t0, 3))
 
     total = round(sum(times.values()), 3)
     out = {
