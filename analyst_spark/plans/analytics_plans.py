@@ -281,3 +281,67 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {lang: 0.5 for lang in langs}
     sampled = docs.sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# ------------------------------------------------------ funnel
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view → click-after-view →
+    purchase-after-click, counting users who completed each step in
+    order (a later click without a preceding view does not count).
+
+    Step timestamps are the user's FIRST qualifying event: first
+    view, first click strictly after that view, first purchase
+    strictly after that click — three per-user aggregations chained
+    by user_id joins. All three intermediates are user-sized (one row
+    per user), so at 100 TB each join hashes on user_id at user
+    cardinality, not event cardinality; the heavy events scan feeds
+    map-side-combined min() aggregations only. Integer-exact counts.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    one = F.count(F.lit(1)).cast("long").alias("users")
+    return (
+        v.agg(F.lit("1_view").alias("step"), one)
+        .unionByName(c.agg(F.lit("2_click_after_view").alias("step"), one))
+        .unionByName(p.agg(F.lit("3_purchase_after_click").alias("step"), one))
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS v_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+"""

@@ -97,6 +97,7 @@ _register("events_cohort_retention", an.events_cohort_retention, an.EVENTS_COHOR
 _register("events_cube", an.events_cube, an.EVENTS_CUBE_ORACLE)
 _register("orders_except_intersect", an.orders_except_intersect, an.ORDERS_EXCEPT_INTERSECT_ORACLE)
 _register("docs_train_test_split", an.docs_train_test_split, an.DOCS_SPLIT_ORACLE)
+_register("events_funnel", an.events_funnel, an.EVENTS_FUNNEL_ORACLE)
 _register("orders_merge_upsert", an.orders_merge_upsert, an.ORDERS_UPSERT_ORACLE)
 _register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific
 _register("docs_stratified_sample", an.docs_stratified_sample, None)  # seeded sampler
@@ -112,6 +113,7 @@ _register("text_pii_scan", pp.text_pii_scan, pp.TEXT_PII_ORACLE)
 _register("text_repetition", pp.text_repetition, pp.TEXT_REPETITION_ORACLE)
 _register("text_top_tokens", pp.text_top_tokens, pp.TEXT_TOP_TOKENS_ORACLE)
 _register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACLE)
+_register("docs_token_budget_mix", pp.docs_token_budget_mix, pp.TOKEN_BUDGET_MIX_ORACLE)
 
 # --- deduplication ---------------------------------------------------
 _register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)

@@ -389,3 +389,99 @@ SELECT seq_id,
 FROM placed
 GROUP BY seq_id
 """
+
+
+# ------------------------------------------- domain-mixture budget
+
+# per-language token budgets — the "domain weights" of a pre-training
+# mixture spec (e.g. 60% en / 10% each other lang of a 20k-token run)
+_MIX_BUDGETS = {"en": 12000, "de": 2000, "es": 2000, "fr": 2000, "zh": 2000}
+_MIX_BUCKET = 64  # docs per prefix-sum bucket
+
+
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling under per-language token budgets — the
+    step that turns a raw corpus into a weighted pre-training mix.
+
+    Selection is the deterministic greedy prefix per language: docs
+    considered in doc_id order, kept while the language's running
+    token total stays within its budget (first overflow closes the
+    prefix). Deterministic ⇒ fully oracle-checkable, unlike a random
+    sampler.
+
+    The per-language running total reuses the two-phase distributed
+    prefix sum from ``docs_pack_sequences``: per-(lang, bucket) local
+    window sums + bucket base offsets cumulated over the tiny
+    (langs × buckets) table and broadcast back. No stage orders one
+    language's whole corpus in a single partition, which is what a
+    plain ``Window.partitionBy(lang).orderBy(doc_id)`` would do —
+    with a handful of languages over 100 TB that would collapse
+    parallelism to #langs tasks.
+
+    Output per language: docs/tokens selected, the budget, and the
+    exact-integer utilization per mille (integer-exact both engines).
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    budget = F.create_map(
+        *[F.lit(x) for kv in _MIX_BUDGETS.items() for x in kv]
+    )
+    toks = docs.select(
+        "doc_id", "lang",
+        (F.col("doc_id") / _MIX_BUCKET).cast("long").alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    ).filter(budget[F.col("lang")].isNotNull())
+    w_in = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = toks.withColumn("local_cum", F.sum("n_tok").over(w_in))
+    bucket_totals = toks.groupBy("lang", "bucket").agg(
+        F.sum("n_tok").alias("btot")
+    )
+    w_b = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # rows = langs x buckets — tiny by construction
+    bases = bucket_totals.withColumn(
+        "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("lang", "bucket", "base")
+    selected = (
+        within.join(F.broadcast(bases), ["lang", "bucket"])
+        .withColumn("cum", F.col("base") + F.col("local_cum"))
+        .filter(F.col("cum") <= budget[F.col("lang")])
+    )
+    return selected.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.max(budget[F.col("lang")]).cast("long").alias("budget_tokens"),
+        (F.sum("n_tok") * 1000 / F.max(budget[F.col("lang")]))
+        .cast("long").alias("utilization_pm"),
+    )
+
+
+_MIX_BUDGET_SQL = " UNION ALL ".join(
+    f"SELECT '{k}' AS lang, {v} AS budget" for k, v in _MIX_BUDGETS.items()
+)
+
+TOKEN_BUDGET_MIX_ORACLE = f"""
+WITH budgets AS ({_MIX_BUDGET_SQL}),
+toks AS (
+    SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+    FROM documents WHERE lang IN (SELECT lang FROM budgets)
+), cums AS (
+    SELECT t.lang, n_tok, b.budget,
+           sum(n_tok) OVER (PARTITION BY t.lang ORDER BY doc_id) AS cum
+    FROM toks t JOIN budgets b ON t.lang = b.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)    AS n_tokens,
+       CAST(max(budget) AS BIGINT)   AS budget_tokens,
+       CAST(sum(n_tok) * 1000 // max(budget) AS BIGINT) AS utilization_pm
+FROM cums
+WHERE cum <= budget
+GROUP BY lang
+"""
