@@ -26,6 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and one of each training-data op (the LSH/IVF variants are the
 # at-scale paths — brute-force twins are correctness-only).
 #
+# v4 (r4): + docs_token_budget_mix (domain-mix prefix-sum sampler) and
+# events_funnel (ordered conversion funnel) — new curation/analytics
+# coverage; both sub-second plans.
+#
 # v3 (r3): the two exact-twin scale-killers left the headline —
 # agg_quantile (exact percentile = unbounded per-group buffer; the
 # t-digest-class agg_quantile_approx IS the production form and stays)
@@ -35,7 +39,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 3
+HEADLINE_VERSION = 4
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -48,6 +52,8 @@ BENCH_QUERIES = [
     "events_moving_avg",
     "events_cohort_retention",
     "docs_train_test_split",
+    "docs_token_budget_mix",
+    "events_funnel",
     "agg_reducers",
     "agg_quantile_approx",
     "agg_zoh",
