@@ -99,6 +99,7 @@ _register("orders_except_intersect", an.orders_except_intersect, an.ORDERS_EXCEP
 _register("docs_train_test_split", an.docs_train_test_split, an.DOCS_SPLIT_ORACLE)
 _register("events_funnel", an.events_funnel, an.EVENTS_FUNNEL_ORACLE)
 _register("orders_merge_upsert", an.orders_merge_upsert, an.ORDERS_UPSERT_ORACLE)
+_register("bucketed_colocated_join", an.bucketed_colocated_join, an.BUCKETED_JOIN_ORACLE)
 _register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific
 _register("docs_stratified_sample", an.docs_stratified_sample, None)  # seeded sampler
 

@@ -97,3 +97,27 @@ def test_upsert_no_cartesian_and_single_scan_shape(spark):
     plan = _plan(QUERIES["orders_merge_upsert"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "Union" in plan
+
+
+def test_bucketed_gate_entry_join_has_no_exchange(spark):
+    """The catalog's bucketed_colocated_join must actually hit the
+    co-located path: after the bucketed tables are written, the
+    sort-merge join stage contains no Exchange on either side."""
+    df = QUERIES["bucketed_colocated_join"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    # the only allowed exchange is the post-join aggregation's (keyed
+    # on o_orderpriority); a shuffle of either join INPUT would hash
+    # on the join key instead
+    assert "hashpartitioning(orderkey" not in plan, (
+        "bucketed join shuffled an input"
+    )
+
+
+def test_token_budget_mix_no_single_partition_corpus_sort(spark):
+    """The mixture sampler must use the bucketed prefix sum: no window
+    sorts a whole language in one partition (the tiny bucket-bases
+    window is exempt — it sorts langs x buckets rows)."""
+    plan = _plan(QUERIES["docs_token_budget_mix"](spark, SF))
+    # per-(lang,bucket) partitioning present => corpus window is bucketed
+    assert "hashpartitioning(lang" in plan and "bucket" in plan
