@@ -55,19 +55,23 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest-id document per exact (normalized) content.
 
-    groupBy-min instead of window-row_number: the aggregation gets
-    map-side partial combine, a windowed rank would sort every
-    partition of the shuffle. Returns the full surviving rows.
+    ONE map-side-combined aggregation: ``min_by`` carries the whole
+    surviving row through the single shuffle keyed on the
+    fingerprint. (The earlier groupBy-min + survivor-join-back
+    formulation cost three more exchanges plus a persist of the
+    fingerprinted corpus; a windowed rank would sort every shuffle
+    partition.) Returns the full surviving rows.
     """
     fp = (
         F.xxhash64(normalize_text(text_col)) if fast else doc_fingerprint(text_col)
     ).alias("__fp")
-    with_fp = spread(df, id_col).withColumn("__fp", fp).persist()
-    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return _with_cached_deps(
-        with_fp.join(keep, [id_col, "__fp"], "inner")  # survivors only
-        .drop("__fp"),
-        with_fp,
+    rows = spread(df, id_col).select(
+        F.struct("*").alias("__row"), fp, F.col(id_col).alias("__id")
+    )
+    return (
+        rows.groupBy("__fp")
+        .agg(F.min_by("__row", "__id").alias("__row"))
+        .select("__row.*")
     )
 
 

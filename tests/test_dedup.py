@@ -90,11 +90,30 @@ def test_connected_components_chain_and_islands(spark):
 
 
 def test_release_cached_unpersists_intermediates(spark):
-    from analyst_spark.functions.dedup import exact_dedup, release_cached
+    from analyst_spark.functions.dedup import minhash_pairs, release_cached
 
-    out = exact_dedup(_docs(spark))
+    out = minhash_pairs(_docs(spark))
     out.collect()
     deps = out._asp_cached_deps
     assert deps and all(d.storageLevel.useMemory for d in deps)
     release_cached(out)
     assert all(not d.storageLevel.useMemory for d in deps)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """min_by formulation: exactly one exchange (keyed on the
+    fingerprint), no join-back, no persist."""
+    import contextlib, io
+
+    df = exact_dedup(_docs(spark))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # formatted output lists each node twice (tree + details); count
+    # actual Exchange nodes: the spread() repartition + the min_by agg
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "Join" not in plan
+    assert not getattr(df, "_asp_cached_deps", ())
