@@ -338,11 +338,22 @@ def lsh_neardup_pairs(
 
     Output: (id_a, id_b, cosine_sim), id_a < id_b.
     """
+    from pyspark import StorageLevel
+
+    from analyst_spark.functions.dedup import _with_cached_deps
+
     v = spread(df, id_col).select(F.col(id_col), F.col(vec_col).alias("__v"))
     sig = band_signature_udf(bands, bits_per_band, dim)
+    # materialize the banded buckets: both sides of the candidate
+    # self-join need them, and without an explicit persist the static
+    # plan runs the Arrow signature UDF once PER SIDE (AQE may reuse
+    # the exchange at runtime, but that is a runtime maybe, not a plan
+    # guarantee). bands×n rows of (id, band, bucket) — the standard
+    # LSH index materialization; MEMORY_AND_DISK so a 100 TB corpus
+    # spills instead of recomputing signatures.
     buckets = v.select(
         F.col(id_col), F.posexplode(sig(F.col("__v"))).alias("band", "bucket")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -368,11 +379,12 @@ def lsh_neardup_pairs(
         _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         round_digits,
     )
-    return (
+    return _with_cached_deps(
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+        .filter(F.col("cosine_sim") >= threshold),
+        buckets,
     )
 
 
