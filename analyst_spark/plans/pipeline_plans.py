@@ -436,8 +436,14 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = toks.withColumn("local_cum", F.sum("n_tok").over(w_in))
-    bucket_totals = toks.groupBy("lang", "bucket").agg(
-        F.sum("n_tok").alias("btot")
+    # bucket totals fall out of the windowed result (max running sum
+    # per bucket == the bucket's total), and `within` is already
+    # hash-partitioned on (lang, bucket) from the window — Catalyst
+    # sees the partitioning is satisfied and plans NO extra exchange,
+    # where aggregating `toks` directly would re-scan and re-shuffle
+    # the whole corpus.
+    bucket_totals = within.groupBy("lang", "bucket").agg(
+        F.max("local_cum").alias("btot")
     )
     w_b = (
         Window.partitionBy("lang")
