@@ -175,3 +175,89 @@ def test_merge_upsert_matches_dict_model(spark, case):
         udf_ = udf_.filter("k IS NOT NULL")
     got = {r.k: r.v for r in merge_upsert(bdf, udf_, "k").collect()}
     assert got == expected
+
+
+# ------------------------------------------------- exact dedup model
+
+
+@st.composite
+def dedup_case(draw):
+    n = draw(st.integers(2, 30))
+    # small text alphabet forces collisions; varied whitespace/case
+    # exercises normalization
+    texts = draw(st.lists(
+        st.sampled_from(["a b", "A  b", "c", " c ", "d e f", "x"]),
+        min_size=n, max_size=n))
+    return list(enumerate(texts))
+
+
+@given(dedup_case())
+@settings(**_PROP_SETTINGS)
+def test_exact_dedup_matches_model(spark, case):
+    """Survivor set == lowest id per normalized content (model:
+    plain dict over normalized text)."""
+    import re as _re
+
+    from analyst_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(case, ["doc_id", "text"])
+    got = sorted(r.doc_id for r in exact_dedup(df).collect())
+    model = {}
+    for i, txt in case:
+        key = _re.sub(r"\s+", " ", txt.lower()).strip()
+        model.setdefault(key, i)
+    assert got == sorted(model.values())
+
+
+# ------------------------------------------------- cron next() model
+
+
+@st.composite
+def cron_case(draw):
+    def field(lo, hi, k):
+        vals = draw(st.lists(st.integers(lo, hi), min_size=1, max_size=k,
+                             unique=True))
+        return ",".join(str(v) for v in sorted(vals))
+
+    sec = field(0, 59, 2)
+    minute = field(0, 59, 3)
+    hour = field(0, 23, 3)
+    # keep day fields matchable within the scan horizon
+    dom = draw(st.sampled_from(["*", field(1, 28, 3)]))
+    dow = draw(st.sampled_from(["*", field(0, 6, 2)]))
+    spec = f"{sec} {minute} {hour} {dom} * {dow}"
+    t0 = datetime(2026, draw(st.integers(1, 12)), draw(st.integers(1, 28)),
+                  draw(st.integers(0, 23)), draw(st.integers(0, 59)),
+                  draw(st.integers(0, 59)))
+    return spec, t0
+
+
+@given(cron_case())
+@settings(max_examples=25, deadline=None)
+def test_cron_next_matches_bruteforce(case):
+    """next(t) == the first second strictly after t whose fields all
+    match, found by linear scan (bounded to 35 days — generated specs
+    always fire within a month)."""
+    from analyst_spark.scheduling.cron import parse_cron
+
+    spec, t0 = case
+    sched = parse_cron(spec)
+    got = sched.next(t0)
+
+    t = t0.replace(microsecond=0) + timedelta(seconds=1)
+    end = t + timedelta(days=35)
+    expected = None
+    while t < end:
+        if (t.second in sched.seconds and t.minute in sched.minutes
+                and t.hour in sched.hours and t.month in sched.months
+                and sched._day_matches(t)):
+            expected = t
+            break
+        # skip in coarse steps where fields already rule the slot out
+        if t.hour not in sched.hours:
+            t = (t + timedelta(hours=1)).replace(minute=0, second=0)
+        elif t.minute not in sched.minutes:
+            t = (t + timedelta(minutes=1)).replace(second=0)
+        else:
+            t += timedelta(seconds=1)
+    assert got == expected
