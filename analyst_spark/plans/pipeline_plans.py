@@ -315,26 +315,10 @@ _SEQ_LEN = 2048
 _PACK_BUCKET = 64  # docs per prefix-sum bucket
 
 
-def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents (in doc_id order) into fixed-length training
-    sequences of _SEQ_LEN tokens: each document's global token offset
-    is a prefix sum, and its sequence id is offset DIV _SEQ_LEN — the
-    standard LLM pre-training packing step (greedy concatenation, a
-    document may straddle two sequences; output accounts it to the
-    sequence where it starts).
-
-    The prefix sum is DISTRIBUTED, not a single-partition global
-    window: documents hash into doc_id-range buckets, each bucket
-    computes its internal running sum under a per-bucket window, and
-    the tiny per-bucket totals (one row per bucket) cumulate into
-    bucket base offsets that broadcast-join back. No stage ever
-    orders the full corpus in one partition — the classic two-phase
-    scan pattern, and the reason this survives 100 TB while
-    ``Window.orderBy(doc_id)`` alone would not.
-
-    Output per sequence: n_docs, n_tokens (== _SEQ_LEN except the
-    tail), first/last doc ids. Integer-exact both engines.
-    """
+def _pack_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, seq_id): each document's training-sequence
+    assignment via the distributed two-phase prefix sum (see
+    docs_pack_sequences docstring for why not a global window)."""
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
     toks = docs.select(
         "doc_id",
@@ -357,12 +341,34 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bases = bucket_totals.withColumn(
         "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
     ).select("bucket", "base")
-    placed = within.join(F.broadcast(bases), "bucket").select(
+    return within.join(F.broadcast(bases), "bucket").select(
         "doc_id", "n_tok",
         ((F.col("base") + F.col("local_off")) / _SEQ_LEN)
         .cast("long").alias("seq_id"),
     )
-    return placed.groupBy("seq_id").agg(
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into fixed-length training
+    sequences of _SEQ_LEN tokens: each document's global token offset
+    is a prefix sum, and its sequence id is offset DIV _SEQ_LEN — the
+    standard LLM pre-training packing step (greedy concatenation, a
+    document may straddle two sequences; output accounts it to the
+    sequence where it starts).
+
+    The prefix sum is DISTRIBUTED, not a single-partition global
+    window: documents hash into doc_id-range buckets, each bucket
+    computes its internal running sum under a per-bucket window, and
+    the tiny per-bucket totals (one row per bucket) cumulate into
+    bucket base offsets that broadcast-join back. No stage ever
+    orders the full corpus in one partition — the classic two-phase
+    scan pattern, and the reason this survives 100 TB while
+    ``Window.orderBy(doc_id)`` alone would not.
+
+    Output per sequence: n_docs, n_tokens (== _SEQ_LEN except the
+    tail), first/last doc ids. Integer-exact both engines.
+    """
+    return _pack_placement(spark, sf_dir).groupBy("seq_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -490,4 +496,65 @@ SELECT lang,
 FROM cums
 WHERE cum <= budget
 GROUP BY lang
+"""
+
+
+# ------------------------------------------------- shard landing
+
+_SHARD_SEQS = 8  # training sequences per output shard
+
+
+def docs_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land packed training data as a sharded lake layout and prove
+    the round trip: documents → sequence placement (distributed
+    prefix sum) → shard assignment (seq_id DIV seqs-per-shard) →
+    parquet write partitioned by shard → read BACK → per-shard
+    manifest. The returned manifest is computed from the files on
+    disk, so the gate checks the whole write/read path, not just the
+    plan arithmetic.
+
+    At 100 TB this is the final pipeline stage: partitionBy(shard_id)
+    after a repartition on shard_id gives one writer task per shard
+    (no small-file cross product — sinks/files.py), shards are
+    contiguous doc_id ranges by construction (sequential reads at
+    training time), and the manifest is the training loader's index.
+    """
+    import tempfile
+
+    from analyst_spark.sinks.files import write_partitioned
+
+    placed = _pack_placement(spark, sf_dir).withColumn(
+        "shard_id", (F.col("seq_id") / _SHARD_SEQS).cast("long")
+    )
+    out = tempfile.mkdtemp(prefix="asp_shards_")
+    write_partitioned(placed, out, partition_by=["shard_id"])
+    back = spark.read.parquet(out)
+    return back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+WRITE_SHARDS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), placed AS (
+    SELECT doc_id, n_tok,
+           CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_SEQ_LEN} AS BIGINT) AS seq_id
+    FROM toks
+)
+SELECT CAST(seq_id // {_SHARD_SEQS} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY 1
 """
