@@ -119,3 +119,37 @@ SELECT c_custkey, c_name,
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """
+
+
+def aql_apply_cast_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA + GLOBAL multi-source fan-in through APPLY/CAST: a
+    literal DATA block unions with a GLOBAL query (the sequencer
+    path, MULTISOURCE_ORDER='SEQUENTIAL'), then APPLY projects and
+    CASTs (transforms/apply.go + cast.go grammar) — the remaining
+    reference transform family under the language-level gate.
+    """
+    register_views(spark, sf_dir)
+    script = """
+    DATA 'Extra' (
+        [[9000001, "EXTRA_REGION"], [9000002, "EXTRA_REGION_2"]]
+    ) WITH (FORMAT='JSON_ARRAY', COLUMNS='r_regionkey,r_name');
+
+    QUERY 'Regions' FROM GLOBAL (
+        SELECT r_regionkey, r_name FROM region
+    );
+
+    TRANSFORM 'All' FROM BLOCK Extra, BLOCK Regions (
+        APPLY CAST(r_regionkey AS varchar) AS key_str, r_name AS region_name
+    ) WITH (MULTISOURCE_ORDER='SEQUENTIAL')
+    """
+    return execute_script(spark, script).frames["all"]
+
+
+AQL_APPLY_CAST_UNION_ORACLE = """
+SELECT CAST(r_regionkey AS VARCHAR) AS key_str, r_name AS region_name
+FROM (
+    SELECT 9000001 AS r_regionkey, 'EXTRA_REGION' AS r_name
+    UNION ALL SELECT 9000002, 'EXTRA_REGION_2'
+    UNION ALL SELECT r_regionkey, r_name FROM region
+)
+"""
