@@ -558,3 +558,80 @@ SELECT CAST(seq_id // {_SHARD_SEQS} AS BIGINT) AS shard_id,
 FROM placed
 GROUP BY 1
 """
+
+
+# ------------------------------------------------- winnowing
+
+_WIN_K = 5   # k-gram width (tokens)
+_WIN_W = 4   # winnowing window (k-grams per window)
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every k-gram, slide a w-wide window,
+    keep each window's minimum hash. Guarantees any shared run of
+    w+k-1 tokens between two documents shares at least one selected
+    fingerprint, while storing ~2/(w+1) of all k-gram hashes — the
+    index-size/recall dial for copy detection at corpus scale.
+
+    Pure Catalyst: tokenize → md5 per k-gram → per-window array_min
+    over a transform(sequence) — no explode until the final
+    per-document aggregate, no Python. The hash is md5 hex and the
+    window min is lexicographic, identical in DuckDB, so selection is
+    bit-exact both engines. Output per doc: selected/distinct
+    fingerprint counts and the extremes of the selected set.
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            _ngrams(F.col("t"), _WIN_K), lambda g: F.md5(g)
+        ).alias("gs"),
+    )
+    wins = grams.select(
+        "doc_id",
+        F.size("gs").alias("n_kgrams"),
+        F.when(
+            F.size("gs") >= _WIN_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size("gs") - _WIN_W + 1),
+                lambda i: F.array_min(F.slice(F.col("gs"), i, _WIN_W)),
+            ),
+        ).otherwise(F.array_compact(F.array(F.array_min("gs"))))
+        .alias("fps"),
+    )
+    return wins.select(
+        "doc_id",
+        F.col("n_kgrams").cast("long").alias("n_kgrams"),
+        F.size("fps").cast("long").alias("n_selected"),
+        F.size(F.array_distinct("fps")).cast("long").alias("n_distinct"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+WINNOW_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+    SELECT doc_id,
+           list_transform({_duck_ngrams(_WIN_K)}, g -> md5(g)) AS gs
+    FROM toks
+), wins AS (
+    SELECT doc_id, len(gs) AS n_kgrams,
+           CASE WHEN len(gs) >= {_WIN_W}
+                THEN list_transform(range(1, len(gs) - {_WIN_W} + 2),
+                                    i -> list_min(gs[i:i+{_WIN_W - 1}]))
+                WHEN len(gs) > 0 THEN [list_min(gs)]
+                ELSE [] END AS fps
+    FROM grams
+)
+SELECT doc_id,
+       CAST(n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(len(fps) AS BIGINT) AS n_selected,
+       CAST(len(list_distinct(fps)) AS BIGINT) AS n_distinct,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM wins
+"""
