@@ -26,9 +26,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and one of each training-data op (the LSH/IVF variants are the
 # at-scale paths — brute-force twins are correctness-only).
 #
-# v4 (r4): + docs_token_budget_mix (domain-mix prefix-sum sampler) and
-# events_funnel (ordered conversion funnel) — new curation/analytics
-# coverage; both sub-second plans.
+# v4 (r4): + docs_token_budget_mix (domain-mix prefix-sum sampler),
+# events_funnel (ordered conversion funnel), doc_winnow_fingerprints
+# (MOSS winnowing) — new curation/analytics coverage.
 #
 # v3 (r3): the two exact-twin scale-killers left the headline —
 # agg_quantile (exact percentile = unbounded per-group buffer; the
@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "text_langid",
     "contamination_ngram",
     "text_top_tokens",
+    "doc_winnow_fingerprints",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
