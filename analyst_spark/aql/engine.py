@@ -431,12 +431,20 @@ class Executor:
             if self.tx_manager is not None:
                 self.tx_manager.rollback()
             raise JobInterrupted("job stopped")
-        if self.tx_manager is not None and not self.test_mode:
-            self.tx_manager.commit()
         # destination close analog (excel_dest.go:153-163): flush
         # accumulated multi-writer state (e.g. the shared Excel
-        # workbook) only once the whole job succeeded
-        self._close_connections(success=True)
+        # workbook). Closes run BEFORE the transaction commit point —
+        # in the reference a destination's close error fails the job
+        # and rolls it back, so a failed workbook save must not leave
+        # the staged SQL writes committed.
+        try:
+            self._close_connections(success=True)
+        except Exception:
+            if self.tx_manager is not None:
+                self.tx_manager.rollback()
+            raise
+        if self.tx_manager is not None and not self.test_mode:
+            self.tx_manager.commit()
         return res
 
     def _close_connections(self, success: bool) -> None:

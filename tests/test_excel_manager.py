@@ -156,3 +156,32 @@ def test_aql_failed_job_discards_without_save(spark, tmp_path, monkeypatch):
         execute_script(spark, script)   # width mismatch in block 2
     assert saved == []                  # failure → no partial file
     assert not ex.FILE_MANAGER.is_registered(p)
+
+
+def test_failed_save_rolls_back_transaction(spark, tmp_path, monkeypatch):
+    """A workbook save error at job end must roll back staged SQL
+    writes, not leave them committed (the reference fails the job on
+    destination-close errors)."""
+    calls = []
+
+    class FakeTx:
+        def commit(self):
+            calls.append("commit")
+
+        def rollback(self):
+            calls.append("rollback")
+
+    monkeypatch.setattr(
+        ExcelFileManager, "save",
+        lambda self, path: (_ for _ in ()).throw(IOError("disk full")),
+    )
+    p = str(tmp_path / "boom.xlsx")
+    script = f"""
+    CONNECTION 'Workbook' ( Driver = 'Excel', File = '{p}' )
+    DATA 'D' ( [[1, 10]] )
+      WITH (FORMAT='JSON_ARRAY', COLUMNS='a,b')
+      INTO CONNECTION Workbook WITH (SHEET='S', RANGE='A1:B*');
+    """
+    with pytest.raises(IOError):
+        execute_script(spark, script, tx_manager=FakeTx())
+    assert calls == ["rollback"]
