@@ -126,6 +126,7 @@ _register("dedup_simhash", tp.dedup_simhash, tp.DEDUP_SIMHASH_ORACLE)
 _register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE)
 _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 _register("dedup_clusters", tp.dedup_clusters, tp.DEDUP_CLUSTERS_ORACLE)
+_register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE)
 
 # --- similarity search ----------------------------------------------
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
