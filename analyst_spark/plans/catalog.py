@@ -2,9 +2,9 @@
 
 Every entry here is surfaced through ``__spark_entry__.queries()`` /
 ``oracle_sql()`` and hence hits the driver's DuckDB correctness gate.
-Queries without a SQL-expressible oracle (LSH ANN — generated
-hyperplanes) register with ``oracle=None`` and get the rows-only
-check; everything else is hash-compared.
+Queries without a SQL-expressible oracle (trained k-means lists,
+HLL/quantile sketches, seeded sampling) register with ``oracle=None``
+and get the rows-only check; everything else is hash-compared.
 """
 
 from __future__ import annotations
@@ -130,7 +130,7 @@ _register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE
 
 # --- similarity search ----------------------------------------------
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
-_register("ann_lsh_topk", tp.ann_lsh_topk, None)  # generated hyperplanes → rows-only
+_register("ann_lsh_topk", tp.ann_lsh_topk, tp.ANN_LSH_ORACLE)  # planes embedded as literals
 _register("ann_ivf_topk", tp.ann_ivf_topk, tp.ANN_IVF_ORACLE)
 _register("ann_ivf_trained", tp.ann_ivf_trained, None)  # k-means lists → rows-only
 _register("knn_label_propagation", tp.knn_label_propagation, tp.KNN_LABEL_ORACLE)

@@ -14,7 +14,6 @@ def test_contract_shapes():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "ann_lsh_topk",          # generated hyperplanes
         "events_approx_distinct",  # HLL estimates are impl-specific
         "docs_stratified_sample",  # seeded sampler is engine-specific
         "agg_quantile_approx",     # sketch estimates are impl-specific
