@@ -582,6 +582,14 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint counts and the extremes of the selected set.
     """
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    return winnow_stats(docs)
+
+
+def winnow_stats(docs: DataFrame) -> DataFrame:
+    """Core of doc_winnow_fingerprints over any (doc_id, text) frame
+    — separated so unit tests can drive the short-document edges
+    (0 k-grams → empty selection; fewer k-grams than the window →
+    single global minimum) that the synthetic corpus never hits."""
     toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
     grams = toks.select(
         "doc_id",

@@ -131,3 +131,29 @@ def test_pack_sequences_invariants(spark):
     for r in rows[:-1]:
         assert r.n_tokens >= _SEQ_LEN - max_doc_toks
         assert r.n_tokens <= _SEQ_LEN + max_doc_toks
+
+
+def test_winnow_short_document_edges(spark):
+    """k=5, w=4: 4 tokens → no k-grams → empty selection; 5 tokens →
+    one k-gram (< window) → that single hash; 8 tokens → exactly one
+    window; 9 tokens → two windows."""
+    from analyst_spark.plans.pipeline_plans import winnow_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),                  # 0 k-grams
+            (2, "a b c d e"),                # 1 k-gram
+            (3, "a b c d e f g h"),          # 4 k-grams = 1 window
+            (4, "a b c d e f g h i"),        # 5 k-grams = 2 windows
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in winnow_stats(docs).collect()}
+    assert (got[1].n_kgrams, got[1].n_selected, got[1].min_fp) == (0, 0, None)
+    assert (got[2].n_kgrams, got[2].n_selected, got[2].n_distinct) == (1, 1, 1)
+    assert (got[3].n_kgrams, got[3].n_selected) == (4, 1)
+    assert (got[4].n_kgrams, got[4].n_selected) == (5, 2)
+    # the selected fingerprint of doc 2 is the md5 of its only k-gram
+    import hashlib
+
+    assert got[2].min_fp == hashlib.md5(b"a b c d e").hexdigest()
