@@ -450,10 +450,18 @@ class Executor:
     def _close_connections(self, success: bool) -> None:
         """Invoke any ``<name>.close`` connection handlers. Handlers
         are lazily built, so only connections actually touched this
-        run have one; each is responsible for being idempotent."""
+        run have one; each is responsible for being idempotent. On
+        the failure path closes are best-effort — a cleanup error
+        must not mask the exception that failed the job."""
         for key, fn in list(self.connections.items()):
             if key.endswith(".close") and callable(fn):
-                fn(success)
+                if success:
+                    fn(True)
+                else:
+                    try:
+                        fn(False)
+                    except Exception:
+                        pass
 
     def _run_block(self, blk: Block, res: JobResult) -> None:
         _check_multisource_order(blk)
