@@ -257,21 +257,30 @@ def q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row correlated probes)."""
     t = load_tables(spark, sf_dir)
     orders = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    # no broadcast hint on orders: status='F' keeps ~half the ORDERS
+    # fact table — a hard-coded broadcast would ship it to every task
+    # at 100 TB. Left to itself the semi join shuffles both sides on
+    # the order key, the SAME key the window below partitions by, so
+    # the exchange is reused; AQE still turns it into a broadcast at
+    # test SF where the filtered side happens to be small.
     li = (
         t["lineitem"]
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
-    # per-order max/supplier-count via window functions: ONE lineitem
-    # scan and ONE shuffle (on l_orderkey) instead of a groupBy +
-    # join-back that scans and shuffles twice
+    # per-order max/multi-supplier flag via window functions: ONE
+    # lineitem scan and ONE shuffle (on l_orderkey) instead of a
+    # groupBy + join-back that scans and shuffles twice. "≥2 distinct
+    # suppliers" is min != max — O(1) window state, not a per-row
+    # collect_set.
     w = Window.partitionBy("l_orderkey")
     annotated = li.select(
         "l_orderkey",
         "l_suppkey",
         "l_shipdate",
         F.max("l_shipdate").over(w).alias("max_ship"),
-        F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
+        (F.min("l_suppkey").over(w) != F.max("l_suppkey").over(w))
+        .alias("multi_supp"),
     )
     nation = t["nation"].filter(F.col("n_name") == "NATION_6").select("n_nationkey")
     supp = (
@@ -280,7 +289,7 @@ def q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        annotated.filter((F.col("nsupp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
+        annotated.filter(F.col("multi_supp") & (F.col("l_shipdate") == F.col("max_ship")))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
