@@ -232,7 +232,7 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     return _with_cached_deps(
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),

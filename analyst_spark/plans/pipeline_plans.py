@@ -341,7 +341,7 @@ def _pack_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     bases = bucket_totals.withColumn(
         "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
     ).select("bucket", "base")
-    return within.join(F.broadcast(bases), "bucket").select(
+    return within.join(bases, "bucket").select(
         "doc_id", "n_tok",
         ((F.col("base") + F.col("local_off")) / _SEQ_LEN)
         .cast("long").alias("seq_id"),
@@ -460,7 +460,7 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
     ).select("lang", "bucket", "base")
     selected = (
-        within.join(F.broadcast(bases), ["lang", "bucket"])
+        within.join(bases, ["lang", "bucket"])
         .withColumn("cum", F.col("base") + F.col("local_cum"))
         .filter(F.col("cum") <= budget[F.col("lang")])
     )

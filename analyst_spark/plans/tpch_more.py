@@ -80,9 +80,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -122,8 +122,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
         .agg(F.round(F.sum(_rev()), 2).alias("sum_profit"))
@@ -153,7 +153,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -197,7 +197,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t["supplier"].select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -224,12 +224,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     part = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
-    lp = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    lp = li.join(part, li.l_partkey == part.p_partkey)
     lim = lp.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
         F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_lim")
     )
     return (
-        lp.join(F.broadcast(lim), lp.l_partkey == F.col("lim_partkey"))
+        lp.join(lim, lp.l_partkey == F.col("lim_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -261,8 +261,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = t["customer"].select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -296,7 +296,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
@@ -326,8 +326,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     share_of = "NATION_5"
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(

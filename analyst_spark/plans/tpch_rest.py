@@ -55,8 +55,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offers = (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
     )
@@ -65,7 +65,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         offers.join(
-            F.broadcast(best),
+            best,
             (offers.p_partkey == F.col("bp")) & (offers.unit_cost == F.col("min_cost")),
         )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
@@ -107,7 +107,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = (
         t["lineitem"]
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_partkey", "l_extendedprice", "l_quantity")
     )
     value = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
@@ -148,7 +148,7 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linestatus", "l_shipdate")
     crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
         .groupBy("l_linestatus")
         .agg(
@@ -186,7 +186,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     li = t["lineitem"].select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -216,7 +216,7 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 40)
@@ -290,7 +290,7 @@ def q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         annotated.filter(F.col("multi_supp") & (F.col("l_shipdate") == F.col("max_ship")))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
