@@ -10,10 +10,12 @@ Spark mapping: dedup the lookup side to one row per key, then join.
 The dedup must be deterministic — the reference's "last" is stream
 arrival order, which has no distributed analog — so the caller names
 an ordering column and we take ``max_by(col, order_col)`` per key
-(SURVEY §7.3). ``broadcast`` mirrors the reference's
-cached-small-lookup design and removes the shuffle entirely for dim
-tables; Catalyst falls back to a shuffled join automatically when the
-lookup side exceeds the broadcast threshold.
+(SURVEY §7.3). ``broadcast=True`` (default) mirrors the reference's
+design constraint — the lookup side must fit in memory there too
+(lookup.go drains it into one process map) — and removes the shuffle
+entirely. The hint FORCES the broadcast, so for a lookup side too
+big to ship (possible here, impossible in the reference), pass
+``broadcast=False`` to get a shuffled hash join instead.
 
 At 100 TB: base-side stays un-shuffled when broadcast applies; the
 dedup aggregation is map-side-combined on the (small) lookup side.
