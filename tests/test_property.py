@@ -261,3 +261,51 @@ def test_cron_next_matches_bruteforce(case):
         else:
             t += timedelta(seconds=1)
     assert got == expected
+
+
+# ------------------------------------------------- lookup last-wins
+
+
+@st.composite
+def lookup_case(draw):
+    n_base = draw(st.integers(1, 15))
+    n_lk = draw(st.integers(1, 20))
+    base = [(i, draw(st.integers(0, 4))) for i in range(n_base)]
+    # (key, value, order) — duplicate keys likely; order decides winner
+    lk = [
+        (draw(st.integers(0, 4)), draw(st.integers(0, 99)), i)
+        for i in range(n_lk)
+    ]
+    how = draw(st.sampled_from(["inner", "outer"]))
+    return base, lk, how
+
+
+@given(lookup_case())
+@settings(**_PROP_SETTINGS)
+def test_lookup_join_matches_dict_model(spark, case):
+    """lookup_join == probe of a dict built in order_col order with
+    last-wins overwrite (transforms/lookup.go:50,:185-188), INNER
+    dropping unmatched, OUTER keeping them with NULL."""
+    from analyst_spark.operators.lookup import lookup_join
+
+    base, lk, how = case
+    bdf = spark.createDataFrame(base, ["bid", "k"])
+    ldf = spark.createDataFrame(lk, ["lk", "v", "ord"])
+    got = sorted(
+        ((r.bid, r.v) for r in lookup_join(
+            bdf, ldf, on=[("k", "lk")], select={"v": "v"},
+            how=how, order_col="ord",
+        ).collect()),
+        key=lambda t: (t[0], t[1] is not None, t[1] or 0),
+    )
+    table = {}
+    for key, v, _ in lk:  # list is already in ord order
+        table[key] = v
+    model = []
+    for bid, k in base:
+        if k in table:
+            model.append((bid, table[k]))
+        elif how == "outer":
+            model.append((bid, None))
+    model.sort(key=lambda t: (t[0], t[1] is not None, t[1] or 0))
+    assert got == model
