@@ -643,3 +643,29 @@ SELECT doc_id,
        list_max(fps) AS max_fp
 FROM wins
 """
+
+
+# ------------------------------------------------- BPE training
+
+_BPE_MERGES = 8
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus
+    (functions/bpe.py): the learned merge table in merge order.
+
+    Deterministic (integer pair counts, lexicographic tie-break) but
+    inherently iterative — each merge depends on the table produced by
+    all previous merges — so there is no single-statement SQL twin;
+    this entry takes the rows-only gate and the merge-sequence parity
+    is pinned against a pure-Python reference implementation in
+    tests/test_bpe.py.
+    """
+    from analyst_spark.functions.bpe import bpe_train
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs, num_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank long, left string, right string, pair_count long",
+    )
