@@ -162,3 +162,49 @@ def bpe_train_model(texts: list[str], num_merges: int = 16,
                     out.append(x)
             syms[w] = out
     return merges
+
+
+def bpe_encode(col: Column | str, merges: list[tuple[str, str, int]] | list[tuple[str, str]]) -> Column:
+    """Encode a text column with a learned merge table: per word,
+    start from characters and apply every merge in order (chained
+    Catalyst folds — no Python in the data path). Returns
+    array<string> of tokens for the whole text (words concatenated in
+    order).
+
+    Expression depth grows linearly with len(merges); for vocabularies
+    beyond a few hundred merges, encode via a pandas UDF instead —
+    this form exists for the moderate-merge-count case and for parity
+    testing against the trainer."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+
+    def encode_word(w: Column) -> Column:
+        s = F.split(w, "")
+        for m in merges:
+            a, b = m[0], m[1]
+            s = _merge_fold(s, a, b)
+        return s
+
+    return F.flatten(
+        F.transform(F.filter(words, lambda w: w != ""), encode_word)
+    )
+
+
+def bpe_encode_model(text: str, merges) -> list[str]:
+    """Pure-Python twin of :func:`bpe_encode`."""
+    out: list[str] = []
+    for w in text.lower().strip().split():
+        if not w:
+            continue
+        s = list(w)
+        for m in merges:
+            a, b = m[0], m[1]
+            ns: list[str] = []
+            for x in s:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = a + b
+                else:
+                    ns.append(x)
+            s = ns
+        out.extend(s)
+    return out

@@ -34,3 +34,20 @@ def test_bpe_early_stop_no_repeats(spark):
 def test_bpe_matches_model(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     assert bpe_train(df, num_merges=5) == bpe_train_model(texts, num_merges=5)
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Encoding with trained merges matches the python twin, and
+    token concatenation reconstructs the input words."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.bpe import bpe_encode, bpe_encode_model
+
+    texts = ["low lower lowest", "new newest", "wide widest low"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges = bpe_train(df, num_merges=5)
+    got = [r.toks for r in df.select(bpe_encode("text", merges).alias("toks")).collect()]
+    want = [bpe_encode_model(t, merges) for t in texts]
+    assert got == want
+    for t, toks in zip(texts, got):
+        assert "".join(toks) == t.replace(" ", "")
