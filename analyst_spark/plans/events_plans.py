@@ -300,3 +300,47 @@ SELECT user_id,
        max(n_events)                   AS max_session_events
 FROM per_session GROUP BY user_id
 """
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE session_window aggregation (the
+    batch form of the streaming sessionizer) — one map-side-mergeable
+    aggregate, no lag/cumsum window pair. Semantics note: Spark's
+    session spans [start, last+gap), so an event landing exactly at
+    the gap boundary OPENS a new session (strict <), which is why the
+    oracle's new-session predicate is >=, not >.
+
+    Output per session: user, session start, event count."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
