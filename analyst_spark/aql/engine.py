@@ -453,15 +453,25 @@ class Executor:
         run have one; each is responsible for being idempotent. On
         the failure path closes are best-effort — a cleanup error
         must not mask the exception that failed the job."""
+        first_err: Exception | None = None
         for key, fn in list(self.connections.items()):
             if key.endswith(".close") and callable(fn):
-                if success:
-                    fn(True)
+                if success and first_err is None:
+                    try:
+                        fn(True)
+                    except Exception as exc:
+                        # Keep closing: the remaining handlers must
+                        # still run (as discards) or their paths stay
+                        # registered in the process-wide FILE_MANAGER
+                        # and leak stale cells into later jobs.
+                        first_err = exc
                 else:
                     try:
                         fn(False)
                     except Exception:
                         pass
+        if first_err is not None:
+            raise first_err
 
     def _run_block(self, blk: Block, res: JobResult) -> None:
         _check_multisource_order(blk)

@@ -519,6 +519,7 @@ def docs_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous doc_id ranges by construction (sequential reads at
     training time), and the manifest is the training loader's index.
     """
+    import shutil
     import tempfile
 
     from analyst_spark.sinks.files import write_partitioned
@@ -527,15 +528,24 @@ def docs_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id", (F.col("seq_id") / _SHARD_SEQS).cast("long")
     )
     out = tempfile.mkdtemp(prefix="asp_shards_")
-    write_partitioned(placed, out, partition_by=["shard_id"])
-    back = spark.read.parquet(out)
-    return back.groupBy("shard_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-        F.countDistinct("seq_id").cast("long").alias("n_seqs"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    try:
+        write_partitioned(placed, out, partition_by=["shard_id"])
+        back = spark.read.parquet(out)
+        manifest = back.groupBy("shard_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        # Materialize eagerly so the shard directory can be removed:
+        # a lazily-read manifest would pin the temp dir forever and
+        # every gate/bench invocation would leak a corpus copy.
+        rows = manifest.collect()
+        schema = manifest.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 WRITE_SHARDS_ORACLE = f"""

@@ -59,4 +59,16 @@ def get_spark(app_name: str = "analyst_spark", cpus: str | None = None) -> Spark
             builder = builder.config("spark.local.dir", shm)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Runtime SQL confs the engine depends on, set here (not inside
+    # readers) so they apply even when getOrCreate returned a
+    # pre-existing session whose builder configs were ignored:
+    # - UTC: every timestamp_ntz->timestamp cast in tables.py is only
+    #   wall-clock-correct under UTC (enforced there).
+    # - inferTimestampNTZ off: NTZ rejects half the timestamp
+    #   expression surface (unix_micros, unix_timestamp, ...).
+    # - nanosAsLong: some testdata generators emit TIMESTAMP(NANOS),
+    #   which the vectorized parquet reader rejects.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

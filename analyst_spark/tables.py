@@ -51,19 +51,28 @@ def spread(df: DataFrame, *by: str) -> DataFrame:
     return df.repartition(n, *by) if by else df.repartition(n)
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """The NTZ->TIMESTAMP casts below are wall-clock-correct only when
+    the session timezone is UTC (session.py sets it). A non-UTC session
+    would silently shift event timestamps against the DuckDB oracle —
+    fail loudly instead."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise RuntimeError(
+            f"analyst_spark requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); create the session via "
+            f"analyst_spark.session.get_spark"
+        )
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # The testdata's parquet timestamps carry no timezone; Spark 4 would
-    # infer TIMESTAMP_NTZ, which rejects half the timestamp expression
-    # surface (unix_micros, unix_timestamp, ...). Read them as regular
-    # (UTC-based) TIMESTAMP instead — under a UTC session this matches
-    # DuckDB's naive-timestamp oracle wall-clock for wall-clock.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _ensure_utc(spark)
+    # The testdata's parquet timestamps carry no timezone; Spark 4
+    # would infer TIMESTAMP_NTZ. session.py turns inference off
+    # (inferTimestampNTZ=false, nanosAsLong=true) at session setup so
+    # reads have no hidden conf side effects here.
     if name == "events":
-        # some generator versions store TIMESTAMP(NANOS) which the
-        # vectorized parquet reader rejects; read nanos as long and
-        # rebuild the (lossless — data is microsecond-grained) column.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division: ns-epoch values exceed 2^53, so a

@@ -89,6 +89,12 @@ def main(names, json_path=None):
             df = qs[name](spark, SF_DIR)
             srows = df.collect()
             scols = df.columns
+            # release any LSH bucket caches persisted while building
+            # this entry — the full-catalog sweep would otherwise pin
+            # dozens of bucket tables in one session
+            from analyst_spark.functions.dedup import release_cached
+
+            release_cached(df)
         except Exception as e:
             failures.append(name)
             rec["err"] = f"spark: {e}"
