@@ -49,18 +49,23 @@ def jdbc_source(
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", query)
         .option("fetchsize", str(fetchsize))
     )
     if driver:
         reader = reader.option("driver", DRIVER_CLASSES.get(driver, driver))
     if partition_column is not None:
+        # Spark rejects query+partitionColumn together; the partitioned
+        # (parallel range-read) form requires dbtable with a subquery
+        # alias so the partition column resolves unambiguously.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) AS asp_sub")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions or 8))
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()

@@ -51,27 +51,33 @@ def spread(df: DataFrame, *by: str) -> DataFrame:
     return df.repartition(n, *by) if by else df.repartition(n)
 
 
-def _ensure_utc(spark: SparkSession) -> None:
-    """The NTZ->TIMESTAMP casts below are wall-clock-correct only when
-    the session timezone is UTC (session.py sets it). A non-UTC session
-    would silently shift event timestamps against the DuckDB oracle —
-    fail loudly instead."""
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz not in ("UTC", "Etc/UTC", "GMT"):
-        raise RuntimeError(
-            f"analyst_spark requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}); create the session via "
-            f"analyst_spark.session.get_spark"
-        )
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Normalize the SQL confs the loader's timestamp handling depends
+    on. session.py sets all three at session setup; this exists because
+    the external driver calls the contract with its OWN plain session.
+    The NTZ->TIMESTAMP casts below are wall-clock-correct only under a
+    UTC session — a non-UTC timezone would silently shift event
+    timestamps against the DuckDB oracle, so it is forced (not merely
+    asserted) here. Deliberate, idempotent, documented — not a hidden
+    per-read side effect: the engine requires these on any session that
+    reads its tables.
+
+    - inferTimestampNTZ off: NTZ rejects half the timestamp expression
+      surface (unix_micros, unix_timestamp, ...)
+    - nanosAsLong: some testdata generators emit TIMESTAMP(NANOS),
+      which the vectorized parquet reader rejects
+    """
+    if spark.conf.get("spark.sql.session.timeZone") not in (
+        "UTC", "Etc/UTC", "GMT",
+    ):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    _ensure_utc(spark)
-    # The testdata's parquet timestamps carry no timezone; Spark 4
-    # would infer TIMESTAMP_NTZ. session.py turns inference off
-    # (inferTimestampNTZ=false, nanosAsLong=true) at session setup so
-    # reads have no hidden conf side effects here.
+    _ensure_read_confs(spark)
     if name == "events":
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
