@@ -496,16 +496,23 @@ def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDU
             self.wfile.write(data)
 
         def _stream_logs(self, jid: int):
-            """GET /jobs/<id>/stream — server-sent events: one `data:`
+            """GET /jobs/<id>/stream — incremental log stream: one
             frame per log event while the job runs, then an `end`
-            event carrying the final status. The HTTP-native analog
-            of the reference's websocket MsgLog stream
-            (http/main.go:47-84)."""
+            frame carrying the final status. Served two ways from the
+            same route: server-sent events by default, or a real
+            websocket when the client sends an Upgrade header — the
+            transport the reference uses for its MsgLog stream
+            (http/main.go:47-84), so a reference-shaped websocket
+            client connects unchanged."""
+            from analyst_spark import ws
+
             job = server._jobs.get(jid)
             if job is None:
                 self.send_response(404)
                 self.end_headers()
                 return
+            if ws.is_upgrade_request(self.headers):
+                return self._stream_logs_ws(job)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -532,6 +539,44 @@ def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDU
                             + b"\n\n"
                         )
                         self.wfile.flush()
+                        return
+                    job["done"].wait(0.2)
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client went away; job keeps running
+
+        def _stream_logs_ws(self, job: dict):
+            """Websocket variant of the log stream: RFC 6455 opening
+            handshake, one TEXT frame per log event, an end frame with
+            the final status, then a clean CLOSE."""
+            from analyst_spark import ws
+
+            key = self.headers.get("Sec-WebSocket-Key")
+            if not key:
+                self.send_response(400)
+                self.end_headers()
+                return
+            self.send_response(101, "Switching Protocols")
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", ws.accept_key(key))
+            self.end_headers()
+            self.close_connection = True
+            cursor = 0
+            try:
+                while True:
+                    for ev in job["logger"].after(cursor):
+                        cursor += 1
+                        ws.send_frame(self.wfile, json.dumps(ev))
+                    if job["done"].is_set():
+                        for ev in job["logger"].after(cursor):
+                            cursor += 1
+                            ws.send_frame(self.wfile, json.dumps(ev))
+                        ws.send_frame(
+                            self.wfile,
+                            json.dumps({"end": True,
+                                        "status": job["status"]}),
+                        )
+                        ws.send_frame(self.wfile, b"", ws.OP_CLOSE)
                         return
                     job["done"].wait(0.2)
             except (BrokenPipeError, ConnectionResetError):

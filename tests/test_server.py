@@ -273,3 +273,82 @@ def test_sse_stream_over_real_socket():
     finally:
         httpd.shutdown()
         httpd._analyst_stop.set()
+
+
+def test_websocket_stream_over_real_socket():
+    """A reference-shaped websocket client (http/main.go:47-84 streams
+    logs over gorilla/websocket) connects to the SAME /jobs/<id>/stream
+    route with an Upgrade header and receives incremental TEXT frames:
+    one per log event (the script sleeps between them, so they arrive
+    over time, not in one burst), an end frame, then a clean CLOSE."""
+    import base64
+    import http.client
+    import json as _json
+    import os
+    import socket
+
+    from analyst_spark import ws
+    from analyst_spark.logging import INFO, Event
+    from analyst_spark.server import AnalystServer, serve
+
+    def runner(script, params, stopper=None, logger=None):
+        for i in range(3):
+            logger.log(Event(f"Block{i}", INFO, f"block {i} finished"))
+            time.sleep(0.15)  # slow script: frames must arrive incrementally
+        return ["ok"]
+
+    srv = AnalystServer(script_runner=runner)
+    httpd = serve(srv, port=0, tick_interval=3600)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.request("POST", "/run",
+                  body=_json.dumps({"script": "X", "detach": True}),
+                  headers={"Content-Type": "application/json"})
+        jid = _json.loads(c.getresponse().read())["job_id"]
+
+        key = base64.b64encode(os.urandom(16)).decode()
+        sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        sock.sendall(
+            f"GET /jobs/{jid}/stream HTTP/1.1\r\n"
+            f"Host: 127.0.0.1:{port}\r\n"
+            f"Upgrade: websocket\r\n"
+            f"Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            f"Sec-WebSocket-Version: 13\r\n\r\n".encode()
+        )
+        rfile = sock.makefile("rb")
+        status = rfile.readline().decode()
+        assert "101" in status
+        headers = {}
+        while True:
+            line = rfile.readline().decode().strip()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        # correct RFC 6455 accept digest for our key
+        assert headers["sec-websocket-accept"] == ws.accept_key(key)
+        assert headers["upgrade"].lower() == "websocket"
+
+        frames, arrival = [], []
+        t0 = time.time()
+        while True:
+            got = ws.recv_frame(rfile)
+            if got is None or got[0] == ws.OP_CLOSE:
+                break
+            frames.append(_json.loads(got[1]))
+            arrival.append(time.time() - t0)
+        events = [f for f in frames if "source" in f]
+        ends = [f for f in frames if f.get("end")]
+        assert [e["source"] for e in events] == ["Block0", "Block1", "Block2"]
+        assert len(ends) == 1 and ends[0]["status"] == "succeeded"
+        # >=2 frames arrived while the job was still running (spaced by
+        # the 0.15s sleeps), i.e. genuinely incremental streaming
+        assert sum(1 for a in arrival[:3] if a < 0.44) >= 2
+        sock.close()
+    finally:
+        httpd.shutdown()
+        httpd._analyst_stop.set()
