@@ -24,9 +24,29 @@ The symbol table is persisted and re-persisted every few iterations
 to cut the growing lineage (same pattern as the connected-components
 loop in functions/cluster.py).
 
+Batched training (``batch > 1``): classic BPE is one driver
+round-trip *per merge*, so a production 32k-merge train is 32k
+sequential Spark jobs — scheduler overhead dominates at any data
+size. The standard fix (used by every fast BPE trainer) is to select
+the top-M mutually NON-INTERACTING pairs per iteration and apply them
+in one pass. Two pairs interact when they share a symbol, when one
+pair's merged output is a symbol of the other, or when both produce
+the same output — interacting merges' counts go stale mid-batch and
+single-pass application would diverge from sequential application.
+With the interaction rule enforced, the batch counts measured at
+iteration start stay exact (merging (a,b)→ab never creates or
+destroys an adjacency of a disjoint pair (c,d)), so applying the M
+merges in one left-to-right scan with a lookup map is EXACTLY
+equivalent to applying them one-at-a-time, and job count drops to
+O(num_merges / M). Selection considers the top ``8*batch + 32``
+candidates by (count desc, pair asc) — a bounded driver round-trip;
+the truncation is part of the algorithm spec so the pure-Python twin
+applies the identical rule.
+
 Determinism contract: integer counts + total lexicographic tie-break
-make the merge sequence a pure function of the input corpus, which is
-what the tests pin against a pure-Python reference implementation.
+make the merge sequence a pure function of the input corpus (and of
+``batch``), which is what the tests pin against a pure-Python
+reference implementation.
 """
 
 from __future__ import annotations
@@ -58,6 +78,59 @@ def _merge_fold(sym_col: Column, a: str, b: str) -> Column:
     )
 
 
+def _merge_fold_multi(sym_col: Column, table: dict[tuple[str, str], str]) -> Column:
+    """One left-to-right scan applying a whole batch of non-interacting
+    merges via a literal struct-keyed map: push x; if (last, x) is in
+    the table, replace last with the merged symbol. Because batch
+    selection guarantees the pairs are disjoint and no output feeds
+    another pair, this single pass equals applying each merge
+    sequentially."""
+    entries: list[Column] = []
+    for (a, b), o in table.items():
+        entries.append(F.struct(F.lit(a).alias("l"), F.lit(b).alias("r")))
+        entries.append(F.lit(o))
+    m = F.create_map(*entries)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & F.element_at(
+                m, F.struct(F.element_at(acc, -1).alias("l"), x.alias("r"))
+            ).isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.element_at(
+                        m, F.struct(F.element_at(acc, -1).alias("l"), x.alias("r"))
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _select_batch(
+    cands: list[tuple[str, str, int]], batch: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Greedy non-interacting selection over candidates already sorted
+    by (count desc, a asc, b asc). A candidate (a, b) is rejected when
+    a, b, or a+b collides with any symbol or output of an
+    already-accepted merge. Shared between the distributed trainer and
+    the pure-Python twin so both select identically."""
+    chosen: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, n in cands:
+        if n < min_pair_count or len(chosen) >= batch:
+            break
+        o = a + b
+        if a in used or b in used or o in used:
+            continue
+        chosen.append((a, b, n))
+        used.update((a, b, o))
+    return chosen
+
+
 def word_frequencies(
     docs: DataFrame, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:
@@ -79,10 +152,13 @@ def bpe_train(
     num_merges: int = 16,
     text_col: str = "text",
     min_pair_count: int = 2,
+    batch: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right,
     pair_count)] in merge order. Stops early when no pair reaches
-    ``min_pair_count``."""
+    ``min_pair_count``. ``batch`` > 1 selects up to that many
+    non-interacting merges per Spark iteration (see module docstring);
+    ``batch=1`` is classic sequential BPE."""
     wf = word_frequencies(docs, text_col)
     syms = wf.select(
         "cnt", F.split("w", "").alias("s")
@@ -90,8 +166,9 @@ def bpe_train(
     syms.count()  # materialize before the loop
     retained = [syms]
     merges: list[tuple[str, str, int]] = []
+    it = 0
     try:
-        for it in range(num_merges):
+        while len(merges) < num_merges:
             pairs = syms.select(
                 "cnt",
                 F.explode(
@@ -107,17 +184,31 @@ def bpe_train(
                     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
                 ).alias("p"),
             )
-            best = (
+            want = min(batch, num_merges - len(merges))
+            k = 8 * want + 32  # candidate horizon; part of the algorithm spec
+            top = (
                 pairs.groupBy("p.a", "p.b")
                 .agg(F.sum("cnt").alias("n"))
                 .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-                .first()
+                .limit(k)
+                .collect()
             )
-            if best is None or best.n < min_pair_count:
+            selected = _select_batch(
+                [(r.a, r.b, int(r.n)) for r in top], want, min_pair_count
+            )
+            if not selected:
                 break
-            merges.append((best.a, best.b, int(best.n)))
-            syms = syms.select("cnt", _merge_fold(F.col("s"), best.a, best.b).alias("s"))
-            if (it + 1) % _CHECKPOINT_EVERY == 0:
+            merges.extend(selected)
+            if len(selected) == 1:
+                a, b, _ = selected[0]
+                syms = syms.select("cnt", _merge_fold(F.col("s"), a, b).alias("s"))
+            else:
+                table = {(a, b): a + b for a, b, _ in selected}
+                syms = syms.select(
+                    "cnt", _merge_fold_multi(F.col("s"), table).alias("s")
+                )
+            it += 1
+            if it % _CHECKPOINT_EVERY == 0:
                 # break the lineage: each fold nests the previous plan
                 syms = syms.persist()
                 syms.count()
@@ -129,9 +220,11 @@ def bpe_train(
 
 
 def bpe_train_model(texts: list[str], num_merges: int = 16,
-                    min_pair_count: int = 2) -> list[tuple[str, str, int]]:
-    """Pure-Python reference implementation (same tie-break) the
-    distributed trainer is tested against."""
+                    min_pair_count: int = 2,
+                    batch: int = 1) -> list[tuple[str, str, int]]:
+    """Pure-Python reference implementation (same tie-break, same
+    candidate horizon and batch-selection rule) the distributed
+    trainer is tested against."""
     from collections import Counter
 
     wf = Counter()
@@ -140,24 +233,29 @@ def bpe_train_model(texts: list[str], num_merges: int = 16,
             if w:
                 wf[w] += 1
     syms = {w: list(w) for w in wf}
-    merges = []
-    for _ in range(num_merges):
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges:
         counts: Counter = Counter()
         for w, s in syms.items():
             for i in range(len(s) - 1):
                 counts[(s[i], s[i + 1])] += wf[w]
         if not counts:
             break
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        (a, b), n = best
-        if n < min_pair_count:
+        want = min(batch, num_merges - len(merges))
+        k = 8 * want + 32  # same candidate horizon as the distributed trainer
+        cands = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        selected = _select_batch(
+            [(a, b, n) for (a, b), n in cands], want, min_pair_count
+        )
+        if not selected:
             break
-        merges.append((a, b, n))
+        merges.extend(selected)
+        table = {(a, b): a + b for a, b, _ in selected}
         for w, s in syms.items():
             out: list[str] = []
             for x in s:
-                if out and out[-1] == a and x == b:
-                    out[-1] = a + b
+                if out and (out[-1], x) in table:
+                    out[-1] = table[(out[-1], x)]
                 else:
                     out.append(x)
             syms[w] = out

@@ -120,6 +120,7 @@ _register("docs_token_budget_mix", pp.docs_token_budget_mix, pp.TOKEN_BUDGET_MIX
 _register("docs_write_shards", pp.docs_write_shards, pp.WRITE_SHARDS_ORACLE)
 _register("doc_winnow_fingerprints", pp.doc_winnow_fingerprints, pp.WINNOW_ORACLE)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model
+_register("bpe_train_batched", pp.bpe_train_batched, None)  # iterative; pinned vs python model
 
 # --- deduplication ---------------------------------------------------
 _register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)

@@ -679,3 +679,25 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_rank long, left string, right string, pair_count long",
     )
+
+
+def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (functions/bpe.py, ``batch > 1``): up to M
+    mutually non-interacting merges are selected and applied per Spark
+    iteration, collapsing an N-merge train from N driver round-trips
+    to ~N/M — the scale path for real (32k-merge) vocabularies, where
+    one job per merge would mean hours of pure scheduler overhead.
+
+    Rows-only gate for the same reason as ``bpe_train_merges``
+    (iterative, no single-statement SQL twin); the merge sequence is
+    parity-pinned against the pure-Python twin running the identical
+    selection rule in tests/test_bpe.py.
+    """
+    from analyst_spark.functions.bpe import bpe_train
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs, num_merges=32, batch=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank long, left string, right string, pair_count long",
+    )

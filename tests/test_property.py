@@ -309,3 +309,129 @@ def test_lookup_join_matches_dict_model(spark, case):
             model.append((bid, None))
     model.sort(key=lambda t: (t[0], t[1] is not None, t[1] or 0))
     assert got == model
+
+
+# ----------------------------------------------------------------- near-dup
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+from analyst_spark.functions.dedup import minhash_pairs, minhash_signatures, simhash_signatures
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _tokens_model(t: str) -> list[str]:
+    # twin of functions/text.py tokens(): split(trim(c), r"\s+");
+    # Spark's split on the empty string yields [""]
+    t = t.strip()
+    return re.split(r"\s+", t) if t else [""]
+
+
+def _minhash_sigs_model(rows, n, k):
+    out = {}
+    for doc_id, text in rows:
+        toks = _tokens_model(text)
+        if len(toks) >= n:
+            shingles = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        else:
+            shingles = set()
+        if not shingles:
+            continue  # no exploded rows -> no signature row
+        out[doc_id] = [
+            min(_md5(f"{i}|{s}") for s in shingles) for i in range(k)
+        ]
+    return out
+
+
+def _minhash_pairs_model(rows, n, bands, rpb):
+    sigs = _minhash_sigs_model(rows, n, bands * rpb)
+    votes: Counter = Counter()
+    for b in range(bands):
+        buckets = defaultdict(list)
+        for d, sig in sigs.items():
+            buckets[_md5("|".join(sig[b * rpb:(b + 1) * rpb]))].append(d)
+        for ds in buckets.values():
+            ds.sort()
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    votes[(ds[i], ds[j])] += 1
+    return dict(votes)
+
+
+def _simhash_model(rows, bits=32):
+    nd = bits // 4
+    out = {}
+    for doc_id, text in rows:
+        sums = [0] * bits
+        for t in _tokens_model(text):
+            hv = int(_md5(t)[:nd], 16)
+            for j in range(bits):
+                shift = (nd - 1 - j // 4) * 4 + j % 4
+                sums[j] += 2 * ((hv >> shift) & 1) - 1
+        out[doc_id] = sum(2 ** j for j in range(bits) if sums[j] > 0)
+    return out
+
+
+_WORDS = ["red", "fox", "ran", "far", "too", "now"]
+
+
+@st.composite
+def doc_corpus(draw):
+    n_docs = draw(st.integers(2, 5))
+    docs = []
+    for i in range(n_docs):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=7))
+        docs.append((i, " ".join(words)))
+    # bias toward near-dups: sometimes clone a doc with a small edit
+    if draw(st.booleans()) and docs[0][1]:
+        docs.append((n_docs, docs[0][1] + " " + draw(st.sampled_from(_WORDS))))
+    return docs
+
+
+@given(doc_corpus())
+@settings(**_PROP_SETTINGS)
+def test_minhash_band_collisions_match_python_lsh(spark, docs):
+    """Distributed banded-LSH candidate pairs (and their band vote
+    counts) equal a pure-Python LSH over the same seeded-md5 minhash —
+    signature, banding, and bucket join all pinned at once."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_sigs = {
+        r.doc_id: [r[f"mh{i}"] for i in range(6)]
+        for r in minhash_signatures(df, n=2, num_hashes=6).collect()
+    }
+    assert got_sigs == _minhash_sigs_model(docs, n=2, k=6)
+
+    pairs_df = minhash_pairs(df, n=2, bands=3, rows_per_band=2)
+    got = {(r.id_a, r.id_b): r.n_bands for r in pairs_df.collect()}
+    from analyst_spark.functions.dedup import release_cached
+
+    release_cached(pairs_df)
+    assert got == _minhash_pairs_model(docs, n=2, bands=3, rpb=2)
+
+
+@given(doc_corpus())
+@settings(**_PROP_SETTINGS)
+def test_simhash_signatures_match_python_twin(spark, docs):
+    """The one-pass 32-bit-sum SimHash equals a per-token python walk
+    over the same md5-derived bits."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert got == _simhash_model(docs)
+
+
+def test_simhash_bit_flip_distance():
+    """Sanity on the model itself: editing one token changes few bits
+    (hamming locality), a disjoint doc changes many."""
+    base = "red fox ran far too now red fox"
+    rows = [(0, base), (1, base.replace("far", "too")),
+            (2, "aaa bbb ccc ddd eee fff ggg hhh")]
+    sigs = _simhash_model(rows)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
