@@ -119,6 +119,9 @@ _register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACL
 _register("docs_token_budget_mix", pp.docs_token_budget_mix, pp.TOKEN_BUDGET_MIX_ORACLE)
 _register("docs_write_shards", pp.docs_write_shards, pp.WRITE_SHARDS_ORACLE)
 _register("doc_winnow_fingerprints", pp.doc_winnow_fingerprints, pp.WINNOW_ORACLE)
+_register("docs_lm_score", pp.docs_lm_score, pp.DOCS_LM_SCORE_ORACLE)
+_register("docs_gopher_filter", pp.docs_gopher_filter, pp.DOCS_GOPHER_ORACLE)
+_register("docs_dsir_weights", pp.docs_dsir_weights, pp.DOCS_DSIR_ORACLE)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model
 _register("bpe_train_batched", pp.bpe_train_batched, None)  # iterative; pinned vs python model
 

@@ -701,3 +701,308 @@ def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_rank long, left string, right string, pair_count long",
     )
+
+
+# ------------------------------------------------- n-gram LM scoring
+
+_LM_K = 0.5  # add-k smoothing constant
+
+
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-k
+    bigram LM on the corpus (one pass), score every document by its
+    average bigram log-probability and perplexity.
+
+    Scale: the unigram/bigram count tables are vocab-bounded — far
+    smaller than the corpus — so training is one map-side-combined
+    aggregation, and scoring joins the corpus bigram postings against
+    those bounded tables (hash-partitioned on the bigram key; AQE
+    broadcasts them when small, unhinted because vocab still grows
+    with data). The vocab-size scalar rides a 1-row broadcast cross
+    join, never a driver collect. Zero Python in the data path.
+
+    Hash-determinism: per-bigram log-probs are snapped to integer
+    micro-logs (round(ln(p)*1e6) as BIGINT) before the per-document
+    sum, so the aggregation is integer-exact and immune to float
+    summation-order differences between Spark and DuckDB; the final
+    avg/perplexity derive from that exact integer by single
+    deterministic IEEE ops.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = spread(docs).select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    micro = F.round(
+        F.log((F.col("c2") + F.lit(_LM_K)) / (F.col("c1") + F.lit(_LM_K) * F.col("v")))
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar: semantically bounded
+        .select("doc_id", micro.alias("micro"))
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("micro")
+    return scored.groupBy("doc_id").agg(
+        n.cast("long").alias("n_bigrams"),
+        s.cast("long").alias("sum_micro_logprob"),
+        F.round(-(s / F.lit(1000000.0)) / n, 6).alias("neg_avg_logprob"),
+        F.round(F.exp(-(s / F.lit(1000000.0)) / n), 4).alias("ppl"),
+    )
+
+
+DOCS_LM_SCORE_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), bg AS (
+    SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+        FROM toks WHERE len(t) >= 2
+    )
+), uni AS (
+    SELECT w1, CAST(count(*) AS BIGINT) AS c1
+    FROM (SELECT unnest(t) AS w1 FROM toks)
+    GROUP BY w1
+), big AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), vocab AS (
+    SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+), scored AS (
+    SELECT g.doc_id,
+           CAST(round(ln((b.c2 + {_LM_K}) / (u.c1 + {_LM_K} * vocab.v)) * 1000000.0)
+                AS BIGINT) AS micro
+    FROM bg g
+    JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+    JOIN uni u ON g.w1 = u.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(micro) AS BIGINT) AS sum_micro_logprob,
+       round(-(CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*), 6) AS neg_avg_logprob,
+       round(exp(-(CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*)), 4) AS ppl
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- Gopher quality rules
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_MIN_WORDS = 10       # Gopher uses 50; synthetic docs are short
+_GOPHER_MAX_WORDS = 100000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MIN_ALPHA = 0.8
+_GOPHER_MAX_SYMBOL = 0.1
+_GOPHER_MIN_STOPS = 2
+
+
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard Gopher quality-rule battery (Rae et al. 2021,
+    table A1) per document: word-count bounds, mean-word-length
+    bounds, alphabetic-word ratio, symbol-to-word ratio ('#'/'...'),
+    distinct-stopword floor — plus the conjunctive keep flag.
+
+    One pass, pure Catalyst array expressions; every ratio is a
+    single int/int division (deterministic across engines). The rule
+    thresholds are module constants shared with the oracle SQL so the
+    two sides cannot drift.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    base = spread(docs).select(
+        "doc_id",
+        t.alias("t"),
+        F.size(t).cast("long").alias("n_words"),
+    )
+    mwl = F.round(
+        F.aggregate(
+            F.transform("t", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        / F.col("n_words"),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter("t", lambda w: w.rlike("[a-z]"))) / F.col("n_words"), 6
+    )
+    symbol_ratio = F.round(
+        F.size(F.filter("t", lambda w: w.rlike(r"#|\.\.\."))) / F.col("n_words"), 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stops = F.size(F.array_intersect(F.array_distinct("t"), stop_arr)).cast("long")
+    feat = base.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        n_stops.alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (F.col("alpha_word_ratio") >= _GOPHER_MIN_ALPHA)
+        & (F.col("symbol_word_ratio") <= _GOPHER_MAX_SYMBOL)
+        & (F.col("n_stopwords") >= _GOPHER_MIN_STOPS)
+    )
+    return feat.withColumn("keep", keep)
+
+
+_GOPHER_STOP_LIST = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+DOCS_GOPHER_ORACLE = rf"""
+WITH base AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), feat AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           round(CAST(list_sum([length(x) for x in t]) AS BIGINT)
+                 / CAST(len(t) AS BIGINT), 6) AS mean_word_len,
+           round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                 / CAST(len(t) AS BIGINT), 6) AS alpha_word_ratio,
+           round(len(list_filter(t, x -> regexp_matches(x, '#|\.\.\.')))
+                 / CAST(len(t) AS BIGINT), 6) AS symbol_word_ratio,
+           CAST(len(list_intersect(list_distinct(t),
+                                   [{_GOPHER_STOP_LIST}])) AS BIGINT) AS n_stopwords
+    FROM base
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_word_ratio,
+       n_stopwords,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+        AND alpha_word_ratio >= {_GOPHER_MIN_ALPHA}
+        AND symbol_word_ratio <= {_GOPHER_MAX_SYMBOL}
+        AND n_stopwords >= {_GOPHER_MIN_STOPS}) AS keep
+FROM feat
+"""
+
+
+# ------------------------------------------------- DSIR importance weights
+
+_DSIR_TARGET_LANG = "en"
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    per-document importance weights for steering a pretraining mix
+    toward a target domain — here the lang='en' slice stands in for
+    the high-quality target corpus.
+
+    Each document is scored by its average per-token log-likelihood
+    ratio between an add-k unigram LM trained on the target slice and
+    one trained on the whole corpus; weight = exp(avg llr). Resampling
+    then draws documents proportional to weight (the seeded sampler in
+    docs_stratified_sample composes with this).
+
+    Scale: token→count tables are vocab-bounded; the three corpus
+    scalars (target tokens, corpus tokens, vocab size) ride one 1-row
+    broadcast cross join. The scoring join hash-partitions token
+    postings against the vocab-bounded count table — AQE broadcasts it
+    when small; unhinted since vocab grows (slowly) with data. The
+    per-token llr is snapped to integer micro-logs before the
+    per-document sum (same hash-determinism device as docs_lm_score).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = spread(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    cc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    ct = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    scal = tok.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum((F.col("lang") == _DSIR_TARGET_LANG).cast("long")).alias("nt"),
+        F.count_distinct("w").alias("v"),
+    )
+    k = F.lit(_LM_K)
+    llr = (
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + k) / (F.col("nt") + k * F.col("v")))
+        - F.log((F.col("cc") + k) / (F.col("nc") + k * F.col("v")))
+    )
+    micro = F.round(llr * F.lit(1000000.0)).cast("long")
+    scored = (
+        tok.join(cc, "w")
+        .join(ct, "w", "left")
+        .crossJoin(F.broadcast(scal))  # 1-row scalars: semantically bounded
+        .select("doc_id", micro.alias("micro"))
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("micro")
+    return scored.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        s.cast("long").alias("sum_micro_llr"),
+        F.round((s / F.lit(1000000.0)) / n, 6).alias("avg_llr"),
+        F.round(F.exp((s / F.lit(1000000.0)) / n), 4).alias("weight"),
+    )
+
+
+DOCS_DSIR_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+), cc AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cc FROM tok GROUP BY w
+), ct AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tok
+    WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY w
+), scal AS (
+    SELECT CAST(count(*) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           CAST(count(DISTINCT w) AS BIGINT) AS v
+    FROM tok
+), scored AS (
+    SELECT t.doc_id,
+           CAST(round((ln((COALESCE(ct.ct, 0) + {_LM_K}) / (s.nt + {_LM_K} * s.v))
+                       - ln((cc.cc + {_LM_K}) / (s.nc + {_LM_K} * s.v))) * 1000000.0)
+                AS BIGINT) AS micro
+    FROM tok t
+    JOIN cc ON t.w = cc.w
+    LEFT JOIN ct ON t.w = ct.w
+    CROSS JOIN scal s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(micro) AS BIGINT) AS sum_micro_llr,
+       round((CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*), 6) AS avg_llr,
+       round(exp((CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*)), 4) AS weight
+FROM scored
+GROUP BY doc_id
+"""

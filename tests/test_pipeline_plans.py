@@ -157,3 +157,99 @@ def test_winnow_short_document_edges(spark):
     import hashlib
 
     assert got[2].min_fp == hashlib.md5(b"a b c d e").hexdigest()
+
+
+def test_lm_score_matches_hand_model(spark):
+    """Bigram add-k LM on a 3-doc toy corpus vs a hand-computed
+    python model (same micro-log snapping)."""
+    import math
+    from collections import Counter
+
+    from analyst_spark.plans.pipeline_plans import _LM_K, docs_lm_score
+
+    texts = {0: "a b a b", 1: "a b c", 2: "c c"}
+    toks = {d: t.split() for d, t in texts.items()}
+    uni: Counter = Counter(w for t in toks.values() for w in t)
+    big: Counter = Counter(
+        (t[i], t[i + 1]) for t in toks.values() for i in range(len(t) - 1)
+    )
+    v = len(uni)
+    want = {}
+    for d, t in toks.items():
+        micros = [
+            round(
+                math.log((big[(t[i], t[i + 1])] + _LM_K) / (uni[t[i]] + _LM_K * v))
+                * 1e6
+            )
+            for i in range(len(t) - 1)
+        ]
+        n, s = len(micros), sum(micros)
+        want[d] = (n, s, round(-(s / 1e6) / n, 6), round(math.exp(-(s / 1e6) / n), 4))
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_bigrams, r.sum_micro_logprob, r.neg_avg_logprob, r.ppl)
+            for r in docs_lm_score(spark, td).collect()
+        }
+    assert got == want
+    # a repeated-bigram doc is more probable than a one-off doc
+    assert got[0][3] < got[1][3]
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule trips on a crafted violator; the clean doc keeps."""
+    import os
+    import tempfile
+
+    from analyst_spark.plans.pipeline_plans import docs_gopher_filter
+
+    rows = {
+        0: "the quick brown fox and that dog have fun with all of it",  # clean
+        1: "of the and",                                  # too short
+        2: "the of " + "supercalifragilistic " * 12,      # mean word len too high
+        3: "the of " + "### ### ### ### ### ### ### ### ### ###",  # symbols
+        4: "zz yy xx ww vv uu tt ss rr qq pp oo",         # no stopwords
+    }
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in rows.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.doc_id: r for r in docs_gopher_filter(spark, td).collect()}
+    assert got[0].keep
+    assert not got[1].keep and got[1].n_words < 10
+    assert not got[2].keep and got[2].mean_word_len > 10
+    assert not got[3].keep and got[3].symbol_word_ratio > 0.1
+    assert not got[4].keep and got[4].n_stopwords == 0
+    assert got[3].alpha_word_ratio < 1.0
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """Importance weights must rank target-domain (en) documents above
+    out-of-domain ones on average, and weights are positive."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.plans.pipeline_plans import docs_dsir_weights
+    from analyst_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    w = docs_dsir_weights(spark, sf)
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "lang")
+    by_lang = (
+        w.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("weight").alias("aw"))
+        .collect()
+    )
+    m = {r[0]: r.aw for r in by_lang}
+    assert m[True] > m[False]
+    assert w.filter(F.col("weight") <= 0).count() == 0
