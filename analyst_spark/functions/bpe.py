@@ -51,6 +51,7 @@ reference implementation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -306,3 +307,71 @@ def bpe_encode_model(text: str, merges) -> list[str]:
             s = ns
         out.extend(s)
     return out
+
+
+def bpe_encode_pandas(
+    col: Column | str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+) -> Column:
+    """Arrow-batched encoder for large merge tables.
+
+    ``bpe_encode`` chains one Catalyst fold per merge — expression
+    depth grows linearly, so past a few hundred merges codegen chokes.
+    This variant ships the merge table once per executor (closure
+    capture ~ a broadcast of the ranked merge list; 32k merges is a
+    sub-MB dict) and encodes each Arrow batch in pandas with the
+    standard rank-priority BPE loop. Python, but vectorized transfer
+    and O(word_len * merges_applied) per word with a dict lookup —
+    the same hot loop every production tokenizer runs.
+
+    Parity: identical output to bpe_encode/bpe_encode_model for any
+    WELL-FORMED merge table (one where a merge's symbols always exist
+    before its rank — true of every table bpe_train produces, batched
+    or not): applying a merge only creates adjacencies involving its
+    output, whose pairs rank strictly later, so the rank-priority
+    rescan visits merges in exactly the sequential order. Pinned in
+    tests/test_bpe.py.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    table = {(m[0], m[1]): m[0] + m[1] for m in merges}
+
+    def encode_word(w: str) -> list[str]:
+        s = list(w)
+        while len(s) >= 2:
+            best_i, best_r = -1, len(rank)
+            # lowest-rank pair, leftmost on ties — then rescan: this
+            # matches applying each merge exhaustively in rank order
+            for i in range(len(s) - 1):
+                r = rank.get((s[i], s[i + 1]), len(rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(rank):
+                break
+            a, b = s[best_i], s[best_i + 1]
+            # apply THIS merge greedily left-to-right across the word
+            # (identical to one _merge_fold pass), then continue with
+            # the next-lowest surviving rank
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = table[(a, b)]
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").lower().strip().split():
+                if w:
+                    toks.extend(encode_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return enc(c)

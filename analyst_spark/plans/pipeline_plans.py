@@ -1006,3 +1006,80 @@ SELECT doc_id,
 FROM scored
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- duplicate spans
+
+_DUP_N = 6  # span granularity (word n-gram)
+
+
+def docs_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-span accounting (the fixed-granularity
+    distributed form of Lee et al. 2022 substring dedup): for every
+    document, how many of its 6-gram occurrences also occur in at
+    least one OTHER document, and the resulting duplication ratio —
+    the signal substring-level dedup thresholds on.
+
+    Suffix arrays do not distribute; the scalable form is exactly
+    this: one explode to (doc, gram-hash) postings, one aggregation
+    keyed on the hash to find grams with >= 2 distinct documents, and
+    one join of the postings against that shared-gram table. All keys
+    are 64-bit hashes (strings never shuffle); the shared-gram side is
+    corpus-derived so it carries no broadcast hint — AQE decides.
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    grams = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(_ngrams(F.col("t"), _DUP_N), lambda g: F.xxhash64(g))
+            ).alias("g"),
+        )
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    dup = (
+        grams.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        per_doc.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_ngrams"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+DOCS_DUP_SPAN_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), ng AS (
+    SELECT doc_id, {_duck_ngrams(_DUP_N)} AS gs FROM toks
+), grams AS (
+    SELECT doc_id, unnest(gs) AS g FROM ng
+), shared AS (
+    SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM grams GROUP BY doc_id
+), dup AS (
+    SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+    FROM grams JOIN shared ON grams.g = shared.g
+    GROUP BY grams.doc_id
+)
+SELECT p.doc_id, p.n_ngrams,
+       COALESCE(d.n_dup, 0) AS n_dup,
+       round(COALESCE(d.n_dup, 0) / CAST(p.n_ngrams AS DOUBLE), 6) AS dup_ratio
+FROM per_doc p LEFT JOIN dup d ON p.doc_id = d.doc_id
+"""

@@ -109,3 +109,34 @@ def test_bpe_encode_roundtrip(spark):
     assert got == want
     for t, toks in zip(texts, got):
         assert "".join(toks) == t.replace(" ", "")
+
+
+def test_bpe_encode_pandas_parity(spark):
+    """The Arrow-batched encoder (scale path for 32k-merge tables)
+    matches both the Catalyst-fold encoder and the python twin on
+    tables from sequential AND batched training."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.bpe import (
+        bpe_encode,
+        bpe_encode_model,
+        bpe_encode_pandas,
+    )
+
+    texts = ["low lower lowest", "new newest", "wide widest low",
+             "the thin then", ""]
+    train = spark.createDataFrame([(t,) for t in texts if t], ["text"])
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    for kwargs in ({"batch": 1}, {"batch": 4}):
+        merges = __import__("analyst_spark.functions.bpe", fromlist=["bpe_train"]).bpe_train(
+            train, num_merges=10, **kwargs
+        )
+        rows = df.select(
+            "text",
+            bpe_encode_pandas("text", merges).alias("pu"),
+            bpe_encode("text", merges).alias("cf"),
+        ).collect()
+        for r in rows:
+            want = bpe_encode_model(r.text, merges)
+            assert list(r.pu) == want, (kwargs, r.text)
+            assert list(r.cf) == want, (kwargs, r.text)

@@ -253,3 +253,31 @@ def test_dsir_weights_favor_target_domain(spark):
     m = {r[0]: r.aw for r in by_lang}
     assert m[True] > m[False]
     assert w.filter(F.col("weight") <= 0).count() == 0
+
+
+def test_dup_span_counts_cross_doc_spans_only(spark):
+    """A 6-gram shared by two docs counts in both; a doc repeating its
+    own 6-gram with no other holder stays clean."""
+    import os
+    import tempfile
+
+    from analyst_spark.plans.pipeline_plans import docs_dup_span
+
+    span = "w1 w2 w3 w4 w5 w6"
+    rows = {
+        0: span + " tail0 a b",          # shares span with doc 1
+        1: "head1 " + span + " x",       # shares span with doc 0
+        2: span.replace("w1", "q1") + " " + span.replace("w1", "q1"),  # self-repeat only
+        3: "just some other words here now",
+    }
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in rows.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.doc_id: r for r in docs_dup_span(spark, td).collect()}
+    assert got[0].n_dup >= 1 and got[1].n_dup >= 1
+    assert got[2].n_dup == 0  # same-doc repetition is not cross-doc duplication
+    assert got[3].n_dup == 0 and got[3].dup_ratio == 0.0
+    assert got[0].n_ngrams == 4  # 9 tokens -> 4 six-grams
