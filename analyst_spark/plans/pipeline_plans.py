@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from analyst_spark.functions.dedup import _with_cached_deps
 from analyst_spark.tables import load_tables, spread
 
 # ------------------------------------------------- shared expressions
@@ -90,7 +91,14 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             _ngrams(F.col("t"), _NGRAM_N), lambda g: F.xxhash64(g)
         ).alias("gs"),
-    )
+    ).persist()
+    # Consumed twice (benchmark side + corpus side) and the benchmark
+    # side materializes eagerly as a broadcast subquery — unpersisted,
+    # the whole scan→shingle→hash pipeline ran once per consumer
+    # (measured 5s → 0.85s at sf0.1). At cluster scale: exchange/cache
+    # reuse of the shingled table, the same device lsh_neardup_pairs
+    # uses.
+    toks.count()
 
     bench = (
         toks.filter(F.col("doc_id") % _BENCH_MOD == 0)
@@ -104,7 +112,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n_ngrams")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    return (
+    return _with_cached_deps(
         scored.withColumn(
             "overlap_ratio",
             F.round(F.col("n_matched") / F.col("n_ngrams"), 6),
@@ -112,7 +120,8 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap_ratio") >= 0.5)
         .select("doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
                 F.col("n_matched").cast("long").alias("n_matched"),
-                "overlap_ratio")
+                "overlap_ratio"),
+        toks,
     )
 
 
@@ -747,12 +756,16 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "g.w1", "g.w2")
+        .persist()  # consumed by the count table AND the scoring join
     )
+    bg.count()
     uni = (
         toks.select(F.explode("t").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()  # consumed by the vocab scalar AND the scoring join
     )
+    uni.count()
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     micro = F.round(
@@ -767,11 +780,15 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     s = F.sum("micro")
-    return scored.groupBy("doc_id").agg(
-        n.cast("long").alias("n_bigrams"),
-        s.cast("long").alias("sum_micro_logprob"),
-        F.round(-(s / F.lit(1000000.0)) / n, 6).alias("neg_avg_logprob"),
-        F.round(F.exp(-(s / F.lit(1000000.0)) / n), 4).alias("ppl"),
+    return _with_cached_deps(
+        scored.groupBy("doc_id").agg(
+            n.cast("long").alias("n_bigrams"),
+            s.cast("long").alias("sum_micro_logprob"),
+            F.round(-(s / F.lit(1000000.0)) / n, 6).alias("neg_avg_logprob"),
+            F.round(F.exp(-(s / F.lit(1000000.0)) / n), 4).alias("ppl"),
+        ),
+        bg,
+        uni,
     )
 
 
@@ -940,7 +957,8 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
-    )
+    ).persist()  # consumed 4x: corpus counts, target counts, scalars, scoring
+    tok.count()
     cc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
     ct = (
         tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
@@ -966,11 +984,14 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     s = F.sum("micro")
-    return scored.groupBy("doc_id").agg(
-        n.cast("long").alias("n_tokens"),
-        s.cast("long").alias("sum_micro_llr"),
-        F.round((s / F.lit(1000000.0)) / n, 6).alias("avg_llr"),
-        F.round(F.exp((s / F.lit(1000000.0)) / n), 4).alias("weight"),
+    return _with_cached_deps(
+        scored.groupBy("doc_id").agg(
+            n.cast("long").alias("n_tokens"),
+            s.cast("long").alias("sum_micro_llr"),
+            F.round((s / F.lit(1000000.0)) / n, 6).alias("avg_llr"),
+            F.round(F.exp((s / F.lit(1000000.0)) / n), 4).alias("weight"),
+        ),
+        tok,
     )
 
 
@@ -1036,7 +1057,9 @@ def docs_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(_ngrams(F.col("t"), _DUP_N), lambda g: F.xxhash64(g))
             ).alias("g"),
         )
+        .persist()  # consumed 3x: shared-gram table, per-doc totals, dup join
     )
+    grams.count()
     shared = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1049,7 +1072,7 @@ def docs_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
-    return (
+    return _with_cached_deps(
         per_doc.join(dup, "doc_id", "left")
         .select(
             "doc_id",
@@ -1058,7 +1081,8 @@ def docs_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_ngrams"), 6
             ).alias("dup_ratio"),
-        )
+        ),
+        grams,
     )
 
 

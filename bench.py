@@ -26,6 +26,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and one of each training-data op (the LSH/IVF variants are the
 # at-scale paths — brute-force twins are correctness-only).
 #
+# v5 (r5): + docs_lm_score (bigram-LM perplexity), docs_dsir_weights
+# (importance resampling), docs_gopher_filter (rule battery),
+# docs_dup_span (duplicate-span accounting) — the LM-curation family
+# added this round.
+#
 # v4 (r4): + docs_token_budget_mix (domain-mix prefix-sum sampler),
 # events_funnel (ordered conversion funnel), doc_winnow_fingerprints
 # (MOSS winnowing) — new curation/analytics coverage.
@@ -39,7 +44,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 4
+HEADLINE_VERSION = 5
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -66,6 +71,10 @@ BENCH_QUERIES = [
     "contamination_ngram",
     "text_top_tokens",
     "doc_winnow_fingerprints",
+    "docs_lm_score",
+    "docs_dsir_weights",
+    "docs_gopher_filter",
+    "docs_dup_span",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
