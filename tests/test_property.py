@@ -332,6 +332,8 @@ def _tokens_model(t: str) -> list[str]:
 
 
 def _minhash_sigs_model(rows, n, k):
+    from analyst_spark.functions.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
     out = {}
     for doc_id, text in rows:
         toks = _tokens_model(text)
@@ -341,8 +343,10 @@ def _minhash_sigs_model(rows, n, k):
             shingles = set()
         if not shingles:
             continue  # no exploded rows -> no signature row
+        hvs = [int(_md5(s)[:8], 16) for s in shingles]
         out[doc_id] = [
-            min(_md5(f"{i}|{s}") for s in shingles) for i in range(k)
+            min((MINHASH_A[i] * hv + MINHASH_B[i]) % MINHASH_P for hv in hvs)
+            for i in range(k)
         ]
     return out
 
@@ -353,7 +357,7 @@ def _minhash_pairs_model(rows, n, bands, rpb):
     for b in range(bands):
         buckets = defaultdict(list)
         for d, sig in sigs.items():
-            buckets[_md5("|".join(sig[b * rpb:(b + 1) * rpb]))].append(d)
+            buckets[_md5("|".join(str(x) for x in sig[b * rpb:(b + 1) * rpb]))].append(d)
         for ds in buckets.values():
             ds.sort()
             for i in range(len(ds)):
