@@ -19,6 +19,7 @@ def test_contract_shapes():
         "agg_quantile_approx",     # sketch estimates are impl-specific
         "ann_ivf_trained",         # k-means centroids are engine-specific
         "bpe_train_merges",        # iterative; vs python model in test_bpe
+        "bpe_train_batched",       # iterative; vs python model in test_bpe
     }
     for name, fn in qs.items():
         assert callable(fn), name
