@@ -460,3 +460,76 @@ def kmeans_train(
     out = assigned.select(F.col(id_col), "cluster")
     v.unpersist()
     return cents, out
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    mark within-cluster near-duplicates — a vector is a duplicate when
+    some LOWER-id member of its cluster has cosine >= threshold.
+
+    The clustering confines the quadratic pair search to cluster
+    granularity: pair cost is sum of squared cluster sizes, never
+    O(n^2) over the corpus. Centroids here are the ``n_centroids``
+    lowest-id vectors (deterministic, SQL-expressible — the same
+    device as ivf_topk's default lists); swap in kmeans_train output
+    for production clustering, the dedup stages are unchanged.
+
+    Returns (id, cluster_id, dup_of, is_dup): dup_of = the smallest
+    qualifying lower id (the retained representative), null for
+    keepers. Cosines round to 6dp before thresholding on both engines.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent"))
+    )
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", F.round(cosine(F.col("__v"), F.col("__cent")), 6))
+        .withColumn(
+            "__crn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.col("__csim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__crn") == 1)
+        .select("__id", "centroid_id", "__v")
+        .persist()  # self-joined below: halve the assignment compute
+    )
+    assigned.count()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    dup = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(sim >= F.lit(threshold))
+        .groupBy(F.col("b.__id").alias("__id"))
+        .agg(F.min(F.col("a.__id")).alias("dup_of"))
+    )
+    from analyst_spark.functions.dedup import _with_cached_deps
+
+    return _with_cached_deps(
+        assigned.select("__id", "centroid_id")
+        .join(dup, "__id", "left")
+        .select(
+            F.col("__id").cast("long").alias(id_col),
+            F.col("centroid_id").cast("long").alias("cluster_id"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        ),
+        assigned,
+    )

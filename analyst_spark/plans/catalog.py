@@ -134,6 +134,7 @@ _register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE
 _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 _register("dedup_clusters", tp.dedup_clusters, tp.DEDUP_CLUSTERS_ORACLE)
 _register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE)
+_register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 
 # --- similarity search ----------------------------------------------
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)

@@ -202,3 +202,28 @@ def test_cosine_topk_guards_large_query_sets(spark):
         cosine_topk(df, df, k=3, max_queries=10)
     # explicit opt-out still runs
     assert cosine_topk(df, df.limit(12), k=3, max_queries=None).count() > 0
+
+
+def test_semantic_dedup_recovers_planted_twins(spark):
+    """Scaled twins share direction with their source, so cluster
+    assignment matches and within-cluster cosine is exactly 1.0 —
+    every twin must flag with dup_of = source; nothing else flags."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    twins = [(100 + i, [2.0 * x for x in v]) for i, v in base if i % 10 == 0]
+    df = spark.createDataFrame(base + twins, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.999, n_centroids=4)
+    rows = {r.vec_id: r for r in out.collect()}
+    release_cached(out)
+    assert len(rows) == 44
+    for i, _ in base:
+        if i % 10 == 0:
+            assert rows[100 + i].is_dup and rows[100 + i].dup_of == i
+            assert rows[100 + i].cluster_id == rows[i].cluster_id
+    assert sum(1 for r in rows.values() if r.is_dup) == len(twins)
