@@ -124,6 +124,7 @@ _register("docs_gopher_filter", pp.docs_gopher_filter, pp.DOCS_GOPHER_ORACLE)
 _register("docs_dsir_weights", pp.docs_dsir_weights, pp.DOCS_DSIR_ORACLE)
 _register("docs_dup_span", pp.docs_dup_span, pp.DOCS_DUP_SPAN_ORACLE)
 _register("docs_curation_funnel", pp.docs_curation_funnel, pp.DOCS_FUNNEL_ORACLE)
+_register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model
 _register("bpe_train_batched", pp.bpe_train_batched, None)  # iterative; pinned vs python model
 

@@ -860,21 +860,16 @@ _GOPHER_MAX_SYMBOL = 0.1
 _GOPHER_MIN_STOPS = 2
 
 
-def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standard Gopher quality-rule battery (Rae et al. 2021,
-    table A1) per document: word-count bounds, mean-word-length
-    bounds, alphabetic-word ratio, symbol-to-word ratio ('#'/'...'),
-    distinct-stopword floor — plus the conjunctive keep flag.
-
-    One pass, pure Catalyst array expressions; every ratio is a
-    single int/int division (deterministic across engines). The rule
-    thresholds are module constants shared with the oracle SQL so the
-    two sides cannot drift.
-    """
-    docs = load_tables(spark, sf_dir)["documents"]
+def gopher_features(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document Gopher rule features + keep flag over any frame
+    with (doc_id, text) — stateless Catalyst expressions, so the same
+    function runs in batch plans AND per micro-batch on a stream
+    (streaming_quality_filter). ``extra_cols`` pass through untouched
+    (e.g. lang for downstream grouping)."""
     t = F.split(F.trim(F.lower("text")), r"\s+")
-    base = spread(docs).select(
+    base = docs.select(
         "doc_id",
+        *extra_cols,
         t.alias("t"),
         F.size(t).cast("long").alias("n_words"),
     )
@@ -897,6 +892,7 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stops = F.size(F.array_intersect(F.array_distinct("t"), stop_arr)).cast("long")
     feat = base.select(
         "doc_id",
+        *extra_cols,
         "n_words",
         mwl.alias("mean_word_len"),
         alpha_ratio.alias("alpha_word_ratio"),
@@ -911,6 +907,20 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stopwords") >= _GOPHER_MIN_STOPS)
     )
     return feat.withColumn("keep", keep)
+
+
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard Gopher quality-rule battery (Rae et al. 2021,
+    table A1) per document: word-count bounds, mean-word-length
+    bounds, alphabetic-word ratio, symbol-to-word ratio ('#'/'...'),
+    distinct-stopword floor — plus the conjunctive keep flag.
+
+    One pass, pure Catalyst array expressions; every ratio is a
+    single int/int division (deterministic across engines). The rule
+    thresholds are module constants shared with the oracle SQL so the
+    two sides cannot drift.
+    """
+    return gopher_features(spread(load_tables(spark, sf_dir)["documents"]))
 
 
 _GOPHER_STOP_LIST = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)

@@ -312,3 +312,67 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 30 MINUTE
 """
+
+
+_QF_SINK = "streaming_quality_filter_gate"
+
+
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus intake with an inline quality gate: documents
+    arrive as a file stream, the Gopher rule battery runs per
+    micro-batch (stateless Catalyst expressions — literally the same
+    gopher_features() the batch entry uses), and a complete-mode
+    aggregation reports per-language intake totals vs survivors.
+
+    Because the map stage is stateless and the aggregation runs in
+    complete mode under availableNow, the streaming result must equal
+    the batch rule battery — giving the streaming path a DuckDB
+    oracle. At scale this is the data-ingest shape: filter at the
+    edge of the stream, never land unfiltered text.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.plans.pipeline_plans import gopher_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tmp = tempfile.mkdtemp(prefix="asp_stream_docs_")
+    try:
+        docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+            8
+        ).write.mode("overwrite").json(tmp)
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).json(tmp)
+        feat = gopher_features(stream, extra_cols=("lang",))
+        agg = feat.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        q = run_to_memory_sink(agg, _QF_SINK, output_mode="complete")
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(_QF_SINK)
+
+
+STREAMING_QF_ORACLE = None  # assembled below from the batch gopher oracle
+
+
+def _qf_oracle() -> str:
+    from analyst_spark.plans.pipeline_plans import DOCS_GOPHER_ORACLE
+
+    return f"""
+WITH g AS (SELECT * FROM ({DOCS_GOPHER_ORACLE}))
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (g.keep) AS BIGINT) AS n_keep,
+       CAST(COALESCE(sum(g.n_words) FILTER (g.keep), 0) AS BIGINT) AS kept_tokens
+FROM g JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+STREAMING_QF_ORACLE = _qf_oracle()

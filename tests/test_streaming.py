@@ -187,3 +187,31 @@ def test_stream_to_partitioned_lake_foreachbatch(spark, events_dir, tmp_path):
     import glob as _g
 
     assert len(_g.glob(out + "/_batch_id=*")) == 2
+
+
+def test_streaming_quality_filter_equals_batch(spark):
+    """availableNow streaming intake gate == batch Gopher battery."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.plans.pipeline_plans import docs_gopher_filter
+    from analyst_spark.plans.streaming_plans import streaming_quality_filter
+    from analyst_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.lang: (r.n_docs, r.n_keep, r.kept_tokens)
+           for r in streaming_quality_filter(spark, sf).collect()}
+    batch = docs_gopher_filter(spark, sf)
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "lang")
+    want = {
+        r.lang: (r.n_docs, r.n_keep, r.kept_tokens)
+        for r in batch.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("long").alias("kept_tokens"),
+        )
+        .collect()
+    }
+    assert got == want and sum(v[1] for v in got.values()) > 0
