@@ -439,3 +439,66 @@ def test_simhash_bit_flip_distance():
         return bin(a ^ b).count("1")
 
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+
+
+# ----------------------------------------------------------------- winnowing
+
+from analyst_spark.plans.pipeline_plans import _WIN_K, _WIN_W, winnow_stats
+
+
+def _winnow_model(rows, k=_WIN_K, w=_WIN_W):
+    """Pure-Python winnowing twin: md5 per k-gram, per-window min,
+    same short-document edges as the Spark/DuckDB forms."""
+    out = {}
+    for doc_id, text in rows:
+        t = _tokens_model(text)
+        gs = [_md5(" ".join(t[i:i + k])) for i in range(len(t) - k + 1)]
+        if len(gs) >= w:
+            fps = [min(gs[i:i + w]) for i in range(len(gs) - w + 1)]
+        elif gs:
+            fps = [min(gs)]
+        else:
+            fps = []
+        out[doc_id] = (
+            len(gs),
+            len(fps),
+            len(set(fps)),
+            min(fps) if fps else None,
+            max(fps) if fps else None,
+        )
+    return out
+
+
+@st.composite
+def winnow_corpus(draw):
+    docs = []
+    for i in range(draw(st.integers(1, 4))):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=14))
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@given(winnow_corpus())
+@settings(**_PROP_SETTINGS)
+def test_winnow_matches_python_twin(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_kgrams, r.n_selected, r.n_distinct, r.min_fp, r.max_fp)
+        for r in winnow_stats(df).collect()
+    }
+    assert got == _winnow_model(docs)
+
+
+def test_winnow_shared_run_guarantee():
+    """The winnowing invariant on the model itself: two docs sharing a
+    run of w+k-1 tokens share at least one selected fingerprint."""
+    shared = "red fox ran far too now red fox".split()  # w+k-1 = 8 tokens
+    a = " ".join(["too"] * 3 + shared + ["now"] * 2)
+    b = " ".join(["far"] * 5 + shared)
+    m = _winnow_model([(0, a), (1, b)])
+    # recompute the fingerprint SETS to intersect
+    def fps(text):
+        t = _tokens_model(text)
+        gs = [_md5(" ".join(t[i:i + _WIN_K])) for i in range(len(t) - _WIN_K + 1)]
+        return {min(gs[i:i + _WIN_W]) for i in range(len(gs) - _WIN_W + 1)}
+    assert fps(a) & fps(b)
