@@ -382,9 +382,15 @@ def parse_script(
             key = sc.next_word()
             if not sc.try_char("="):
                 raise SyntaxError("expected '=' in SET")
-            val = sc.next_quoted() if sc.text[sc.skip_ws() or sc.pos] == "'" else None
-            if val is None:
+            sc.skip_ws()
+            if sc.pos < len(sc.text) and sc.text[sc.pos] == "'":
+                val = sc.next_quoted()
+            else:
                 m = re.match(r"-?\d+(\.\d+)?", sc.text[sc.pos:])
+                if m is None:
+                    raise SyntaxError(
+                        f"expected SET value near {sc.text[sc.pos:sc.pos+30]!r}"
+                    )
                 val = m.group(0)
                 sc.pos += m.end()
             blocks.append(Block("set", key=key.upper(), value=val))
