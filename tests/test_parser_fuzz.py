@@ -76,3 +76,66 @@ def test_valid_script_still_parses():
     assert [b.kind for b in blocks] == [
         "connection", "query", "data", "transform", "global", "set", "exec"
     ]
+
+
+# ------------------------------------------- transform sub-grammars
+
+from analyst_spark.aql.transforms_parser import (
+    parse_aggregate,
+    parse_apply,
+    parse_asof,
+    parse_lookup,
+)
+
+_AGG = "AGGREGATE a, SUM(x) AS s, QUANTILE(y, 0.5) AS q GROUP BY a"
+_LOOKUP = "LOOKUP lk.v FROM base INNER JOIN lk ON base.k = lk.k"
+_APPLY = "APPLY CAST(a AS INT) AS b, c"
+_ASOF = "ASOF v AS w FROM base JOIN lk ON base.k = lk.k TIME t"
+
+_SUB_TOKENS = [
+    "SUM", "(", ")", "AS", ",", "GROUP", "BY", "FROM", "INNER", "OUTER",
+    "JOIN", "ON", "=", ".", "CAST", "QUANTILE", "0.5", "x", "base", "lk",
+    "ASOF", "TIME", "'q'",
+]
+
+
+def _check_sub(fn, text):
+    try:
+        fn(text)
+    except SyntaxError:
+        pass
+
+
+@given(st.integers(0, 60), st.integers(0, 60),
+       st.sampled_from(["agg", "lookup", "apply", "asof"]))
+@settings(max_examples=120, deadline=None)
+def test_transform_truncations(a, b, which):
+    fn, base = {
+        "agg": (parse_aggregate, _AGG),
+        "lookup": (parse_lookup, _LOOKUP),
+        "apply": (parse_apply, _APPLY),
+        "asof": (parse_asof, _ASOF),
+    }[which]
+    _check_sub(fn, base[:a])
+    _check_sub(fn, base[:a] + base[b:])
+
+
+@given(st.lists(st.sampled_from(_SUB_TOKENS), min_size=0, max_size=10),
+       st.sampled_from(["agg", "lookup", "apply", "asof"]))
+@settings(max_examples=160, deadline=None)
+def test_transform_token_soup(tokens, which):
+    # (bases must be valid grammar or the truncation fuzz is vacuous)
+    fn = {
+        "agg": parse_aggregate,
+        "lookup": parse_lookup,
+        "apply": parse_apply,
+        "asof": parse_asof,
+    }[which]
+    _check_sub(fn, " ".join(tokens))
+
+
+def test_transform_bases_are_valid():
+    assert parse_aggregate(_AGG)[1] == ["a"]
+    assert parse_lookup(_LOOKUP).base == "base"
+    assert parse_apply(_APPLY)[0][0] == "a"
+    assert parse_asof(_ASOF).base == "base"
