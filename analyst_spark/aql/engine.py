@@ -36,14 +36,14 @@ from analyst_spark.aql.transforms_parser import (
 )
 from analyst_spark.sinks.console import console_sink
 from analyst_spark.sinks.devnull import devnull_sink
-from analyst_spark.sinks.parameter import parameter_sink
+from analyst_spark.sinks.parameter import ParameterTable, parameter_sink
 from analyst_spark.sources.literal import literal_source
 
 
 @dataclass
 class JobResult:
     console: list[str] = field(default_factory=list)
-    parameters: dict[str, object] = field(default_factory=dict)
+    parameters: dict[str, object] = field(default_factory=ParameterTable)
     globals: GlobalStore | None = None
     frames: dict[str, DataFrame] = field(default_factory=dict)
 
@@ -363,7 +363,9 @@ class Executor:
         for b in blocks:
             if b.kind == "declare":
                 for p in b.declares:
-                    res.parameters.setdefault(p.lstrip("@"), None)
+                    # case-insensitive; duplicate DECLARE is an error
+                    # (engine/parameters_test.go:16-20)
+                    res.parameters.declare(p.lstrip("@"))
 
         order = _topo_order(
             [b for b in blocks if b.kind in

@@ -1,0 +1,172 @@
+"""Reference test vectors ported verbatim — the reducer, condition,
+and parameter-table table-tests from the reference repo, run against
+the Spark implementations. Each test cites its source case.
+
+Known adjudicated deviation: the reference's MIN/MAX reducer ERRORS
+on a non-RFC3339 string (min_test.go:70-76); the distributed form
+ignores uncastable strings (try_cast → NULL) because a per-row error
+channel doesn't exist mid-aggregation — pinned here explicitly.
+"""
+
+import pytest
+
+from analyst_spark.operators.aggregate import aggregate, cdf, quantile
+from analyst_spark.operators.aggregate import max_time_epoch, min_time_epoch
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x double")
+
+
+# ---- transforms/sum_test.go:16-28: [0.0, 1, nil] -> 1.0; empty -> nil
+
+def test_sum_vector(spark):
+    df = _vals(spark, [0.0, 1.0, None])
+    assert aggregate(df, [], [("SUM", "x", "s")]).collect()[0].s == 1.0
+    assert aggregate(_vals(spark, [None]), [], [("SUM", "x", "s")]).collect()[0].s is None
+
+
+# ---- transforms/avg_test.go:16-28: [0.0, 1, nil] -> 0.5
+
+def test_avg_vector(spark):
+    df = _vals(spark, [0.0, 1.0, None])
+    assert aggregate(df, [], [("AVG", "x", "a")]).collect()[0].a == 0.5
+
+
+# ---- transforms/min_test.go:18-45 / max_test.go: mixed + negatives
+
+def test_min_max_vectors(spark):
+    df = _vals(spark, [-0.1, 1.0, None])
+    row = aggregate(df, [], [("MIN", "x", "lo"), ("MAX", "x", "hi")]).collect()[0]
+    assert (row.lo, row.hi) == (-0.1, 1.0)
+    df2 = _vals(spark, [-0.1, -1.0, None])
+    assert aggregate(df2, [], [("MIN", "x", "lo")]).collect()[0].lo == -1.0
+
+
+# ---- transforms/min_test.go:46-68: RFC3339 strings -> epoch seconds
+
+def test_min_timestamp_vector(spark):
+    times = ["2018-02-14T10:00:00Z", "2018-02-14T05:00:00Z",
+             "2018-02-13T01:00:00Z", "2018-02-14T03:00:00Z",
+             "2018-02-14T05:30:00Z", "2018-02-14T05:00:30Z"]
+    df = spark.createDataFrame([(t,) for t in times], "t string")
+    got = df.agg(min_time_epoch("t").alias("m"),
+                 max_time_epoch("t").alias("x")).collect()[0]
+    import datetime as dt
+
+    want = dt.datetime(2018, 2, 13, 1, tzinfo=dt.timezone.utc).timestamp()
+    assert got.m == want
+    assert got.x == dt.datetime(2018, 2, 14, 10, tzinfo=dt.timezone.utc).timestamp()
+
+
+def test_min_bad_time_format_is_ignored_not_error(spark):
+    """min_test.go:70-76 raises 'unknown time format FOO_BAR_BAZ'; the
+    distributed reducer ignores the uncastable row (adjudicated)."""
+    df = spark.createDataFrame(
+        [("FOO_BAR_BAZ",), ("2018-02-13T01:00:00Z",)], "t string"
+    )
+    got = df.agg(min_time_epoch("t").alias("m")).collect()[0].m
+    import datetime as dt
+
+    assert got == dt.datetime(2018, 2, 13, 1, tzinfo=dt.timezone.utc).timestamp()
+
+
+# ---- transforms/quantile_test.go:16-28: values [1, 1, nil], q=0.5 -> 1
+# ---- transforms/cdf_test.go:16-28: values [0, 1, nil], x=0.5 -> 0.5
+
+def test_quantile_cdf_vectors(spark):
+    df = _vals(spark, [1.0, 1.0, None])
+    assert df.agg(quantile("x", 0.5).alias("q")).collect()[0].q == 1.0
+    df2 = _vals(spark, [0.0, 1.0, None])
+    assert df2.agg(cdf("x", 0.5).alias("c")).collect()[0].c == 0.5
+
+
+# ---- engine/condition_test.go — TEST-block conditions
+
+def _cond_df(spark):
+    return spark.createDataFrame(
+        [("as", "bs", "cs"), ("1", "2", "3")], ["ColA", "ColB", "colc"]
+    )
+
+
+def test_condition_vectors(spark):
+    from analyst_spark.aql.assertions import AssertionFailure, check_assertions
+
+    df = _cond_df(spark)
+    # row counts (condition_test.go:26-44): 2 rows
+    check_assertions("t", df, "IT OUTPUTS AT LEAST 1 ROWS")
+    check_assertions("t", df, "IT OUTPUTS AT MOST 2 ROWS")
+    check_assertions("t", df, "IT OUTPUTS EXACTLY 2 ROWS")
+    with pytest.raises(AssertionFailure):
+        check_assertions("t", df, "IT OUTPUTS AT MOST 1 ROWS")
+    # distinct counts (condition_test.go:47-71)
+    dup = spark.createDataFrame(
+        [("as", "bs"), ("as", "bs"), ("cs", "ds")], ["ColA", "ColB"]
+    )
+    check_assertions("t", dup, "COLUMN ColA HAS AT LEAST 2 DISTINCT VALUES")
+    with pytest.raises(AssertionFailure):
+        check_assertions("t", dup, "COLUMN ColA HAS AT MOST 1 DISTINCT VALUES")
+    # no-null (condition_test.go:74-84)
+    nn = spark.createDataFrame([("as", "bs"), (None, "bs")], ["ColA", "ColB"])
+    check_assertions("t", nn, "COLUMN ColB HAS NO NULL VALUES")
+    with pytest.raises(AssertionFailure):
+        check_assertions("t", nn, "COLUMN ColA HAS NO NULL VALUES")
+    # no-duplicates (condition_test.go:87-95)
+    dd = spark.createDataFrame([("as", "bs"), ("as", "bs")], ["ColA", "ColB"])
+    with pytest.raises(AssertionFailure):
+        check_assertions("t", dd, "COLUMN ColA HAS UNIQUE VALUES")
+    # expression (condition_test.go:12-23): ColA == 'as' true row 1
+    check_assertions(
+        "t", df.limit(1), "IT SATISFIES ColA = 'as'"
+    )
+    with pytest.raises(AssertionFailure):
+        check_assertions("t", df, "IT SATISFIES ColB = '2'")
+
+
+# ---- engine/parameters_test.go — ParameterTable semantics
+
+def test_parameter_table_vectors():
+    from analyst_spark.sinks.parameter import ParameterTable
+
+    p = ParameterTable()
+    p.declare("A")                      # :11-14 declarations allowed
+    with pytest.raises(ValueError):
+        p.declare("A")                  # :16-20 duplicates rejected
+    p["A"] = 1                          # :22-29 set + get
+    assert p["A"] == 1
+    assert p.get("B") is None           # :28 missing -> not ok
+    assert "B" not in p
+
+
+def test_parameter_table_case_insensitive():
+    from analyst_spark.sinks.parameter import ParameterTable
+
+    p = ParameterTable()
+    p.declare("Aa")
+    p.declare("Bb")
+    p["AA"] = 3                         # :41-59 case-insensitive set
+    assert p["aa"] == 3
+    assert p.get("BB") is None and "bb" in p
+    with pytest.raises(ValueError):
+        p.declare("aA")                 # same slot, different case
+
+
+def test_parameter_destination_last_row_wins(spark):
+    """parameters_test.go:48-59: rows (1,2) then (3,4) leave Aa=3, Bb=4."""
+    from analyst_spark.sinks.parameter import ParameterTable, parameter_sink
+
+    p = ParameterTable()
+    p.declare("Aa")
+    p.declare("Bb")
+    df = spark.createDataFrame([(1, 2), (3, 4)], ["CC", "DD"]).coalesce(1)
+    parameter_sink(df, ["AA", "bb"], p)
+    assert p["Aa"] == 3 and p["BB"] == 4
+
+
+def test_parameter_destination_requires_declaration(spark):
+    from analyst_spark.sinks.parameter import ParameterTable, parameter_sink
+
+    p = ParameterTable()
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(KeyError):
+        parameter_sink(df, ["@NotDeclared"], p)
