@@ -170,3 +170,57 @@ def test_parameter_destination_requires_declaration(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(KeyError):
         parameter_sink(df, ["@NotDeclared"], p)
+
+
+# ---- engine/literal_source_test.go — all three DATA formats
+
+def test_literal_source_json_array(spark):
+    """literal_source_test.go:8-44: flat JSON array rows."""
+    from analyst_spark.sources.literal import literal_source
+
+    df = literal_source(
+        spark, '[\n[1, "A"],\n[2, "B"],\n[3, "C"]\n]', ["a", "b"]
+    )
+    assert df.columns == ["a", "b"]
+    assert [(r.a, r.b) for r in df.collect()] == [(1, "A"), (2, "B"), (3, "C")]
+
+
+def test_literal_source_json_objects(spark):
+    """literal_source_test.go:46-83: array of objects, key order varies."""
+    from analyst_spark.sources.literal import literal_source
+
+    df = literal_source(
+        spark,
+        '[\n{"a": 1, "b": "A"},\n{"b": "B", "a": 2},\n{"a": 3, "b": "C"}\n]',
+        ["a", "b"],
+        fmt="JSON_OBJECTS",
+    )
+    assert [(r.a, r.b) for r in df.collect()] == [(1, "A"), (2, "B"), (3, "C")]
+
+
+def test_literal_source_csv(spark):
+    """literal_source_test.go:85-121: headerless CSV; cells stay strings."""
+    from analyst_spark.sources.literal import literal_source
+
+    # the user-facing FORMAT option is 'CSV' (literal_source.go:53
+    # maps it to the CSVWithoutHeader unmarshaller)
+    df = literal_source(spark, "1,A\n2,B\n3,C", ["a", "b"], fmt="CSV")
+    assert [(r.a, r.b) for r in df.collect()] == [
+        ("1", "A"), ("2", "B"), ("3", "C")
+    ]
+
+
+# ---- aql/lexer_test.go — tokenization edges via parse_script
+
+def test_lexer_vectors():
+    """lexer_test.go:8-64 ported to the parser surface: whitespace-only
+    input parses to no blocks; inline '--' and multiline comments are
+    stripped; case-insensitive keywords tokenize."""
+    from analyst_spark.aql.parser import parse_script, strip_comments
+
+    assert parse_script(" \t \n ") == []
+    # :41-48 inline comment swallows the rest of the line
+    assert strip_comments("QUERY -- QUERY QUERY QUERY ").split() == ["QUERY"]
+    # :50-63 multiline comment between keywords
+    s = "QUERY /**\nQUERY QUERY QUERY\n**/ TEST"
+    assert strip_comments(s).split() == ["QUERY", "TEST"]
