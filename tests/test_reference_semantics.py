@@ -224,3 +224,44 @@ def test_lexer_vectors():
     # :50-63 multiline comment between keywords
     s = "QUERY /**\nQUERY QUERY QUERY\n**/ TEST"
     assert strip_comments(s).split() == ["QUERY", "TEST"]
+
+
+# ---- transforms/timeseries_test.go:79-98 — ZOH resampling vectors
+
+def test_zoh_resampling_vectors(spark):
+    """The five named series from the reference's resampler test, with
+    its exact expected means over [Unix(1), Unix(5))."""
+    from analyst_spark.operators.zoh import zoh_mean
+
+    def iso(sec):
+        import datetime as dt
+
+        return dt.datetime.fromtimestamp(
+            sec, dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    series = {
+        "single": [(0, 1.0)],
+        "outside interval": [(1, 1.0), (10, 0.0)],
+        "one inside": [(0, 1.0), (2, 3.0), (10, 4.0)],
+        "two inside": [(0, 1.0), (1, 2.0), (2, 3.0), (10, 4.0)],
+        "all inside but one": [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)],
+    }
+    expected = {
+        "single": 1.0,
+        "outside interval": 1.0,
+        "one inside": (1.0 / 4.0) * 1.0 + (3.0 / 4.0) * 3.0,
+        "two inside": (1.0 / 4.0) * 2.0 + (3.0 / 4.0) * 3.0,
+        "all inside but one": (1.0 / 4.0) * 2.0 + (1.0 / 4.0) * 3.0
+        + (2.0 / 4.0) * 4.0,
+    }
+    rows = [
+        (name, iso(t), v) for name, pts in series.items() for t, v in pts
+    ]
+    df = spark.createDataFrame(rows, "g string, t string, v double")
+    got = {
+        r.g: r.m
+        for r in zoh_mean(df, ["g"], "t", "v", iso(1), iso(5), alias="m").collect()
+    }
+    for name, want in expected.items():
+        assert got[name] == pytest.approx(want, abs=1e-9), name
