@@ -737,6 +737,26 @@ def validate_script(
                 raise ValueError(
                     f"block {b.name!r} AFTER references undeclared block {name!r}"
                 )
+    # Every job path must terminate on a destination: a QUERY/
+    # TRANSFORM/DATA block with no INTO and no downstream consumer is
+    # a compile error (coordinator_test.go:32-53
+    # TestCoordinatorInvalidTermination; coordinator.go Compile).
+    consumed = {
+        ref.name.lower()
+        for b in executable
+        for ref in b.sources
+        if ref.kind == "block" and ref.name
+    }
+    for b in executable:
+        if (
+            b.kind in ("query", "transform", "data")
+            and not b.sinks
+            and (b.name or "").lower() not in consumed
+        ):
+            raise ValueError(
+                f"block {b.name!r} terminates on a non-destination "
+                "(no INTO and no consumer)"
+            )
     _topo_order(executable)
     return len(blocks)
 

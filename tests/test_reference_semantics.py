@@ -265,3 +265,57 @@ def test_zoh_resampling_vectors(spark):
     }
     for name, want in expected.items():
         assert got[name] == pytest.approx(want, abs=1e-9), name
+
+
+# ---- engine/coordinator_test.go — compile/termination vectors
+
+def test_job_must_terminate_on_destination():
+    """coordinator_test.go:32-53: a job that terminates on a transform
+    (no INTO, no consumer) is a compile error."""
+    from analyst_spark.aql.engine import validate_script
+
+    bad = """
+    DATA 'd' (
+        [[1]]
+    ) WITH (COLUMNS = 'a')
+    """
+    with pytest.raises(ValueError):
+        validate_script(bad)
+    # the same block becomes valid once something consumes it
+    ok = """
+    DATA 'd' (
+        [[1]]
+    ) WITH (COLUMNS = 'a')
+
+    TRANSFORM 't' FROM BLOCK d (
+        APPLY a
+    ) INTO CONSOLE
+    """
+    assert validate_script(ok) == 2
+
+
+def test_failing_test_block_aborts_job(spark):
+    """coordinator_test.go:183-212 (TestTester): a failing TEST stops
+    the job with an error. Like the reference, assertions only arm in
+    test mode (compiler.go:780-781 "ignored if the job is not in test
+    mode"); execute_script runs them as no-ops and test_script raises.
+    """
+    from analyst_spark.aql.assertions import AssertionFailure
+    from analyst_spark.aql.engine import execute_script, test_script
+
+    script = """
+    DATA 'd' (
+        [[1], [2]]
+    ) WITH (COLUMNS = 'a')
+
+    TEST d WITH ASSERTIONS (
+        IT OUTPUTS EXACTLY 99 ROWS
+    )
+
+    QUERY 'q' FROM BLOCK d (
+        SELECT a FROM d
+    ) INTO GLOBAL WITH (TABLE = 'out')
+    """
+    execute_script(spark, script)  # run mode: assertions ignored
+    with pytest.raises(AssertionFailure):
+        test_script(spark, script)
