@@ -146,15 +146,20 @@ class _Scanner:
         return m.group(0)
 
     def next_quoted(self) -> str:
+        # The reference lexer only tokenizes '...' (lexer.go:188-200),
+        # but its DOCS use "..." option values (intro.md:15) and
+        # backtick INCLUDE paths (blocks.md:56) — accept all three as
+        # a harmless superset so every documented script parses.
         self.skip_ws()
-        if self.pos >= len(self.text) or self.text[self.pos] != "'":
+        if self.pos >= len(self.text) or self.text[self.pos] not in "'\"`":
             raise SyntaxError(f"expected quoted string at {self.text[self.pos:self.pos+40]!r}")
+        q = self.text[self.pos]
         j = self.pos + 1
         buf = []
         while j < len(self.text):
-            if self.text[j] == "'":
-                if j + 1 < len(self.text) and self.text[j + 1] == "'":
-                    buf.append("'")
+            if self.text[j] == q:
+                if q == "'" and j + 1 < len(self.text) and self.text[j + 1] == q:
+                    buf.append(q)
                     j += 2
                     continue
                 self.pos = j + 1
@@ -224,7 +229,7 @@ def parse_options(body: str) -> dict[str, object]:
         if not sc.try_char("="):
             raise SyntaxError(f"expected '=' after option {key}")
         sc.skip_ws()
-        if sc.pos < len(sc.text) and sc.text[sc.pos] == "'":
+        if sc.pos < len(sc.text) and sc.text[sc.pos] in "'\"`":
             val: object = sc.next_quoted()
         else:
             m = re.match(r"-?\d+(\.\d+)?", sc.text[sc.pos:])
@@ -383,7 +388,7 @@ def parse_script(
             if not sc.try_char("="):
                 raise SyntaxError("expected '=' in SET")
             sc.skip_ws()
-            if sc.pos < len(sc.text) and sc.text[sc.pos] == "'":
+            if sc.pos < len(sc.text) and sc.text[sc.pos] in "'\"`":
                 val = sc.next_quoted()
             else:
                 m = re.match(r"-?\d+(\.\d+)?", sc.text[sc.pos:])
@@ -404,9 +409,21 @@ def parse_script(
             continue
         if kwu == "DECLARE":
             blk = Block("declare")
-            blk.declares.append(sc.next_word())
+
+            def _declare_name() -> str:
+                # grammar is DECLARE @IDENT (aql/parser.go:93), but
+                # blocks.md:33 documents DECLARE 'NAME' — accept both
+                sc.skip_ws()
+                if sc.pos < len(sc.text) and sc.text[sc.pos] in "'\"`":
+                    return sc.next_quoted()
+                w = sc.next_word()
+                if w is None:
+                    raise SyntaxError("expected parameter name after DECLARE")
+                return w
+
+            blk.declares.append(_declare_name())
             while sc.try_char(","):
-                blk.declares.append(sc.next_word())
+                blk.declares.append(_declare_name())
             blocks.append(blk)
             continue
         if kwu == "INCLUDE":

@@ -319,3 +319,37 @@ def test_failing_test_block_aborts_job(spark):
     execute_script(spark, script)  # run mode: assertions ignored
     with pytest.raises(AssertionFailure):
         test_script(spark, script)
+
+
+# ---- docs-src/docs/*.md — every concrete documented script parses
+
+def test_all_documented_scripts_parse():
+    """A reference user migrating here can paste any CONCRETE example
+    from the reference docs and it parses. EBNF grammar sketches
+    (lines with [OPTIONAL] meta-brackets / OPTION_VALUE placeholders)
+    are skipped — the reference's own parser rejects those too. Note
+    the docs use three quote styles ('x', "x", `x`) while the
+    reference lexer only accepts '…' (lexer.go:188-200); the parser
+    here accepts all three as a documented superset."""
+    import glob
+    import re as _re
+
+    from analyst_spark.aql.parser import parse_script
+
+    kw = ("QUERY", "TRANSFORM", "DATA", "EXEC", "GLOBAL", "CONNECTION",
+          "SET", "INCLUDE", "DECLARE", "DESCRIPTION", "TEST")
+    total = 0
+    for f in sorted(glob.glob("/root/reference/docs-src/docs/*.md")):
+        for body in _re.findall(r"```\w*\n(.*?)```", open(f).read(), _re.S):
+            st = body.strip()
+            first = st.split(None, 1)[0].upper() if st else ""
+            if first.rstrip("(") not in kw:
+                continue  # shell commands, SQL-only, prose
+            if _re.search(r"\[[A-Z_]+[\] ]", st) or "OPTION_VALUE" in st:
+                continue  # EBNF sketch, not a script
+            total += 1
+            try:
+                parse_script(st, script_dir="/tmp")
+            except OSError:
+                pass  # INCLUDE references a file the docs don't ship
+    assert total >= 40  # the docs carry a real corpus, and it all parses
