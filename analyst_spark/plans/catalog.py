@@ -113,6 +113,7 @@ _register("doc_fingerprints", tp.doc_fingerprints, tp.DOC_FINGERPRINTS_ORACLE)
 _register("corpus_prep_pipeline", tp.corpus_prep_pipeline, tp.CORPUS_PREP_ORACLE)
 _register("contamination_ngram", pp.contamination_ngram, pp.CONTAMINATION_ORACLE)
 _register("text_pii_scan", pp.text_pii_scan, pp.TEXT_PII_ORACLE)
+_register("docs_pii_scrub", pp.docs_pii_scrub, pp.DOCS_PII_SCRUB_ORACLE)
 _register("text_repetition", pp.text_repetition, pp.TEXT_REPETITION_ORACLE)
 _register("text_top_tokens", pp.text_top_tokens, pp.TEXT_TOP_TOKENS_ORACLE)
 _register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACLE)

@@ -1250,3 +1250,51 @@ UNION ALL
 SELECT 4, 'lm', CAST(count(*) FILTER (p3) AS BIGINT),
        CAST(COALESCE(sum(toks) FILTER (p3), 0) AS BIGINT) FROM base
 """
+
+
+# ------------------------------------------------- PII scrub output
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub itself (text_pii_scan is the accounting twin): every
+    document with planted PII, returned with emails/phones replaced by
+    typed placeholder tags — per-doc before/after lengths and an md5
+    of the scrubbed text so the oracle pins the exact output bytes.
+
+    Map-only over the scan (regexp_replace is JVM codegen); at 100 TB
+    this is the shape of the real redaction pass — scan bandwidth, no
+    shuffle beyond none at all (per-doc output).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    planted = _planted_text()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length(planted).cast("long").alias("n_chars_before"),
+            F.length(scrubbed).cast("long").alias("n_chars_after"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+        .filter(F.col("n_chars_before") != F.col("n_chars_after"))
+    )
+
+
+DOCS_PII_SCRUB_ORACLE = rf"""
+WITH planted AS (
+    SELECT doc_id, {_DUCK_PLANTED} AS t FROM documents
+), scrubbed AS (
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_before,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS s
+    FROM planted
+)
+SELECT doc_id, n_chars_before,
+       CAST(length(s) AS BIGINT) AS n_chars_after,
+       md5(s) AS scrubbed_md5
+FROM scrubbed
+WHERE n_chars_before <> CAST(length(s) AS BIGINT)
+"""

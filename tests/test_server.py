@@ -136,7 +136,7 @@ def test_run_and_compile_endpoints(srv):
 
     good = """
     QUERY 'a' FROM GLOBAL (SELECT 1 AS x);
-    TRANSFORM 'b' FROM BLOCK a (AGGREGATE x, COUNT(1) AS n GROUP BY x)
+    TRANSFORM 'b' FROM BLOCK a (AGGREGATE x, COUNT(1) AS n GROUP BY x) INTO CONSOLE
     """
     status, out = s.handle("POST", "/compile", {"script": good})
     assert status == 200 and out["success"] and out["blocks"] == 2
@@ -153,7 +153,7 @@ def test_compile_detects_cycles(srv):
     s, _ = srv
     cyc = """
     TRANSFORM 'a' FROM BLOCK b (AGGREGATE x, COUNT(1) AS n GROUP BY x);
-    TRANSFORM 'b' FROM BLOCK a (AGGREGATE x, COUNT(1) AS n GROUP BY x)
+    TRANSFORM 'b' FROM BLOCK a (AGGREGATE x, COUNT(1) AS n GROUP BY x) INTO CONSOLE
     """
     status, out = s.handle("POST", "/compile", {"script": cyc})
     assert status == 200 and not out["success"] and "cycle" in out["error"]
