@@ -116,14 +116,97 @@ def excel_source(
     header_row: bool = True,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    if openpyxl is None:
-        raise ImportError(
-            "openpyxl is not installed in this environment; excel_source "
-            "requires it (the range/coercion core is matrix_to_rows, "
-            "tested independently)"
-        )
-    wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
-    ws = wb[sheet]
-    cells = [[c.value for c in row] for row in ws.iter_rows()]
+    if openpyxl is not None:
+        wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
+        ws = wb[sheet]
+        cells = [[c.value for c in row] for row in ws.iter_rows()]
+    else:
+        # no third-party dependency needed: the stdlib reader below
+        # handles the reference's own fixtures (shared/inline strings,
+        # numbers, booleans)
+        cells = load_matrix_stdlib(path, sheet)
     names, rows = matrix_to_rows(cells, rng, header_row, columns)
     return _frame(spark, rows, names)
+
+
+# ----------------------------------------------- stdlib xlsx reader
+
+_XMLNS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELNS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+          "relationships}id")
+
+
+def _cell_ref_to_rc(ref: str) -> tuple[int, int]:
+    m = re.match(r"([A-Z]+)(\d+)", ref)
+    return int(m.group(2)), col_to_index(m.group(1))
+
+
+def load_matrix_stdlib(path: str, sheet: str) -> list[list]:
+    """Minimal XLSX reader on zipfile + ElementTree — no third-party
+    dependency, enough for the reference's fixtures and typical data
+    sheets: shared/inline/formula-cached strings, numbers (ints kept
+    integral, matching the reference's coercion order
+    engine/excel_source.go:197-235), booleans. Returns a dense
+    row-major matrix with None for absent cells."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        # sheet name -> target via workbook.xml + its rels
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_map = {
+            r.get("Id"): r.get("Target")
+            for r in rels
+        }
+        target = None
+        for sh in wb.iter(f"{_XMLNS}sheet"):
+            if sh.get("name") == sheet:
+                target = rel_map[sh.get(_RELNS)]
+                break
+        if target is None:
+            raise KeyError(f"sheet {sheet!r} not in workbook")
+        if not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.iter(f"{_XMLNS}si"):
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{_XMLNS}t"))
+                )
+        ws = ET.fromstring(z.read(target))
+        cells: dict[tuple[int, int], object] = {}
+        maxr = maxc = 0
+        for c in ws.iter(f"{_XMLNS}c"):
+            ref = c.get("r")
+            if not ref:
+                continue
+            r, col = _cell_ref_to_rc(ref)
+            t = c.get("t", "n")
+            v = c.find(f"{_XMLNS}v")
+            if t == "inlineStr":
+                is_el = c.find(f"{_XMLNS}is")
+                val = (
+                    "".join(x.text or "" for x in is_el.iter(f"{_XMLNS}t"))
+                    if is_el is not None
+                    else None
+                )
+            elif v is None or v.text is None:
+                val = None
+            elif t == "s":
+                val = shared[int(v.text)]
+            elif t == "b":
+                val = v.text == "1"
+            elif t == "str":
+                val = v.text
+            else:  # numeric
+                f = float(v.text)
+                val = int(f) if f.is_integer() else f
+            if val is not None:
+                cells[(r, col)] = val
+                maxr, maxc = max(maxr, r), max(maxc, col)
+        return [
+            [cells.get((r, col)) for col in range(1, maxc + 1)]
+            for r in range(1, maxr + 1)
+        ]

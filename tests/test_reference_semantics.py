@@ -353,3 +353,78 @@ def test_all_documented_scripts_parse():
             except OSError:
                 pass  # INCLUDE references a file the docs don't ship
     assert total >= 40  # the docs carry a real corpus, and it all parses
+
+
+# ---- engine/http_source_test.go — JSON parsing + pagination vectors
+
+def test_http_json_parsing_vectors():
+    """http_source_test.go:8-63: object arrays project named columns
+    (selecting a subset, order preserved), primitive arrays map
+    positionally, empty JSONPath means the top level."""
+    import json
+
+    from analyst_spark.sources.http import _extract_path, _rows_from_items
+
+    # :10-25 object array, columns ["c", "b"] out of {a,b,c}
+    payload = json.loads('{"items": [{"a": 1, "b": 2, "c": "d"}]}')
+    rows = _rows_from_items(_extract_path(payload, "items"), ["c", "b"])
+    assert rows == [["d", 2]]
+    # :26-43 primitive array, positional
+    payload = json.loads('{"items": [[1, "d", 2]]}')
+    rows = _rows_from_items(_extract_path(payload, "items"), ["a", "c", "b"])
+    assert rows == [[1, "d", 2]]
+    # :44-62 top-level array (empty path)
+    payload = json.loads('[[1, "d", 2]]')
+    rows = _rows_from_items(_extract_path(payload, None), ["a", "c", "b"])
+    assert rows == [[1, "d", 2]]
+
+
+def test_http_pagination_first_page_params(spark):
+    """http_source_test.go:66-80: first page carries
+    limit=<PageSize>&offset=0."""
+    from analyst_spark.sources.http import http_source
+
+    calls = []
+
+    def fake_fetch(url, params, headers):
+        calls.append((url, dict(params)))
+        return []  # first page empty -> stop immediately
+
+    http_source(
+        spark,
+        "https://api.company.com/v1",
+        ["a"],
+        page_size=25,
+        _fetch=fake_fetch,
+    )
+    assert calls[0] == ("https://api.company.com/v1", {"limit": 25, "offset": 0})
+
+
+# ---- engine/excel_source_test.go — the reference's OWN xlsx fixture
+
+def test_excel_source_reads_reference_fixture(spark):
+    """excel_source_test.go:8-43 (TestSourceBasic): range A1:C3 with
+    RangeIncludesColumns on ./testing/1.xlsx recovers the A/B/C header
+    and the two data rows — run against the reference repo's OWN
+    fixture file via the stdlib xlsx reader.
+
+    Adjudicated model difference: the reference streams untyped rows,
+    so row 1 keeps ints (1,2,3) while row 2 is strings; a Spark column
+    holding both must unify to string, so the typed frame carries
+    '1','2','3' / 'a','b','c' — same cells, schema'd."""
+    from analyst_spark.sources.excel import excel_source, load_matrix_stdlib
+
+    # raw matrix keeps the reference's exact cell values and types
+    assert load_matrix_stdlib(
+        "/root/reference/engine/testing/1.xlsx", "Sheet1"
+    ) == [["A", "B", "C"], [1, 2, 3], ["a", "b", "c"]]
+
+    df = excel_source(
+        spark,
+        "/root/reference/engine/testing/1.xlsx",
+        "Sheet1",
+        "A1:C3",
+        header_row=True,
+    )
+    assert df.columns == ["A", "B", "C"]
+    assert [list(r) for r in df.collect()] == [["1", "2", "3"], ["a", "b", "c"]]
