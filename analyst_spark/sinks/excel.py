@@ -134,14 +134,7 @@ class ExcelFileManager:
         return self.use(path, lambda b: dict(b.sheets.get(sheet, {})))
 
     def save(self, path: str) -> None:
-        if openpyxl is None:
-            raise ImportError(
-                "openpyxl is not installed; saving an Excel workbook "
-                "requires it (cell layout and multi-writer "
-                "coordination are pure Python, tested independently)"
-            )
-
-        def _save(book: _ManagedWorkbook):
+        def _save_openpyxl(book: _ManagedWorkbook):
             if book.template:
                 shutil.copyfile(book.template, path)
                 wb = openpyxl.load_workbook(path)
@@ -154,7 +147,30 @@ class ExcelFileManager:
                     ws.cell(row=y, column=x, value=v)
             wb.save(path)
 
-        self.use(path, _save)
+        def _save_stdlib(book: _ManagedWorkbook):
+            # dependency-free path: merge template VALUES (via the
+            # stdlib reader; styles/formulas are not carried) under the
+            # accumulated cells, then emit a fresh workbook
+            from analyst_spark.sources.excel import (
+                list_sheets_stdlib,
+                load_matrix_stdlib,
+            )
+
+            sheets: dict[str, dict] = {}
+            if book.template:
+                for name in list_sheets_stdlib(book.template):
+                    matrix = load_matrix_stdlib(book.template, name)
+                    sheets[name] = {
+                        (x + 1, y + 1): v
+                        for y, row in enumerate(matrix)
+                        for x, v in enumerate(row)
+                        if v is not None
+                    }
+            for sheet, cells in book.sheets.items():
+                sheets.setdefault(sheet, {}).update(cells)
+            write_workbook_stdlib(path, sheets)
+
+        self.use(path, _save_openpyxl if openpyxl is not None else _save_stdlib)
 
     def discard(self, path: str) -> None:
         with self._lock:
@@ -205,3 +221,107 @@ def excel_sink(
         finally:
             if standalone:
                 mgr.discard(path)
+
+
+# ----------------------------------------------- stdlib xlsx writer
+
+def _col_letters(n: int) -> str:
+    s = ""
+    while n > 0:
+        n, r = divmod(n - 1, 26)
+        s = chr(ord("A") + r) + s
+    return s
+
+
+def write_workbook_stdlib(path: str, sheets: dict[str, dict]) -> None:
+    """Minimal XLSX writer on zipfile + handwritten XML — the
+    complement of sources.excel.load_matrix_stdlib. Values: bools as
+    t=\"b\", ints/floats as numbers, everything else as inline
+    strings. ``sheets`` maps sheet name -> {(x, y): value} with the
+    same 1-based (col, row) addressing layout_cells produces."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def sheet_xml(cells: dict) -> str:
+        rows: dict[int, dict[int, object]] = {}
+        for (x, y), v in cells.items():
+            rows.setdefault(y, {})[x] = v
+        body = []
+        for y in sorted(rows):
+            cs = []
+            for x in sorted(rows[y]):
+                v = rows[y][x]
+                ref = f"{_col_letters(x)}{y}"
+                if isinstance(v, bool):
+                    cs.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
+                elif isinstance(v, (int, float)):
+                    cs.append(f'<c r="{ref}"><v>{v}</v></c>')
+                elif v is None:
+                    continue
+                else:
+                    cs.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                        f"{escape(str(v))}</t></is></c>"
+                    )
+            body.append(f'<row r="{y}">{"".join(cs)}</row>')
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(body)
+            + "</sheetData></worksheet>"
+        )
+
+    names = list(sheets) or ["Sheet1"]
+    sheet_entries = "".join(
+        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, name in enumerate(names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{sheet_entries}</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(len(names))
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+        'package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + overrides
+        + "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        for i, name in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(sheets[name]))

@@ -210,3 +210,13 @@ def load_matrix_stdlib(path: str, sheet: str) -> list[list]:
             [cells.get((r, col)) for col in range(1, maxc + 1)]
             for r in range(1, maxr + 1)
         ]
+
+
+def list_sheets_stdlib(path: str) -> list[str]:
+    """Sheet names in workbook order (stdlib reader companion)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+    return [sh.get("name") for sh in wb.iter(f"{_XMLNS}sheet")]

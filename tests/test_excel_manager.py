@@ -89,17 +89,17 @@ def test_standalone_sink_saves_and_discards(spark, tmp_path, monkeypatch):
     assert not mgr.is_registered(p)
 
 
-def test_standalone_sink_without_openpyxl_raises_and_cleans(spark, tmp_path):
-    import analyst_spark.sinks.excel as ex
+def test_standalone_sink_without_openpyxl_writes_via_stdlib(spark, tmp_path):
+    """Saving no longer requires openpyxl: the stdlib writer emits a
+    real workbook the stdlib reader can load back."""
+    from analyst_spark.sources.excel import load_matrix_stdlib
 
-    if ex.openpyxl is not None:  # pragma: no cover — other containers
-        pytest.skip("openpyxl present")
     mgr = ExcelFileManager()
-    df = spark.createDataFrame([(1,)], ["n"])
+    df = spark.createDataFrame([(1,), (2,)], ["n"])
     p = str(tmp_path / "no.xlsx")
-    with pytest.raises(ImportError):
-        excel_sink(df, p, "S", "A1:A*", manager=mgr)
-    assert not mgr.is_registered(p)   # failure still discards
+    excel_sink(df, p, "S", "A1:A*", manager=mgr)
+    assert not mgr.is_registered(p)   # standalone sink saves + discards
+    assert load_matrix_stdlib(p, "S") == [[1], [2]]
 
 
 def test_aql_two_blocks_one_workbook(spark, tmp_path, monkeypatch):
@@ -185,3 +185,43 @@ def test_failed_save_rolls_back_transaction(spark, tmp_path, monkeypatch):
     with pytest.raises(IOError):
         execute_script(spark, script, tx_manager=FakeTx())
     assert calls == ["rollback"]
+
+
+def test_stdlib_xlsx_roundtrip(tmp_path):
+    """Dependency-free save: layout cells -> real .xlsx on disk ->
+    read back with the stdlib reader, values and types intact."""
+    from analyst_spark.sinks.excel import FILE_MANAGER
+    from analyst_spark.sources.excel import load_matrix_stdlib
+
+    path = str(tmp_path / "out.xlsx")
+    FILE_MANAGER.register(path, template=None)
+    FILE_MANAGER.write_cells(
+        path,
+        "Report",
+        {(1, 1): "name", (2, 1): "score", (1, 2): "ada", (2, 2): 42,
+         (1, 3): "bob", (2, 3): 2.5, (3, 3): True},
+    )
+    FILE_MANAGER.save(path)
+    FILE_MANAGER.discard(path)
+    got = load_matrix_stdlib(path, "Report")
+    assert got == [["name", "score", None],
+                   ["ada", 42, None],
+                   ["bob", 2.5, True]]
+
+
+def test_stdlib_xlsx_template_merge(tmp_path):
+    """TEMPLATE mode without openpyxl: template VALUES survive under
+    newly written cells (reference excel_dest TEMPLATE semantics,
+    values-only in the dependency-free path)."""
+    from analyst_spark.sinks.excel import FILE_MANAGER, write_workbook_stdlib
+    from analyst_spark.sources.excel import load_matrix_stdlib
+
+    tpl = str(tmp_path / "tpl.xlsx")
+    write_workbook_stdlib(tpl, {"S": {(1, 1): "title", (1, 2): "keep me"}})
+    path = str(tmp_path / "merged.xlsx")
+    FILE_MANAGER.register(path, template=tpl)
+    FILE_MANAGER.write_cells(path, "S", {(2, 2): 7})
+    FILE_MANAGER.save(path)
+    FILE_MANAGER.discard(path)
+    assert load_matrix_stdlib(path, "S") == [["title", None],
+                                             ["keep me", 7]]
