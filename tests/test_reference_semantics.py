@@ -428,3 +428,36 @@ def test_excel_source_reads_reference_fixture(spark):
     )
     assert df.columns == ["A", "B", "C"]
     assert [list(r) for r in df.collect()] == [["1", "2", "3"], ["a", "b", "c"]]
+
+
+# ---- engine/excel_dest_test.go — template write + read-back
+
+def test_excel_dest_template_roundtrip(spark, tmp_path):
+    """excel_dest_test.go:13-75 (TestExcel): write rows
+    [[2,'Bob',29.4],[4,'Fred',27]] into Test!A2:C* of a workbook built
+    from the reference's OWN testing/template.xlsx, then read the same
+    range back and recover the rows. The template's header row ('This
+    Is a Test', row 1) must survive under the written cells."""
+    from analyst_spark.sinks.excel import ExcelFileManager, excel_sink
+    from analyst_spark.sources.excel import excel_source, load_matrix_stdlib
+
+    out = str(tmp_path / "output.xlsx")
+    df = spark.createDataFrame(
+        [(2, "Bob", 29.4), (4, "Fred", 27.0)], ["a", "b", "c"]
+    )
+    excel_sink(
+        df.coalesce(1),
+        out,
+        "Test",
+        "A2:C*",
+        template="/root/reference/engine/testing/template.xlsx",
+        manager=ExcelFileManager(),
+    )
+    # template row survives (values-only in the stdlib path)
+    assert load_matrix_stdlib(out, "Test")[0] == ["This", "Is a", "Test"]
+    back = excel_source(
+        spark, out, "Test", "A2:C*", header_row=False, columns=["a", "b", "c"]
+    )
+    rows = sorted([list(r) for r in back.collect()])
+    assert rows == [[2.0, "Bob", 29.4], [4.0, "Fred", 27.0]] or rows == [
+        [2, "Bob", 29.4], [4, "Fred", 27.0]]
