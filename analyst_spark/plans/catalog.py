@@ -128,6 +128,7 @@ _register("docs_curation_funnel", pp.docs_curation_funnel, pp.DOCS_FUNNEL_ORACLE
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model
 _register("bpe_train_batched", pp.bpe_train_batched, None)  # iterative; pinned vs python model
+_register("docs_bpe_tokenize_pack", pp.docs_bpe_tokenize_pack, None)  # iterative merge table; stages parity-tested
 
 # --- deduplication ---------------------------------------------------
 _register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)

@@ -1298,3 +1298,80 @@ SELECT doc_id, n_chars_before,
 FROM scrubbed
 WHERE n_chars_before <> CAST(length(s) AS BIGINT)
 """
+
+
+# ------------------------------------------------- BPE tokenize + pack
+
+_TOKPACK_MERGES = 64
+_TOKPACK_BATCH = 16
+_TOKPACK_SEQ = 512
+
+
+def docs_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer path a pre-training pipeline runs, end to
+    end: batched BPE training on the corpus (functions/bpe.py,
+    ~merges/batch driver iterations), Arrow-batched encoding of every
+    document with the trained table (bpe_encode_pandas — the 32k-merge
+    scale form), then packing BPE-token counts into fixed 512-token
+    sequences with the same distributed two-phase prefix sum as
+    docs_pack_sequences.
+
+    Rows-only gate (the merge table is iterative state, like
+    bpe_train_merges); the invariants — total token conservation,
+    contiguous sequence ids, per-sequence bounds — are pinned in
+    tests/test_pipeline_plans.py, and every stage is individually
+    parity-tested (trainer and encoder vs python twins, packer vs its
+    SQL oracle).
+    """
+    from pyspark.sql import Window as W
+
+    from analyst_spark.functions.bpe import bpe_encode_pandas, bpe_train
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    merges = bpe_train(
+        docs, num_merges=_TOKPACK_MERGES, batch=_TOKPACK_BATCH
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(bpe_encode_pandas("text", merges)).cast("long").alias("n_tok"),
+    )
+    # two-phase distributed prefix sum (same shape as _pack_placement:
+    # RANGE buckets — doc_id DIV size — so bucket order IS global
+    # doc_id order; a modulo bucket would interleave ids and corrupt
+    # the prefix)
+    bucketed = toks.withColumn(
+        "bucket", (F.col("doc_id") / _PACK_BUCKET).cast("long")
+    )
+    w_in = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    local = bucketed.withColumn(
+        "local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
+    )
+    totals = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("tot"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("tot").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "base")
+    )
+    placed = local.join(F.broadcast(totals), "bucket").select(
+        "doc_id",
+        "n_tok",
+        ((F.col("base") + F.col("local_off")) / _TOKPACK_SEQ)
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -20,6 +20,7 @@ def test_contract_shapes():
         "ann_ivf_trained",         # k-means centroids are engine-specific
         "bpe_train_merges",        # iterative; vs python model in test_bpe
         "bpe_train_batched",       # iterative; vs python model in test_bpe
+        "docs_bpe_tokenize_pack",  # iterative merge table; stages parity-tested
     }
     for name, fn in qs.items():
         assert callable(fn), name

@@ -310,3 +310,34 @@ def test_curation_funnel_monotone(spark):
 
     assert rows["raw"].n_docs == load_tables(spark, sf)["documents"].count()
     assert rows["lm"].n_docs > 0  # the chain keeps a nontrivial corpus
+
+
+def test_bpe_tokenize_pack_invariants(spark):
+    """End-to-end tokenizer path: BPE token totals are conserved into
+    the packed sequences, seq ids are contiguous, doc ranges ordered,
+    and BPE packing differs from whitespace packing only via the
+    token counts (same placement machinery)."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.bpe import bpe_encode_pandas, bpe_train
+    from analyst_spark.plans.pipeline_plans import (
+        _TOKPACK_BATCH,
+        _TOKPACK_MERGES,
+        docs_bpe_tokenize_pack,
+    )
+    from analyst_spark.tables import load_tables, spread
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        docs_bpe_tokenize_pack(spark, sf).collect(), key=lambda r: r.seq_id
+    )
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+    docs = spread(load_tables(spark, sf)["documents"], "doc_id")
+    merges = bpe_train(docs, num_merges=_TOKPACK_MERGES, batch=_TOKPACK_BATCH)
+    total = docs.select(
+        F.sum(F.size(bpe_encode_pandas("text", merges))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_bpe_tokens for r in rows) == total
+    assert len(rows) >= 2  # corpus spans multiple 512-token sequences
