@@ -416,3 +416,69 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_totalprice > 100000
 GROUP BY o.o_orderpriority
 """
+
+
+# ------------------------------------------------- anomaly detection
+
+_ZSCORE_THRESHOLD = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers: events whose value deviates
+    from the type mean by more than 3 standard deviations — the
+    standard first-pass metric-anomaly sweep.
+
+    Exactness device: values are 2-decimal, so moments accumulate
+    over integer CENTS (sum and sum-of-squares are exact BIGINTs;
+    float summation order can never flip the hash) and the
+    mean/variance/z derive from those exact integers by deterministic
+    IEEE ops. Sum-of-squares stays inside int64 up to ~10^14 cents² —
+    per GROUP at larger scale, switch the accumulator to decimal.
+    One map-side-combined aggregation + one small broadcast join back;
+    no window, no shuffle of the fact table beyond the groupBy.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "event_type", "value", cents.alias("cents"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("cents") - mean) / F.sqrt(var)
+    return (
+        base.join(F.broadcast(stats), "event_type")  # one row per type
+        .filter(F.abs(z) > F.lit(_ZSCORE_THRESHOLD))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+EVENTS_ANOMALY_ORACLE = f"""
+WITH c AS (
+    SELECT event_id, event_type, value,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), st AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(cents * cents) AS BIGINT) AS ss
+    FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.value,
+       round((c.cents - CAST(st.s AS DOUBLE) / st.n)
+             / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                    - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)),
+             4) AS zscore
+FROM c JOIN st USING (event_type)
+WHERE abs((c.cents - CAST(st.s AS DOUBLE) / st.n)
+          / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                 - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)))
+      > {_ZSCORE_THRESHOLD}
+"""

@@ -100,6 +100,7 @@ _register("events_cube", an.events_cube, an.EVENTS_CUBE_ORACLE)
 _register("orders_except_intersect", an.orders_except_intersect, an.ORDERS_EXCEPT_INTERSECT_ORACLE)
 _register("docs_train_test_split", an.docs_train_test_split, an.DOCS_SPLIT_ORACLE)
 _register("events_funnel", an.events_funnel, an.EVENTS_FUNNEL_ORACLE)
+_register("events_anomaly_zscore", an.events_anomaly_zscore, an.EVENTS_ANOMALY_ORACLE)
 _register("orders_merge_upsert", an.orders_merge_upsert, an.ORDERS_UPSERT_ORACLE)
 _register("bucketed_colocated_join", an.bucketed_colocated_join, an.BUCKETED_JOIN_ORACLE)
 _register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific
