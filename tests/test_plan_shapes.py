@@ -130,3 +130,50 @@ def test_token_budget_mix_no_single_partition_corpus_sort(spark):
     plan = _plan(QUERIES["docs_token_budget_mix"](spark, SF))
     # per-(lang,bucket) partitioning present => corpus window is bucketed
     assert "hashpartitioning(lang" in plan and "bucket" in plan
+
+
+def test_anomaly_zscore_stats_broadcast_no_window(spark):
+    """Per-type stats ride a broadcast join back onto the fact scan —
+    no window (which would sort per type) and no SMJ."""
+    from analyst_spark.functions.dedup import release_cached
+
+    df = QUERIES["events_anomaly_zscore"](spark, SF)
+    plan = _plan(df)
+    release_cached(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_lm_entries_no_cartesian_beyond_scalar(spark):
+    """docs_lm_score / docs_dsir_weights: the only nested-loop join is
+    the 1-row scalar cross join; no CartesianProduct."""
+    from analyst_spark.functions.dedup import release_cached
+
+    for name in ("docs_lm_score", "docs_dsir_weights"):
+        df = QUERIES[name](spark, SF)
+        plan = _plan(df)
+        release_cached(df)
+        assert "CartesianProduct" not in plan, name
+        # "formatted" prints each node twice (tree + details); count
+        # the numbered headers only
+        assert plan.count(") BroadcastNestedLoopJoin") <= 1, name
+
+
+def test_gopher_and_scrub_are_map_side(spark):
+    """Rule battery and redaction are scan+project: exactly zero
+    joins; scrub adds no shuffle at all."""
+    plan = _plan(QUERIES["docs_gopher_filter"](spark, SF))
+    assert "Join" not in plan
+    plan = _plan(QUERIES["docs_pii_scrub"](spark, SF))
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_dup_span_no_cartesian(spark):
+    from analyst_spark.functions.dedup import release_cached
+
+    df = QUERIES["docs_dup_span"](spark, SF)
+    plan = _plan(df)
+    release_cached(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
