@@ -544,11 +544,18 @@ class Executor:
                 return out
             raise ValueError(f"no plugin registered: {blk.name!r}")
         kind = dispatch(blk.body)
-        if kind in ("AGGREGATE", "APPLY"):
+        if kind in ("AGGREGATE", "APPLY", "DEDUP"):
             frames = [self._ref_frame(r, blk, res) for r in blk.sources]
             src = frames[0]
             for f in frames[1:]:
                 src = src.unionByName(f, allowMissingColumns=True)
+            if kind == "DEDUP":
+                from analyst_spark.aql.transforms_parser import (
+                    build_dedup,
+                    parse_dedup,
+                )
+
+                return build_dedup(src, parse_dedup(blk.body))
             return (
                 build_aggregate(src, blk.body)
                 if kind == "AGGREGATE"

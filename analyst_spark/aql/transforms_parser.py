@@ -434,8 +434,70 @@ def build_apply(df: DataFrame, body: str) -> DataFrame:
 
 def dispatch(body: str) -> str:
     """First word selects the builtin (transforms/transforms.go:20-30).
-    ASOF is an engine extension (operators/asof.py)."""
+    ASOF and DEDUP are engine extensions."""
     word = body.strip().split(None, 1)[0].upper()
-    if word not in ("AGGREGATE", "LOOKUP", "APPLY", "ASOF"):
+    if word not in ("AGGREGATE", "LOOKUP", "APPLY", "ASOF", "DEDUP"):
         raise SyntaxError(f"unknown transform {word!r}")
     return word
+
+
+@dataclass
+class DedupSpec:
+    keys: list[str]
+    keep: str          # 'first' | 'last'
+    order_col: str
+
+
+def parse_dedup(body: str) -> DedupSpec:
+    """Engine extension beyond the reference grammar:
+
+        DEDUP ON key [, key ...] KEEP {FIRST|LAST} BY ordcol
+
+    One surviving row per key combination: the row whose ``ordcol`` is
+    smallest (FIRST) or largest (LAST). The order column is REQUIRED —
+    a distributed scan has no stable arrival order, so "keep the first
+    seen" would be nondeterministic (the same reasoning as LOOKUP's
+    explicit ORDER_BY)."""
+    ts = _TokStream(_tokenize(body))
+    ts.expect("word")  # DEDUP
+    if not ts.accept_word("ON"):
+        raise SyntaxError("expected ON after DEDUP")
+    keys = [ts.expect("word")]
+    while ts.peek() == ("punct", ","):
+        ts.next()
+        keys.append(ts.expect("word"))
+    if not ts.accept_word("KEEP"):
+        raise SyntaxError("expected KEEP in DEDUP")
+    mode = ts.expect("word").lower()
+    if mode not in ("first", "last"):
+        raise SyntaxError("expected FIRST or LAST after KEEP")
+    if not ts.accept_word("BY"):
+        raise SyntaxError("expected BY <order column> in DEDUP")
+    order_col = ts.expect("word")
+    if not ts.at_end():
+        raise SyntaxError(f"unexpected trailing tokens in DEDUP: {ts.peek()!r}")
+    return DedupSpec(keys=keys, keep=mode, order_col=order_col)
+
+
+def build_dedup(df: DataFrame, spec: DedupSpec) -> DataFrame:
+    """One aggregation, no window: min_by/max_by of the full row
+    struct over the order column per key — the same
+    map-side-combinable shape exact_dedup uses, so it survives skewed
+    keys the way a row_number window (sort per key) would not. Ties on
+    the order column break by the smallest/largest remaining row
+    struct, making the survivor a total function of the data."""
+    from pyspark.sql import functions as F
+
+    others = [c for c in df.columns if c not in spec.keys]
+    # the order column leads the struct (as __ord) so comparison
+    # prioritizes it; it also appears among the payload fields so the
+    # survivor row carries it through
+    row = F.struct(
+        F.col(spec.order_col).alias("__ord"),
+        *[F.col(c).alias(c) for c in others],
+    )
+    agg = F.min(row) if spec.keep == "first" else F.max(row)
+    picked = df.groupBy(*spec.keys).agg(agg.alias("__row"))
+    return picked.select(
+        *spec.keys, *[F.col(f"__row.{c}").alias(c) for c in others]
+    )

@@ -642,3 +642,39 @@ def test_lookup_order_by_option_last_wins(spark):
     )
     # id 1: version 9 row wins (price 200); id 2: version 4 row wins (250)
     assert got == [(1, 200), (2, 250)]
+
+
+def test_dedup_transform(spark):
+    """Engine-extension DEDUP transform: one survivor per key by an
+    explicit order column, FIRST and LAST, end to end in a script."""
+    script = """
+    DATA 'raw' (
+        [[1, "a", 10], [2, "a", 20], [3, "b", 5], [4, "a", 15]]
+    ) WITH (COLUMNS = 'id, k, v')
+
+    TRANSFORM 'first' FROM BLOCK raw (
+        DEDUP ON k KEEP FIRST BY id
+    ) INTO GLOBAL WITH (TABLE = 'kept_first')
+
+    TRANSFORM 'last' FROM BLOCK raw (
+        DEDUP ON k KEEP LAST BY id
+    ) INTO GLOBAL WITH (TABLE = 'kept_last')
+    """
+    res = execute_script(spark, script)
+    first = {r.k: (r.id, r.v) for r in res.globals.get("kept_first").collect()}
+    last = {r.k: (r.id, r.v) for r in res.globals.get("kept_last").collect()}
+    assert first == {"a": (1, 10), "b": (3, 5)}
+    assert last == {"a": (4, 15), "b": (3, 5)}
+
+
+def test_dedup_transform_grammar_errors(spark):
+    from analyst_spark.aql.transforms_parser import parse_dedup
+
+    import pytest as _pytest
+
+    for bad in ("DEDUP k KEEP FIRST BY id",        # missing ON
+                "DEDUP ON k BY id",                # missing KEEP
+                "DEDUP ON k KEEP SOMETIMES BY id", # bad mode
+                "DEDUP ON k KEEP FIRST"):          # missing BY
+        with _pytest.raises(SyntaxError):
+            parse_dedup(bad)
