@@ -153,3 +153,38 @@ FROM (
     UNION ALL SELECT r_regionkey, r_name FROM region
 )
 """
+
+
+def aql_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP transform under the gate: keep each customer's LAST order
+    by o_orderdate (ties broken deterministically by the remaining row
+    fields) via a full QUERY → TRANSFORM DEDUP → result script."""
+    register_views(spark, sf_dir)
+    script = """
+    QUERY 'Orders' FROM GLOBAL (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+    );
+
+    TRANSFORM 'Latest' FROM BLOCK Orders (
+        DEDUP ON o_custkey KEEP LAST BY o_orderdate
+    )
+    """
+    return execute_script(spark, script).frames["latest"].select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+AQL_DEDUP_ORACLE = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC,
+                        o_totalprice DESC
+           ) AS rn
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM ranked WHERE rn = 1
+"""

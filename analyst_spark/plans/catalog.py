@@ -79,6 +79,7 @@ _register("aql_global_rollup", aq.aql_global_rollup, aq.AQL_GLOBAL_ROLLUP_ORACLE
 _register("aql_lookup_aggregate_pipeline", aq.aql_lookup_aggregate_pipeline, aq.AQL_LOOKUP_AGG_ORACLE)
 _register("aql_lookup_order_by", aq.aql_lookup_order_by, aq.AQL_LOOKUP_ORDER_BY_ORACLE)
 _register("aql_apply_cast_union", aq.aql_apply_cast_union, aq.AQL_APPLY_CAST_UNION_ORACLE)
+_register("aql_dedup_pipeline", aq.aql_dedup_pipeline, aq.AQL_DEDUP_ORACLE)
 
 # --- event-stream analytics -----------------------------------------
 _register("events_hourly_rollup", ev.events_hourly_rollup, ev.EVENTS_HOURLY_ORACLE)
