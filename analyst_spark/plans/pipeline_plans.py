@@ -1199,7 +1199,7 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("st"),
     )
-    out = (
+    agg = (
         stages.groupBy(
             F.col("st.r").cast("long").alias("stage_rank"),
             F.col("st.s").alias("stage"),
@@ -1210,6 +1210,20 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_tokens"),
         )
+    )
+    # the report always carries its four stages — on an EMPTY corpus
+    # the groupBy above yields no rows, but the oracle's global
+    # aggregates yield four zero rows; anchor on a literal stage table
+    # so both sides agree on degenerate input
+    stage_names = spark.createDataFrame(
+        [(1, "raw"), (2, "gopher"), (3, "dedup"), (4, "lm")],
+        "stage_rank long, stage string",
+    )
+    out = stage_names.join(agg, ["stage_rank", "stage"], "left").select(
+        "stage_rank",
+        "stage",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
     )
     deps = []
     for comp in (g, d, lm):

@@ -1,0 +1,46 @@
+"""Degenerate-input robustness: every documents-family catalog entry
+must run (produce a possibly-empty, schema-stable DataFrame) on an
+EMPTY corpus — the day-one state of a real ingestion pipeline, and a
+classic crash source (empty collects, div-by-zero stats, max() of
+nothing). Iterative trainers must return empty models, not raise."""
+
+import os
+
+import pytest
+
+from analyst_spark.functions.dedup import release_cached
+from analyst_spark.plans.catalog import QUERIES
+
+DOC_ENTRIES = [
+    "text_stats", "text_quality", "text_langid", "doc_fingerprints",
+    "contamination_ngram", "text_pii_scan", "docs_pii_scrub",
+    "text_repetition", "text_top_tokens", "docs_pack_sequences",
+    "doc_winnow_fingerprints", "docs_lm_score", "docs_gopher_filter",
+    "docs_dsir_weights", "docs_dup_span", "docs_curation_funnel",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "docs_train_test_split",
+    "bpe_train_merges", "bpe_train_batched",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("empty_sf"))
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(os.path.join(td, "documents.parquet"))
+    return td
+
+
+@pytest.mark.parametrize("name", DOC_ENTRIES)
+def test_entry_survives_empty_corpus(spark, empty_sf, name):
+    df = QUERIES[name](spark, empty_sf)
+    rows = df.collect()
+    release_cached(df)
+    if name == "docs_curation_funnel":
+        # the funnel still reports its four (empty) stages
+        assert sorted(r.stage for r in rows) == ["dedup", "gopher", "lm", "raw"]
+        assert all(r.n_docs == 0 for r in rows)
+    else:
+        assert rows == []
