@@ -44,3 +44,54 @@ def test_entry_survives_empty_corpus(spark, empty_sf, name):
         assert all(r.n_docs == 0 for r in rows)
     else:
         assert rows == []
+
+
+EVENT_ENTRIES = [
+    "events_hourly_rollup", "events_user_sessions", "events_moving_avg",
+    "events_lag_delta", "events_cohort_retention", "events_funnel",
+    "events_anomaly_zscore", "events_rollup", "events_pivot",
+    "events_distinct_users", "events_salted_rollup",
+]
+
+EMB_ENTRIES = ["dedup_semantic", "ann_cosine_topk", "ann_lsh_topk",
+               "dedup_embedding", "knn_label_propagation"]
+
+
+@pytest.fixture(scope="module")
+def empty_events_sf(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("empty_ev"))
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(os.path.join(td, "events.parquet"))
+    return td
+
+
+@pytest.fixture(scope="module")
+def empty_emb_sf(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("empty_emb"))
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string"
+    )
+    emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+    return td
+
+
+@pytest.mark.parametrize("name", EVENT_ENTRIES)
+def test_event_entry_survives_empty(spark, empty_events_sf, name):
+    df = QUERIES[name](spark, empty_events_sf)
+    rows = df.collect()
+    release_cached(df)
+    assert rows == [] or all(
+        getattr(r, c, 0) in (0, None) for r in rows for c in ("n", "n_events")
+    )
+
+
+@pytest.mark.parametrize("name", EMB_ENTRIES)
+def test_embedding_entry_survives_empty(spark, empty_emb_sf, name):
+    df = QUERIES[name](spark, empty_emb_sf)
+    rows = df.collect()
+    release_cached(df)
+    assert rows == []
