@@ -488,6 +488,17 @@ def build_dedup(df: DataFrame, spec: DedupSpec) -> DataFrame:
     struct, making the survivor a total function of the data."""
     from pyspark.sql import functions as F
 
+    # AQL identifiers are case-insensitive (like every other reference
+    # construct): resolve the script's key/order spellings to the
+    # frame's actual column names so the key can never leak into the
+    # payload struct as a duplicate column
+    by_lower = {c.lower(): c for c in df.columns}
+    try:
+        keys = [by_lower[k.lower()] for k in spec.keys]
+        order_col = by_lower[spec.order_col.lower()]
+    except KeyError as e:
+        raise ValueError(f"DEDUP references unknown column {e.args[0]!r}")
+    spec = DedupSpec(keys=keys, keep=spec.keep, order_col=order_col)
     others = [c for c in df.columns if c not in spec.keys]
     # the order column leads the struct (as __ord) so comparison
     # prioritizes it; it also appears among the payload fields so the

@@ -107,8 +107,24 @@ def shingles_exploded(
 # never overflows a signed BIGINT on either side.
 MINHASH_P = (1 << 61) - 1  # Mersenne prime 2^61-1
 _A_SEED, _B_SEED = 2654435761, 40503  # Knuth multiplicative constants
-MINHASH_A = [((_A_SEED * (i + 1)) % (1 << 30)) | 1 for i in range(64)]
-MINHASH_B = [(_B_SEED * (i + 1) * (i + 1) + 12345) % (1 << 30) for i in range(64)]
+
+
+class _MinhashCoeffs:
+    """Deterministic coefficient sequences, generated on demand so any
+    signature width works (the formulas are the spec — the DuckDB
+    oracle embeds the same values as literals)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def __getitem__(self, i: int) -> int:
+        return self._fn(i)
+
+
+MINHASH_A = _MinhashCoeffs(lambda i: ((_A_SEED * (i + 1)) % (1 << 30)) | 1)
+MINHASH_B = _MinhashCoeffs(
+    lambda i: (_B_SEED * (i + 1) * (i + 1) + 12345) % (1 << 30)
+)
 
 
 def minhash_signatures(

@@ -324,15 +324,14 @@ _SEQ_LEN = 2048
 _PACK_BUCKET = 64  # docs per prefix-sum bucket
 
 
-def _pack_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tok, seq_id): each document's training-sequence
-    assignment via the distributed two-phase prefix sum (see
-    docs_pack_sequences docstring for why not a global window)."""
-    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
-    toks = docs.select(
-        "doc_id",
-        (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+def place_into_sequences(toks: DataFrame, seq_len: int) -> DataFrame:
+    """(doc_id, n_tok) → (doc_id, n_tok, seq_id): sequence assignment
+    via the distributed two-phase prefix sum. RANGE buckets (doc_id
+    DIV size) — bucket order IS global doc_id order; a modulo bucket
+    would interleave ids and corrupt the prefix. Shared by the
+    whitespace packer and the BPE tokenize+pack composite."""
+    toks = toks.withColumn(
+        "bucket", (F.col("doc_id") / _PACK_BUCKET).cast("long")
     )
     w_in = (
         Window.partitionBy("bucket")
@@ -352,9 +351,20 @@ def _pack_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "base")
     return within.join(bases, "bucket").select(
         "doc_id", "n_tok",
-        ((F.col("base") + F.col("local_off")) / _SEQ_LEN)
+        ((F.col("base") + F.col("local_off")) / seq_len)
         .cast("long").alias("seq_id"),
     )
+
+
+def _pack_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, seq_id): whitespace-token sequence assignment
+    (see docs_pack_sequences docstring)."""
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return place_into_sequences(toks, _SEQ_LEN)
 
 
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,11 +1170,15 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually persisted/cached; their deps are re-registered here
     for release), joined on doc_id and reduced to four rows.
     """
-    from pyspark.sql.functions import broadcast  # noqa: F401  (doc aid)
-
-    g = docs_gopher_filter(spark, sf_dir).select("doc_id", "keep")
-    d = docs_dup_span(spark, sf_dir).select("doc_id", "dup_ratio")
-    lm = docs_lm_score(spark, sf_dir).select("doc_id", "ppl")
+    # capture the component frames BEFORE .select(): _asp_cached_deps
+    # does not propagate through projections (tests/test_dedup.py pins
+    # that), so deps must be read off the original frames
+    g0 = docs_gopher_filter(spark, sf_dir)
+    d0 = docs_dup_span(spark, sf_dir)
+    lm0 = docs_lm_score(spark, sf_dir)
+    g = g0.select("doc_id", "keep")
+    d = d0.select("doc_id", "dup_ratio")
+    lm = lm0.select("doc_id", "ppl")
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "doc_id",
@@ -1226,7 +1240,7 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
     )
     deps = []
-    for comp in (g, d, lm):
+    for comp in (g0, d0, lm0):
         deps.extend(getattr(comp, "_asp_cached_deps", []))
     return _with_cached_deps(out, *deps)
 
@@ -1285,14 +1299,24 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PHONE_RE,
         "<PHONE>",
     )
+    # "was scrubbed" = content changed, NOT length changed: a 7-char
+    # email replaced by the 7-char <EMAIL> tag preserves length but is
+    # still a redaction
     return (
         docs.select(
             "doc_id",
+            planted.alias("__before"),
             F.length(planted).cast("long").alias("n_chars_before"),
             F.length(scrubbed).cast("long").alias("n_chars_after"),
-            F.md5(scrubbed).alias("scrubbed_md5"),
+            scrubbed.alias("__after"),
         )
-        .filter(F.col("n_chars_before") != F.col("n_chars_after"))
+        .filter(F.col("__before") != F.col("__after"))
+        .select(
+            "doc_id",
+            "n_chars_before",
+            "n_chars_after",
+            F.md5(F.col("__after")).alias("scrubbed_md5"),
+        )
     )
 
 
@@ -1300,7 +1324,7 @@ DOCS_PII_SCRUB_ORACLE = rf"""
 WITH planted AS (
     SELECT doc_id, {_DUCK_PLANTED} AS t FROM documents
 ), scrubbed AS (
-    SELECT doc_id,
+    SELECT doc_id, t,
            CAST(length(t) AS BIGINT) AS n_chars_before,
            regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                           '{_PHONE_RE}', '<PHONE>', 'g') AS s
@@ -1310,7 +1334,7 @@ SELECT doc_id, n_chars_before,
        CAST(length(s) AS BIGINT) AS n_chars_after,
        md5(s) AS scrubbed_md5
 FROM scrubbed
-WHERE n_chars_before <> CAST(length(s) AS BIGINT)
+WHERE t <> s
 """
 
 
@@ -1337,8 +1361,6 @@ def docs_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity-tested (trainer and encoder vs python twins, packer vs its
     SQL oracle).
     """
-    from pyspark.sql import Window as W
-
     from analyst_spark.functions.bpe import bpe_encode_pandas, bpe_train
 
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
@@ -1349,40 +1371,7 @@ def docs_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe_encode_pandas("text", merges)).cast("long").alias("n_tok"),
     )
-    # two-phase distributed prefix sum (same shape as _pack_placement:
-    # RANGE buckets — doc_id DIV size — so bucket order IS global
-    # doc_id order; a modulo bucket would interleave ids and corrupt
-    # the prefix)
-    bucketed = toks.withColumn(
-        "bucket", (F.col("doc_id") / _PACK_BUCKET).cast("long")
-    )
-    w_in = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    local = bucketed.withColumn(
-        "local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
-    )
-    totals = (
-        bucketed.groupBy("bucket")
-        .agg(F.sum("n_tok").alias("tot"))
-        .withColumn(
-            "base",
-            F.coalesce(
-                F.sum("tot").over(
-                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "base")
-    )
-    placed = local.join(F.broadcast(totals), "bucket").select(
-        "doc_id",
-        "n_tok",
-        ((F.col("base") + F.col("local_off")) / _TOKPACK_SEQ)
-        .cast("long")
-        .alias("seq_id"),
-    )
+    placed = place_into_sequences(toks, _TOKPACK_SEQ)
     return placed.groupBy("seq_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_bpe_tokens"),

@@ -562,8 +562,28 @@ def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDU
             self.end_headers()
             self.close_connection = True
             cursor = 0
+
+            def client_frames():
+                """Drain pending client frames without blocking;
+                honors CLOSE (reply + stop) and PING (PONG)."""
+                import select
+
+                while select.select([self.connection], [], [], 0)[0]:
+                    fr = ws.recv_frame(self.rfile)
+                    if fr is None:
+                        return False  # EOF
+                    op, payload = fr
+                    if op == ws.OP_CLOSE:
+                        ws.send_frame(self.wfile, payload, ws.OP_CLOSE)
+                        return False
+                    if op == ws.OP_PING:
+                        ws.send_frame(self.wfile, payload, ws.OP_PONG)
+                return True
+
             try:
                 while True:
+                    if not client_frames():
+                        return  # client closed mid-stream; job keeps running
                     for ev in job["logger"].after(cursor):
                         cursor += 1
                         ws.send_frame(self.wfile, json.dumps(ev))

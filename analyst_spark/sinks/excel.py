@@ -239,8 +239,9 @@ def write_workbook_stdlib(path: str, sheets: dict[str, dict]) -> None:
     t=\"b\", ints/floats as numbers, everything else as inline
     strings. ``sheets`` maps sheet name -> {(x, y): value} with the
     same 1-based (col, row) addressing layout_cells produces."""
+    import math
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
 
     def sheet_xml(cells: dict) -> str:
         rows: dict[int, dict[int, object]] = {}
@@ -254,7 +255,9 @@ def write_workbook_stdlib(path: str, sheets: dict[str, dict]) -> None:
                 ref = f"{_col_letters(x)}{y}"
                 if isinstance(v, bool):
                     cs.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
-                elif isinstance(v, (int, float)):
+                elif isinstance(v, (int, float)) and (
+                    not isinstance(v, float) or math.isfinite(v)
+                ):
                     cs.append(f'<c r="{ref}"><v>{v}</v></c>')
                 elif v is None:
                     continue
@@ -274,7 +277,7 @@ def write_workbook_stdlib(path: str, sheets: dict[str, dict]) -> None:
 
     names = list(sheets) or ["Sheet1"]
     sheet_entries = "".join(
-        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name={quoteattr(name)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(names)
     )
     workbook = (
@@ -324,4 +327,7 @@ def write_workbook_stdlib(path: str, sheets: dict[str, dict]) -> None:
         z.writestr("xl/workbook.xml", workbook)
         z.writestr("xl/_rels/workbook.xml.rels", rels)
         for i, name in enumerate(names):
-            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(sheets[name]))
+            z.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                sheet_xml(sheets.get(name, {})),
+            )

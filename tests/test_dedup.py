@@ -117,3 +117,16 @@ def test_exact_dedup_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert "Join" not in plan
     assert not getattr(df, "_asp_cached_deps", ())
+
+
+def test_minhash_arbitrary_signature_width(spark):
+    """The universal-hash family generates coefficients on demand —
+    signature widths beyond the old 64-entry table work."""
+    from analyst_spark.functions.dedup import MINHASH_A, MINHASH_B, minhash_signatures
+
+    assert MINHASH_A[100] % 2 == 1 and 0 <= MINHASH_B[100] < (1 << 30)
+    df = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5"), (1, "w1 w2 w3 w4 w5 w6")], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(df, num_hashes=80).collect()
+    assert len(sigs) == 2 and len(sigs[0]) == 81  # doc_id + 80 hashes

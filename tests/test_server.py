@@ -352,3 +352,72 @@ def test_websocket_stream_over_real_socket():
     finally:
         httpd.shutdown()
         httpd._analyst_stop.set()
+
+
+def test_websocket_client_close_is_honored_mid_stream():
+    """A conforming client sends CLOSE mid-job and must receive the
+    server's CLOSE reply promptly — the server must not keep the
+    handler pinned until the job finishes (RFC 6455 closing
+    handshake)."""
+    import base64
+    import json as _json
+    import os
+    import socket
+    import struct
+
+    from analyst_spark import ws
+    from analyst_spark.logging import INFO, Event
+    from analyst_spark.server import AnalystServer, serve
+
+    job_release = threading.Event()
+
+    def runner(script, params, stopper=None, logger=None):
+        logger.log(Event("B", INFO, "started"))
+        job_release.wait(20)  # long-running job
+        return ["ok"]
+
+    srv = AnalystServer(script_runner=runner)
+    httpd = serve(srv, port=0, tick_interval=3600)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        import http.client
+
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.request("POST", "/run",
+                  body=_json.dumps({"script": "X", "detach": True}),
+                  headers={"Content-Type": "application/json"})
+        jid = _json.loads(c.getresponse().read())["job_id"]
+
+        key = base64.b64encode(os.urandom(16)).decode()
+        sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        sock.sendall(
+            f"GET /jobs/{jid}/stream HTTP/1.1\r\n"
+            f"Host: 127.0.0.1:{port}\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+            f"Sec-WebSocket-Version: 13\r\n\r\n".encode()
+        )
+        rfile = sock.makefile("rb")
+        assert "101" in rfile.readline().decode()
+        while rfile.readline().strip():
+            pass  # drain headers
+        # client CLOSE frame (masked, empty payload)
+        mask = os.urandom(4)
+        sock.sendall(bytes([0x80 | ws.OP_CLOSE, 0x80 | 0]) + mask)
+        # server must reply CLOSE within the poll interval, well before
+        # the (still running) job completes
+        sock.settimeout(5)
+        deadline_frames = []
+        while True:
+            fr = ws.recv_frame(rfile)
+            if fr is None:
+                break
+            deadline_frames.append(fr[0])
+            if fr[0] == ws.OP_CLOSE:
+                break
+        assert ws.OP_CLOSE in deadline_frames
+    finally:
+        job_release.set()
+        httpd._analyst_stop.set()
+        httpd.shutdown()
