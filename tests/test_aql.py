@@ -678,3 +678,20 @@ def test_dedup_transform_grammar_errors(spark):
                 "DEDUP ON k KEEP FIRST"):          # missing BY
         with _pytest.raises(SyntaxError):
             parse_dedup(bad)
+
+
+def test_dedup_transform_case_insensitive_keys(spark):
+    """AQL identifiers are case-insensitive: DEDUP ON K over a frame
+    with column k must not duplicate the key into the payload."""
+    script = """
+    DATA 'raw' (
+        [[1, "a", 10], [2, "a", 20]]
+    ) WITH (COLUMNS = 'id, k, v')
+
+    TRANSFORM 'd' FROM BLOCK raw (
+        DEDUP ON K KEEP LAST BY ID
+    ) INTO GLOBAL WITH (TABLE = 'out')
+    """
+    out = execute_script(spark, script).globals.get("out")
+    assert sorted(out.columns) == ["id", "k", "v"]
+    assert [(r.k, r.id, r.v) for r in out.collect()] == [("a", 2, 20)]
