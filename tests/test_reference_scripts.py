@@ -330,3 +330,36 @@ def test_data_literal_console_golden(spark, capsys):
     """
     res = execute_script(spark, script)
     assert res.console == ['[{"Message":"Hello, World"}]']
+
+
+def test_reference_root_example_aql_verbatim(spark, tmp_path):
+    """The reference repo's ROOT example.aql — a PLUGIN transform
+    (python subprocess filtering negatives) fed by two sequenced
+    GLOBAL queries, INTO an Excel CONNECTION — runs with its script
+    text UNCHANGED. The only substitution is the plugin executable
+    itself: the reference's test_filter.py needs pyjsonrpc (not
+    installable here), so a stdlib-only plugin speaking the identical
+    line-JSON-RPC protocol is staged under the same ./test_filter.py
+    name. Expected workbook: TestSheet!A1:A* = [1, 2, 10, 11]
+    (negatives dropped, Multisource_Order=Sequential preserved)."""
+    import os
+    import shutil
+
+    from analyst_spark.aql.engine import execute_script
+    from analyst_spark.sources.excel import load_matrix_stdlib
+
+    script = open("/root/reference/example.aql").read()
+    shutil.copyfile(
+        os.path.join(os.path.dirname(__file__), "fixtures", "rpc_filter_plugin.py"),
+        str(tmp_path / "test_filter.py"),
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # the script's File path is CWD-relative
+    try:
+        execute_script(spark, script, script_dir=str(tmp_path))
+    finally:
+        os.chdir(cwd)
+    out = str(tmp_path / "output_transform.xlsx")
+    assert os.path.exists(out)
+    cells = load_matrix_stdlib(out, "TestSheet")
+    assert [r[0] for r in cells] == [1, 2, 10, 11]
