@@ -363,3 +363,31 @@ def test_reference_root_example_aql_verbatim(spark, tmp_path):
     assert os.path.exists(out)
     cells = load_matrix_stdlib(out, "TestSheet")
     assert [r[0] for r in cells] == [1, 2, 10, 11]
+
+
+def test_reference_example3_cli_param_loop(spark, capsys):
+    """example3.py's documented pattern: drive example3.aql through
+    the CLI three times with different {Start, Finish} params (the
+    reference shells `./analyst run --script example3.aql --params`).
+    The VERBATIM example3.aql file is used; each invocation resamples
+    a different window, so the three console outputs must differ."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_aql
+
+    windows = [("2017-12-01T12:00:00Z", "2017-12-01T12:10:00Z"),
+               ("2017-12-01T12:10:00Z", "2017-12-01T12:20:00Z"),
+               ("2017-12-01T12:20:00Z", "2017-12-01T12:30:00Z")]
+    outs = []
+    for start, finish in windows:
+        rc = run_aql.main([
+            "run", "/root/reference/example3.aql",
+            "--params", _json.dumps({"Start": start, "Finish": finish}),
+        ])
+        assert rc == 0
+        outs.append(capsys.readouterr().out)
+    assert len(set(outs)) == 3  # three distinct windows -> distinct tables
+    for o in outs:
+        assert "power" in o and "temperature" in o
