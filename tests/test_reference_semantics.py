@@ -339,7 +339,9 @@ def test_all_documented_scripts_parse():
     kw = ("QUERY", "TRANSFORM", "DATA", "EXEC", "GLOBAL", "CONNECTION",
           "SET", "INCLUDE", "DECLARE", "DESCRIPTION", "TEST")
     total = 0
-    for f in sorted(glob.glob("/root/reference/docs-src/docs/*.md")):
+    files = sorted(glob.glob("/root/reference/docs-src/docs/*.md"))
+    files.append("/root/reference/README.md")
+    for f in files:
         for body in _re.findall(r"```\w*\n(.*?)```", open(f).read(), _re.S):
             st = body.strip()
             first = st.split(None, 1)[0].upper() if st else ""
