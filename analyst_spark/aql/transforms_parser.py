@@ -498,13 +498,27 @@ def build_dedup(df: DataFrame, spec: DedupSpec) -> DataFrame:
         order_col = by_lower[spec.order_col.lower()]
     except KeyError as e:
         raise ValueError(f"DEDUP references unknown column {e.args[0]!r}")
+    # DEDUP ON k, K resolves to the same column twice — collapse to
+    # one groupBy key instead of emitting a duplicate output column
+    keys = list(dict.fromkeys(keys))
     spec = DedupSpec(keys=keys, keep=spec.keep, order_col=order_col)
     others = [c for c in df.columns if c not in spec.keys]
+    # a NULL order value has no defined position in KEEP FIRST/LAST
+    # (struct min/max sorts nulls FIRST while a row_number ... DESC
+    # oracle sorts them LAST) — fail loudly instead of silently
+    # diverging; the check is a row-local expression, no extra pass
+    ord_checked = F.when(
+        F.col(spec.order_col).isNotNull(), F.col(spec.order_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"DEDUP order column {spec.order_col!r} is NULL")
+        )
+    )
     # the order column leads the struct (as __ord) so comparison
     # prioritizes it; it also appears among the payload fields so the
     # survivor row carries it through
     row = F.struct(
-        F.col(spec.order_col).alias("__ord"),
+        ord_checked.alias("__ord"),
         *[F.col(c).alias(c) for c in others],
     )
     agg = F.min(row) if spec.keep == "first" else F.max(row)

@@ -445,6 +445,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("s"),
         F.sum(F.col("cents") * F.col("cents")).alias("ss"),
     )
+    # zero-variance guard in EXACT integers (n*ss == s*s iff every
+    # value in the group is identical): without it a constant group
+    # yields z = 0/0 = NaN, and Spark's NaN-is-greatest ordering makes
+    # abs(NaN) > 3 true while the oracle's NULL-yielding division
+    # drops the row — divergent on degenerate data
+    stats = stats.filter(
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0
+    )
     mean = F.col("s").cast("double") / F.col("n")
     var = F.col("ss").cast("double") / F.col("n") - mean * mean
     z = (F.col("cents") - mean) / F.sqrt(var)
@@ -477,7 +485,8 @@ SELECT c.event_id, c.event_type, c.value,
                     - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)),
              4) AS zscore
 FROM c JOIN st USING (event_type)
-WHERE abs((c.cents - CAST(st.s AS DOUBLE) / st.n)
+WHERE st.n * st.ss - st.s * st.s > 0  -- exact zero-variance guard
+  AND abs((c.cents - CAST(st.s AS DOUBLE) / st.n)
           / sqrt(CAST(st.ss AS DOUBLE) / st.n
                  - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)))
       > {_ZSCORE_THRESHOLD}

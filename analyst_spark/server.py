@@ -562,23 +562,53 @@ def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDU
             self.end_headers()
             self.close_connection = True
             cursor = 0
+            recv_buf = bytearray()
 
-            def client_frames():
-                """Drain pending client frames without blocking;
-                honors CLOSE (reply + stop) and PING (PONG)."""
+            def drain_pending() -> bool:
+                """Move every byte already available — rfile's
+                read-ahead buffer (filled during the HTTP handshake)
+                PLUS the kernel socket queue — into recv_buf without
+                blocking. select() alone can't see the rfile buffer,
+                so a frame pulled in by readline()'s read-ahead would
+                otherwise sit invisible until more bytes arrive;
+                ``read1`` on a zero-timeout socket returns buffered
+                bytes first, then pending bytes, then b''. Returns
+                False on EOF (readable socket + empty read)."""
                 import select
 
-                while select.select([self.connection], [], [], 0)[0]:
-                    fr = ws.recv_frame(self.rfile)
+                self.connection.settimeout(0.0)
+                try:
+                    while True:
+                        readable = select.select(
+                            [self.connection], [], [], 0
+                        )[0]
+                        try:
+                            chunk = self.rfile.read1(65536)
+                        except (BlockingIOError, InterruptedError):
+                            chunk = b""
+                        if chunk:
+                            recv_buf.extend(chunk)
+                            continue
+                        return not readable
+                finally:
+                    self.connection.settimeout(None)
+
+            def client_frames():
+                """Handle every complete client frame buffered so
+                far; honors CLOSE (reply + stop) and PING (PONG).
+                Incomplete frames stay in recv_buf — never blocks."""
+                if not drain_pending():
+                    return False  # EOF
+                while True:
+                    fr = ws.parse_frame(recv_buf)
                     if fr is None:
-                        return False  # EOF
+                        return True
                     op, payload = fr
                     if op == ws.OP_CLOSE:
                         ws.send_frame(self.wfile, payload, ws.OP_CLOSE)
                         return False
                     if op == ws.OP_PING:
                         ws.send_frame(self.wfile, payload, ws.OP_PONG)
-                return True
 
             try:
                 while True:

@@ -54,6 +54,44 @@ def send_frame(wfile, payload: bytes | str, opcode: int = OP_TEXT) -> None:
     wfile.flush()
 
 
+def parse_frame(buf: bytearray) -> tuple[int, bytes] | None:
+    """Parse one complete frame off the FRONT of ``buf``, consuming
+    its bytes; None when the buffer doesn't yet hold a whole frame.
+    Lets a caller drain a non-blocking socket into an explicit byte
+    buffer and handle frames as they complete — a frame split across
+    packets simply stays buffered until the rest arrives, without
+    ever blocking the caller."""
+    if len(buf) < 2:
+        return None
+    opcode = buf[0] & 0x0F
+    masked = buf[1] & 0x80
+    n = buf[1] & 0x7F
+    i = 2
+    if n == 126:
+        if len(buf) < 4:
+            return None
+        n = struct.unpack(">H", bytes(buf[2:4]))[0]
+        i = 4
+    elif n == 127:
+        if len(buf) < 10:
+            return None
+        n = struct.unpack(">Q", bytes(buf[2:10]))[0]
+        i = 10
+    mask = b"\x00" * 4
+    if masked:
+        if len(buf) < i + 4:
+            return None
+        mask = bytes(buf[i:i + 4])
+        i += 4
+    if len(buf) < i + n:
+        return None
+    data = bytes(buf[i:i + n])
+    del buf[:i + n]
+    if masked:
+        data = bytes(b ^ mask[j % 4] for j, b in enumerate(data))
+    return opcode, data
+
+
 def recv_frame(rfile) -> tuple[int, bytes] | None:
     """Read one client frame; returns (opcode, unmasked payload) or
     None on EOF. Client frames are always masked (RFC 6455 §5.3)."""

@@ -152,7 +152,6 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        "samples": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "headline_version": HEADLINE_VERSION,
     }
@@ -169,30 +168,49 @@ def main() -> None:
             ),
             "prev_file": prev["__file"],
         }
+    # Full artifact (with the per-query sample arrays) goes to a file:
+    # the driver captures a bounded TAIL of stdout, and r5's line with
+    # samples inline exceeded it, truncating the JSON mid-line
+    # ("parsed": null). stdout gets ONE compact line; the spread
+    # evidence lives in BENCH_DETAIL.json, committed per round.
+    detail = dict(out)
+    detail["samples"] = samples
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    out["detail_file"] = "BENCH_DETAIL.json"
     print(json.dumps(out))
 
 
 def _latest_prev_bench() -> dict | None:
+    """Most recent prior round with USABLE per-query times. A round
+    whose artifact lost its JSON to the driver's tail capture (r5:
+    "parsed": null) is skipped rather than silently comparing against
+    an empty query set."""
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    rounds = []
     for fn in os.listdir(here):
         m = _re.fullmatch(r"BENCH_r(\d+)\.json", fn)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = fn, int(m.group(1))
-    if best is None:
-        return None
-    try:
-        with open(os.path.join(here, best)) as f:
-            data = json.load(f)
-        # driver wraps our JSON line under "parsed"
-        if "queries" not in data and isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        data["__file"] = best
-        return data
-    except Exception:
-        return None
+        if m:
+            rounds.append((int(m.group(1)), fn))
+    for _, fn in sorted(rounds, reverse=True):
+        try:
+            with open(os.path.join(here, fn)) as f:
+                data = json.load(f)
+            # driver wraps our JSON line under "parsed"
+            if "queries" not in data and isinstance(
+                data.get("parsed"), dict
+            ):
+                data = data["parsed"]
+            if not data.get("queries"):
+                continue
+            data["__file"] = fn
+            return data
+        except Exception:
+            continue
+    return None
 
 
 if __name__ == "__main__":
