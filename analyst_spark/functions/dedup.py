@@ -133,6 +133,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k min-hashes per document: sig_i = min((A_i*hv + B_i) mod P)
     where hv = first 32 bits of md5(shingle).
@@ -142,8 +143,16 @@ def minhash_signatures(
     variants come from the universal affine family above instead of k
     seeded digests, so the corpus pays ONE digest per shingle
     occurrence regardless of signature width.
+
+    ``shingles`` lets a caller share one (persisted) shingle pass
+    between signature generation and a downstream exact-verify step
+    (see :func:`lsh_verified_pairs`).
     """
-    sh = shingles_exploded(df, text_col, id_col, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingles_exploded(df, text_col, id_col, n)
+    )
     hv = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     hashed = sh.select(F.col(id_col), hv.alias("hv"))
     aggs = [
@@ -163,6 +172,7 @@ def minhash_pairs(
     n: int = 3,
     bands: int = 4,
     rows_per_band: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate duplicate pairs (id_a < id_b) with band votes.
 
@@ -173,7 +183,9 @@ def minhash_pairs(
     AQE's skew-join handles.
     """
     k = bands * rows_per_band
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes=k)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes=k, shingles=shingles
+    )
     band_rows = []
     for b in range(bands):
         cols = [
@@ -279,4 +291,73 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
         sh,
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The PRODUCTION near-dup chain: MinHash-LSH candidate
+    generation followed by exact n-gram Jaccard verification computed
+    ONLY on the candidate pair list — the composition
+    :func:`ngram_jaccard_pairs`'s docstring prescribes for scale.
+
+    The verify join is keyed on the candidates, never on the raw
+    shingle postings: ``cand ⋈ sh(id_a)`` propagates each candidate's
+    left shingle set (cost Σ|A| over candidate pairs), then one hash
+    join on ``(id_b, shingle)`` counts the intersection. A hot
+    shingle shared by m documents costs the raw shared-shingle join
+    O(m²) rows; here it costs nothing beyond the LSH buckets it
+    lands in — pair-local work stays linear in candidates × document
+    size.
+
+    One persisted shingle pass feeds BOTH the MinHash signatures and
+    the verify (``shingles=`` plumb-through), so the corpus is
+    tokenized once. Recall is the banding OR from
+    :func:`minhash_pairs`; precision after verification is exactly 1
+    at the threshold.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    """
+    sh = shingles_exploded(df, text_col, id_col, n).persist()
+    cand_full = minhash_pairs(
+        df, text_col, id_col, n, bands, rows_per_band, shingles=sh
+    )
+    # capture the buckets dep BEFORE projecting (select drops the
+    # _asp_cached_deps attribute)
+    cand_deps = getattr(cand_full, "_asp_cached_deps", ())
+    cand = cand_full.select("id_a", "id_b")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    left = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+    )
+    inter = (
+        left.join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return _with_cached_deps(
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"),
+        sh,
+        *cand_deps,
     )

@@ -515,6 +515,18 @@ def semantic_dedup(
         .persist()  # self-joined below: halve the assignment compute
     )
     assigned.count()
+    return _dup_within_clusters(assigned, threshold, id_col)
+
+
+def _dup_within_clusters(
+    assigned: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Shared SemDeDup pair stage: ``assigned`` is a PERSISTED
+    (__id, centroid_id, __v) frame; marks each vector whose cluster
+    contains a lower-id member with cosine >= threshold. Pair cost is
+    sum of squared cluster sizes — the clustering upstream decides
+    whether that is linear (k grows with n) or merely divided by a
+    constant (fixed k)."""
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
     dup = (
@@ -540,3 +552,63 @@ def semantic_dedup(
         ),
         assigned,
     )
+
+
+def semantic_dedup_trained(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int = 256,
+    iters: int = 3,
+    k: int | None = None,
+) -> DataFrame:
+    """Scale-honest SemDeDup: the cluster count GROWS with the corpus
+    instead of dividing the quadratic by a constant.
+
+    ``k = clamp(ceil(n / target_cluster_size), 16, n)`` by default,
+    so expected cluster occupancy stays ~``target_cluster_size`` as n
+    grows and the within-cluster pair cost is Σ|cluster|² ≈
+    n · target_cluster_size — LINEAR in n. This is the regime the
+    SemDeDup recipe (Abbas et al. 2023) actually runs (k in the tens
+    of thousands at corpus scale); :func:`semantic_dedup`'s fixed
+    ``n_centroids`` is the oracle-expressible teaching form and is
+    O(n²/k) — fine at test SF, wrong at 100 TB.
+
+    Clustering is :func:`kmeans_train` (iterative; driver round-trips
+    are centroid-sized only), so there is no SQL oracle — the catalog
+    entry is rows-only at the driver and pinned by the pytest twin
+    (tests/test_similarity.py), the same contract as
+    ``ann_ivf_trained``. The dedup pair stage is byte-identical to
+    :func:`semantic_dedup`'s (shared helper), which IS hash-gated.
+    """
+    import math
+
+    n = corpus.count()  # metadata-level count; sizes k before training
+    if k is None:
+        k = int(min(max(16, math.ceil(n / target_cluster_size)), max(n, 1)))
+    v = spread(corpus, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    # cluster on the UNIT SPHERE: k-means assignment is L2, and raw
+    # magnitudes would scatter colinear near-duplicates (cosine 1.0)
+    # across clusters — SemDeDup clusters normalized embeddings for
+    # exactly this reason. The verify cosine below still runs on the
+    # original vectors (cosine is scale-invariant; parity with
+    # semantic_dedup's math).
+    normed = v.select(
+        F.col("__id").alias(id_col),
+        F.transform(
+            "__v", lambda x: x / _norm(F.col("__v"))
+        ).alias(vec_col),
+    )
+    _, asg = kmeans_train(normed, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = (
+        v.join(
+            asg.select(F.col(id_col).alias("__id"), "cluster"), "__id"
+        )
+        .select("__id", F.col("cluster").alias("centroid_id"), "__v")
+        .persist()  # self-joined in the pair stage
+    )
+    assigned.count()
+    return _dup_within_clusters(assigned, threshold, id_col)

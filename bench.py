@@ -26,6 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and one of each training-data op (the LSH/IVF variants are the
 # at-scale paths — brute-force twins are correctness-only).
 #
+# v6 (r6): + dedup_lsh_verified — the composed LSH-candidates →
+# exact-jaccard-verify production chain (VERDICT r5 #3); its two
+# halves (dedup_minhash, dedup_ngram_jaccard) stay for continuity.
+#
 # v5 (r5): + docs_lm_score (bigram-LM perplexity), docs_dsir_weights
 # (importance resampling), docs_gopher_filter (rule battery),
 # docs_dup_span (duplicate-span accounting) — the LM-curation family
@@ -44,7 +48,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 5
+HEADLINE_VERSION = 6
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -77,6 +81,7 @@ BENCH_QUERIES = [
     "docs_dup_span",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "dedup_embedding",
     "ann_ivf_topk",

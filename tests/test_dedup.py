@@ -130,3 +130,28 @@ def test_minhash_arbitrary_signature_width(spark):
     )
     sigs = minhash_signatures(df, num_hashes=80).collect()
     assert len(sigs) == 2 and len(sigs[0]) == 81  # doc_id + 80 hashes
+
+
+def test_lsh_verified_composes_candidates_and_exact_jaccard(spark):
+    """dedup_lsh_verified = exact-jaccard restricted to LSH
+    candidates: every output pair must be an LSH candidate AND carry
+    the exact ngram_jaccard value; planted exact/near dups survive,
+    the unrelated doc never appears."""
+    from analyst_spark.functions.dedup import lsh_verified_pairs, release_cached
+
+    docs = _docs(spark)
+    out = lsh_verified_pairs(docs, threshold=0.2, bands=4, rows_per_band=2)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    release_cached(out)
+    cand = minhash_pairs(docs, bands=4, rows_per_band=2)
+    cand_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    from analyst_spark.functions.dedup import release_cached as _rc
+    _rc(cand)
+    exact = ngram_jaccard_pairs(docs, threshold=0.2)
+    exact_pairs = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    _rc(exact)
+    # chain output == exact jaccard restricted to the candidate list
+    assert got == {p: j for p, j in exact_pairs.items() if p in cand_pairs}
+    # exact duplicates collide in every band and survive verification
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0
+    assert not any(4 in p for p in got)

@@ -18,6 +18,7 @@ def test_contract_shapes():
         "docs_stratified_sample",  # seeded sampler is engine-specific
         "agg_quantile_approx",     # sketch estimates are impl-specific
         "ann_ivf_trained",         # k-means centroids are engine-specific
+        "dedup_semantic_trained",  # k-means clustering; twin-pinned in test_similarity
         "bpe_train_merges",        # iterative; vs python model in test_bpe
         "bpe_train_batched",       # iterative; vs python model in test_bpe
         "docs_bpe_tokenize_pack",  # iterative merge table; stages parity-tested
@@ -45,3 +46,34 @@ def test_bench_headline_queries_are_registered():
     missing = [q for q in bench.BENCH_QUERIES if q not in qs]
     assert not missing, missing
     assert len(bench.BENCH_QUERIES) >= 20
+
+
+def test_verify_local_artifact_covers_full_catalog():
+    """VERDICT r5 #8: the committed VERIFY_LOCAL_r{N}.json must cover
+    EXACTLY the catalog's query set — a newly registered entry that
+    hasn't been re-verified (or a stale artifact after a rename)
+    fails here instead of silently riding an old 105/105."""
+    import json
+    import os
+    import re
+
+    from analyst_spark.plans.catalog import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(
+        (int(m.group(1)), fn)
+        for fn in os.listdir(root)
+        if (m := re.fullmatch(r"VERIFY_LOCAL_r(\d+)\.json", fn))
+    )
+    assert artifacts, "no VERIFY_LOCAL artifact committed"
+    latest = os.path.join(root, artifacts[-1][1])
+    with open(latest) as f:
+        data = json.load(f)
+    got = set(data["queries"])
+    want = set(QUERIES)
+    assert got == want, (
+        f"{os.path.basename(latest)} out of date: "
+        f"missing={sorted(want - got)} stale={sorted(got - want)} "
+        f"— re-run `python tools/verify_local.py --json {os.path.basename(latest)}`"
+    )
+    assert data["green"] == data["n"] == len(want), data.get("failures")

@@ -227,3 +227,47 @@ def test_semantic_dedup_recovers_planted_twins(spark):
             assert rows[100 + i].is_dup and rows[100 + i].dup_of == i
             assert rows[100 + i].cluster_id == rows[i].cluster_id
     assert sum(1 for r in rows.values() if r.is_dup) == len(twins)
+
+
+def test_semantic_dedup_trained_recovers_twins_and_scales_k(spark):
+    """The rows-only dedup_semantic_trained entry contract: planted
+    x2-scaled twins resolve dup_of = their source, the composition is
+    run-to-run deterministic, and the cluster count actually GROWS
+    with the corpus (the scale-honesty fix — a constant k only
+    divides the quadratic)."""
+    from analyst_spark.functions.similarity import semantic_dedup_trained
+    from analyst_spark.plans.text_plans import dedup_semantic_trained
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = dedup_semantic_trained(spark, sf_dir)
+    rows = out.collect()
+    from analyst_spark.functions.dedup import release_cached
+    release_cached(out)
+    by_id = {r.vec_id: r for r in rows}
+    # planted twins (vec_id = src + offset) must be flagged with
+    # dup_of = src: colinear vectors have cosine exactly 1.0 and
+    # identical centroid distances, so they share a cluster
+    twins = [r for r in rows if r.vec_id >= 1_000_000]
+    assert twins, "twin plants missing"
+    recovered = [r for r in twins if r.is_dup and r.dup_of == r.vec_id - 1_000_000]
+    assert len(recovered) / len(twins) >= 0.95
+    # determinism (what rows-only gating leans on)
+    out2 = dedup_semantic_trained(spark, sf_dir)
+    again = {(r.vec_id, r.cluster_id, r.dup_of, r.is_dup) for r in out2.collect()}
+    release_cached(out2)
+    assert again == {(r.vec_id, r.cluster_id, r.dup_of, r.is_dup) for r in rows}
+    # k grows with n: an 8x corpus must spread over more clusters
+    # than a 1x one (64/8 clamps to the k=16 floor; 512/8 -> k=64)
+    emb = spark.range(0, 512).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), j -> cast(hash(id, j) % 1000 as double) / 1000.0)"
+        " AS embedding",
+    )
+    small = semantic_dedup_trained(emb.limit(64), target_cluster_size=8, iters=1)
+    big = semantic_dedup_trained(emb, target_cluster_size=8, iters=1)
+    k_small = small.select("cluster_id").distinct().count()
+    k_big = big.select("cluster_id").distinct().count()
+    release_cached(small)
+    release_cached(big)
+    assert k_small <= 16
+    assert k_big > 16, f"k did not grow with n (distinct clusters {k_big})"
