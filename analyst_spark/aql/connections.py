@@ -169,6 +169,135 @@ class SQLiteConnection:
             self.conn.commit()
 
 
+_PG_TYPE_TO_SPARK = {
+    16: "boolean",
+    20: "bigint", 21: "bigint", 23: "bigint",
+    700: "double", 701: "double", 1700: "double",
+    1082: "date",
+    1114: "timestamp", 1184: "timestamp",
+}
+
+
+def parse_pg_connstr(s: str) -> dict:
+    """Reference-shaped postgres connection strings → PgWireConnection
+    kwargs. Accepts the URL form (``postgres://user:pw@host:port/db``)
+    and the key=value conninfo form (``host=/dir user=u dbname=d``);
+    a host starting with '/' is a unix-socket directory — the two
+    public formats lib/pq takes (the reference's postgres driver)."""
+    out: dict = {}
+    if s.startswith(("postgres://", "postgresql://")):
+        from urllib.parse import urlsplit, unquote
+
+        u = urlsplit(s)
+        if u.username:
+            out["user"] = unquote(u.username)
+        if u.password:
+            out["password"] = unquote(u.password)
+        if u.hostname:
+            out["host"] = u.hostname
+        if u.port:
+            out["port"] = u.port
+        if u.path and u.path != "/":
+            out["database"] = u.path.lstrip("/")
+        from urllib.parse import parse_qsl
+
+        for k, v in parse_qsl(u.query):
+            if k == "host":
+                out["host"] = v
+    else:
+        for part in s.split():
+            k, _, v = part.partition("=")
+            v = v.strip("'")
+            if k == "dbname":
+                out["database"] = v
+            elif k == "port":
+                out["port"] = int(v)
+            elif k in ("host", "user", "password"):
+                out[k] = v
+    host = out.pop("host", None)
+    if host and host.startswith("/"):
+        out["sockdir"] = host
+    elif host:
+        out["host"] = host
+    return out
+
+
+class PgConnection:
+    """driver='postgres' CONNECTION over the stdlib wire client
+    (sources/pgwire.py) — the reference's postgres surface
+    (engine/sql_source.go registered drivers) executed LIVE: query
+    bodies run ON the server, writes are batched multi-row INSERTs
+    (the statement shape pgjdbc's reWriteBatchedInserts produces,
+    sql_inserter.go:126-171's COPY-class analog), EXEC runs
+    statements. Shares SQLiteConnection's managed-transaction
+    contract. Spark-distributed reads/writes of big tables still
+    belong to the JDBC path; this is the verbatim-SQL control plane."""
+
+    def __init__(self, connstr: str):
+        from analyst_spark.sources.pgwire import PgWireConnection
+
+        self.conn = PgWireConnection(**parse_pg_connstr(connstr))
+        self.managed = False
+
+    def set_managed(self) -> None:
+        self.managed = True
+        self.conn.cursor().execute("BEGIN")
+
+    def source(self, spark: SparkSession, options: dict, body: str) -> DataFrame:
+        cur = self.conn.cursor()
+        cur.execute(body.rstrip().rstrip(";"))
+        desc = cur.description or []
+        names = [d[0] for d in desc]
+        types = [_PG_TYPE_TO_SPARK.get(d[1], "string") for d in desc]
+        rows = [
+            tuple(
+                str(v) if t == "string" and v is not None else v
+                for v, t in zip(r, types)
+            )
+            for r in cur.fetchall()
+        ]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
+        return spark.createDataFrame(rows, schema=ddl)
+
+    source.executes_sql = True
+
+    def write(self, df: DataFrame, options: dict) -> None:
+        from analyst_spark.aql.parser import truthy
+        from analyst_spark.sources.pgwire import quote_literal
+
+        table = str(options.get("TABLE") or "")
+        if not table:
+            raise ValueError("SQL destination requires WITH (TABLE = ...)")
+        if truthy(options.get("DROP_NULLS")):
+            df = df.na.drop(how="any")
+        batch = int(options.get("ROWS_PER_BATCH") or 500)
+        cols = ", ".join(df.columns)
+        cur = self.conn.cursor()
+        buf: list[str] = []
+
+        def flush():
+            if buf:
+                cur.execute(
+                    f"INSERT INTO {table} ({cols}) VALUES " + ", ".join(buf)
+                )
+                buf.clear()
+
+        for row in df.toLocalIterator():
+            buf.append("(" + ", ".join(quote_literal(v) for v in row) + ")")
+            if len(buf) >= batch:
+                flush()
+        flush()
+        if not self.managed:
+            self.conn.commit()
+
+    def exec_(self, body: str, options: dict) -> None:
+        cur = self.conn.cursor()
+        for stmt in _split_statements(body):
+            cur.execute(stmt)
+        if not self.managed:
+            self.conn.commit()
+
+
 def _split_statements(body: str) -> list[str]:
     """';'-split outside string literals."""
     out, cur, in_str = [], [], False
@@ -295,9 +424,24 @@ def build_connection_handlers(
     if driver == "jdbc" or connstr.startswith("jdbc:"):
         return _jdbc_handlers(name, options)
     if driver in _SQL_DRIVERS:
+        if driver == "postgres":
+            c = PgConnection(connstr)
+            if tx_manager is not None:
+                tx_manager.register(name, c.conn)
+                c.set_managed()
+
+            def pg_source(spark, blk_options, body=None):
+                return c.source(spark, blk_options, body)
+
+            pg_source.executes_sql = True
+            return {
+                name: pg_source,
+                f"{name}.write": c.write,
+                f"{name}.exec": c.exec_,
+            }
         if driver != "sqlite3":
-            # non-embedded engines reach Spark through JDBC; DB-API
-            # shims for them are environment-specific
+            # mssql/mysql reach Spark through JDBC; no server or
+            # wire shim for them in this environment
             raise ValueError(
                 f"driver {driver!r} needs a JDBC CONNECTIONSTRING "
                 "(jdbc:...) or an injected handler"
