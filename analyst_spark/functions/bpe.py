@@ -154,12 +154,15 @@ def bpe_train(
     text_col: str = "text",
     min_pair_count: int = 2,
     batch: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right,
     pair_count)] in merge order. Stops early when no pair reaches
     ``min_pair_count``. ``batch`` > 1 selects up to that many
     non-interacting merges per Spark iteration (see module docstring);
-    ``batch=1`` is classic sequential BPE."""
+    ``batch=1`` is classic sequential BPE. ``stats`` (if given)
+    receives {"iterations": N} — the measured Spark-iteration count
+    the O(merges/M) cost model predicts (tools/bpe_probe.py)."""
     wf = word_frequencies(docs, text_col)
     syms = wf.select(
         "cnt", F.split("w", "").alias("s")
@@ -217,6 +220,8 @@ def bpe_train(
     finally:
         for df in retained:
             df.unpersist()
+    if stats is not None:
+        stats["iterations"] = it
     return merges
 
 

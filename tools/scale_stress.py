@@ -1,15 +1,24 @@
-"""Three-decade scaling evidence: build a 10x-sf0.1 documents corpus
-(~50k docs) by perturbed replication of the driver's sf0.1 table and
-time the documents-family operators on sf0.01 / sf0.1 / sf0.1x10.
+"""Three-decade scaling evidence: build 10x-sf0.1 tables by perturbed
+replication of the driver's sf0.1 data and time each operator family
+on sf0.01 / sf0.1 / sf0.1x10.
 
-Replication detail: copy k of doc d gets doc_id = d + k*OFFSET and a
-distinct "copyk" prefix token, so exact-dedup fingerprints differ,
-shingle sets shift, and near-dup operators see realistic (not
-degenerate) growth. The derived corpus lives under /tmp and is a
-measurement artifact only — correctness gates always run on the
-driver's own parquet.
+Replication detail (realistic, not degenerate growth):
 
-Usage: python tools/scale_stress.py [entry ...]
+* documents — copy k of doc d gets doc_id = d + k*OFFSET and a
+  distinct "copyk" prefix token, so exact-dedup fingerprints differ
+  and shingle sets shift;
+* embeddings — copy k of vector v gets vec_id = v + k*OFFSET and a
+  deterministic per-coordinate perturbation (hash-derived, ±0.5%), so
+  near-dup/ANN structure grows without colliding with the planted
+  x2-twin device the gated entries use;
+* events — copy k shifts event_id and user_id, modelling growth by
+  MORE USERS (per-user series length constant — how event volume
+  actually grows), so sessionize/funnel state stays bounded per key.
+
+The derived tables live under /tmp and are measurement artifacts only
+— correctness gates always run on the driver's own parquet.
+
+Usage: python tools/scale_stress.py [--family documents|embeddings|events|all] [entry ...]
 """
 
 from __future__ import annotations
@@ -30,18 +39,37 @@ BIG = "/tmp/asp_scale_sf1"
 COPIES = 10
 OFFSET = 10_000_000
 
-DEFAULT = [
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "contamination_ngram",
-    "docs_lm_score",
-    "docs_dsir_weights",
-    "docs_gopher_filter",
-    "docs_dup_span",
-    "docs_pack_sequences",
-    "text_quality",
-]
+FAMILIES = {
+    "documents": [
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_lsh_verified",
+        "dedup_simhash",
+        "contamination_ngram",
+        "docs_lm_score",
+        "docs_dsir_weights",
+        "docs_gopher_filter",
+        "docs_dup_span",
+        "docs_pack_sequences",
+        "text_quality",
+    ],
+    "embeddings": [
+        "dedup_embedding",
+        "dedup_semantic",
+        "dedup_semantic_trained",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+    ],
+    "events": [
+        "events_hourly_rollup",
+        "events_user_sessions",
+        "events_funnel",
+        "events_salted_rollup",
+        "events_anomaly_zscore",
+        "events_moving_avg",
+    ],
+}
+DEFAULT = FAMILIES["documents"]
 
 
 def build_big(spark) -> None:
@@ -49,29 +77,67 @@ def build_big(spark) -> None:
 
     from analyst_spark.tables import load_tables
 
-    if os.path.exists(os.path.join(BIG, "documents.parquet")):
-        return
     os.makedirs(BIG, exist_ok=True)
-    docs = load_tables(spark, SRC)["documents"]
-    parts = []
-    for k in range(COPIES):
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
-                F.concat(F.lit(f"copy{k} "), F.col("text")).alias("text"),
-                "lang",
-                "source",
-                (F.col("n_chars") + F.lit(6)).alias("n_chars"),
-            )
-        )
-    big = parts[0]
-    for p in parts[1:]:
-        big = big.unionByName(p)
-    big.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(BIG, "documents.parquet")
+    tables = load_tables(spark, SRC)
+
+    def replicate(name, per_copy):
+        path = os.path.join(BIG, f"{name}.parquet")
+        if os.path.exists(path):
+            return
+        parts = [per_copy(tables[name], k) for k in range(COPIES)]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(32).write.mode("overwrite").parquet(path)
+
+    replicate(
+        "documents",
+        lambda docs, k: docs.select(
+            (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+            F.concat(F.lit(f"copy{k} "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(6)).alias("n_chars"),
+        ),
     )
-    # events/embeddings not replicated: this probe covers the
-    # documents family; symlink the rest so load_tables resolves.
+    # ±0.5% deterministic per-coordinate perturbation: copies are near
+    # (cosine ≈ 0.99997) but not colinear, so sign-LSH buckets and
+    # cluster structure see realistic density growth, and the gated
+    # entries' planted x2 twins (vec_id + 1e6 < OFFSET) stay disjoint
+    replicate(
+        "embeddings",
+        lambda emb, k: emb.select(
+            (F.col("vec_id") + F.lit(k * OFFSET)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: (
+                    x
+                    * (
+                        1.0
+                        + (
+                            F.pmod(
+                                F.hash(F.col("vec_id"), j, F.lit(k)), F.lit(1000)
+                            )
+                            - 500
+                        )
+                        / 100000.0
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+        ),
+    )
+    replicate(
+        "events",
+        lambda ev, k: ev.select(
+            (F.col("event_id") + F.lit(k * OFFSET)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * 1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        ),
+    )
+    # remaining tables symlink through so load_tables resolves
     for f in os.listdir(SRC):
         dst = os.path.join(BIG, f)
         if f.endswith(".parquet") and not os.path.exists(dst):
@@ -90,7 +156,19 @@ def timed(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    argv = sys.argv[1:]
+    names: list[str] = []
+    if "--family" in argv:
+        i = argv.index("--family")
+        fam = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+        if fam == "all":
+            for f in FAMILIES.values():
+                names.extend(f)
+        else:
+            names.extend(FAMILIES[fam])
+    names.extend(argv)
+    names = names or DEFAULT
     spark = get_spark("scale_stress")
     build_big(spark)
     # warm codegen
