@@ -3,15 +3,16 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator/query from SURVEY.md §2
 plus the training-data pipeline ops (dedup / similarity / text /
-multimodal / streaming / corpus splits / curation / LM scoring): 107
+multimodal / streaming / corpus splits / curation / LM scoring): 109
 entries spanning all 22 TPC-H query shapes, the reference operator
 inventory, the AQL DSL end-to-end, and the beyond-reference scale
 operators.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the hash gate
-(99 of 107; the 8 rows-only entries are impl-specific or iterative by
-nature: trained k-means lists/clusters, HLL sketches, sketch
-quantiles, seeded sampling, sequential + batched BPE merge training —
-each bounded by a dedicated pytest instead).
+(99 of 109; the 10 rows-only entries are impl-specific or iterative
+by nature: trained k-means lists/clusters, PCA eigendecomposition,
+logistic-regression training, HLL sketches, sketch quantiles, seeded
+sampling, sequential + batched BPE merge training — each bounded by a
+dedicated pytest instead).
 """
 
 from __future__ import annotations

@@ -1,0 +1,143 @@
+"""Hashed-feature quality classifier — the CCNet/GPT-3-style linear
+quality filter trained and applied entirely in Catalyst.
+
+LLM curation pipelines score documents with a cheap linear classifier
+over hashed bag-of-token features (fastText-class: CCNet's wikipedia
+filter, GPT-3's WebText filter) and keep/resample by score. This
+module gives that operator a Spark-first shape:
+
+* features — one explode + hash-groupBy: (doc, bucket, x) with
+  md5-derived buckets (reproducible in any engine) and per-document
+  L1 normalization; the feature table is persisted once and reused
+  by every training step.
+* training — full-batch logistic regression by gradient descent
+  where EACH STEP IS TWO CATALYST AGGREGATIONS: margins = one
+  broadcast-join of the (n_buckets)-row weight table + groupBy(doc);
+  gradient = one join-back + groupBy(bucket). The only driver
+  round-trip per step is the n_buckets-sized gradient — the same
+  "ship the dim-bounded invariant, never the data" shape as
+  kmeans_train and pca_train. No Python touches a row.
+* scoring — the margin aggregation once more, with the final weights.
+
+At 100 TB: the feature table is (tokens)-sized but hash-compressed to
+longs, each step shuffles it by doc then by bucket (both keys grow
+with data — no hot key), and the weight table is KB-sized forever.
+Iterative => no SQL oracle; the pytest twin (tests/test_classifier.py)
+re-runs the exact recipe in numpy and pins weights to ~1e-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 1024
+
+
+def hashed_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(id, bucket, x): md5-hashed token buckets with per-document L1
+    normalization (x = token_count / total_tokens). md5 keeps the
+    bucketing reproducible outside the JVM (hash() would not be)."""
+    from analyst_spark.tables import spread
+
+    tok = spread(docs, id_col).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    counts = (
+        tok.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    totals = counts.groupBy(id_col).agg(F.sum("cnt").alias("total"))
+    return counts.join(totals, id_col).select(
+        F.col(id_col),
+        "bucket",
+        (F.col("cnt") / F.col("total")).alias("x"),
+    )
+
+
+def _margins(feats: DataFrame, w_df: DataFrame, bias: float, id_col: str):
+    """Σ x·w[bucket] + b per document — one broadcast join + agg."""
+    return (
+        feats.join(F.broadcast(w_df), "bucket")
+        .groupBy(id_col)
+        .agg((F.sum(F.col("x") * F.col("w")) + F.lit(bias)).alias("m"))
+    )
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    steps: int = 6,
+    lr: float = 4.0,
+    l2: float = 1e-4,
+) -> tuple[list[float], float]:
+    """Full-batch logistic regression: ``labels`` is (id, y∈{0,1}).
+    Returns (weights[n_buckets], bias). Every step runs distributed;
+    the driver sees only the n_buckets-sized gradient."""
+    spark = feats.sparkSession
+    f = feats.join(labels, id_col).persist()
+    n = f.select(id_col).distinct().count()  # materializes the persist
+    w = [0.0] * n_buckets
+    b = 0.0
+    for _ in range(steps):
+        w_df = spark.createDataFrame(
+            list(enumerate(w)), ["bucket", "w"]
+        )
+        m = _margins(
+            f.select(id_col, "bucket", "x"), w_df, b, id_col
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+        # one residual row per DOCUMENT (m is per-doc already); the
+        # per-bucket gradient then joins it back onto the features
+        doc_r = m.join(labels, id_col).select(
+            id_col, (p - F.col("y")).alias("r")
+        ).persist()
+        gb = doc_r.agg(F.sum("r")).first()[0] / float(n)
+        grad_rows = (
+            f.select(id_col, "bucket", "x")
+            .join(doc_r, id_col)
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("r")) / F.lit(float(n))).alias("g"))
+            .collect()
+        )
+        doc_r.unpersist()
+        grad = {r.bucket: r.g for r in grad_rows}
+        w = [
+            wi - lr * (grad.get(i, 0.0) + l2 * wi)
+            for i, wi in enumerate(w)
+        ]
+        b -= lr * gb
+    f.unpersist()
+    return w, b
+
+
+def score_quality(
+    feats: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """(id, score): σ(w·x + b) per document with the trained model."""
+    spark = feats.sparkSession
+    w_df = spark.createDataFrame(list(enumerate(weights)), ["bucket", "w"])
+    m = _margins(feats, w_df, bias, id_col)
+    return m.select(
+        F.col(id_col),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), round_digits
+        ).alias("score"),
+    )

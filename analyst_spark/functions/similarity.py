@@ -612,3 +612,124 @@ def semantic_dedup_trained(
     )
     assigned.count()
     return _dup_within_clusters(assigned, threshold, id_col)
+
+
+def pca_train(
+    df: DataFrame,
+    n_components: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA over an embedding column — the standard
+    dimensionality-reduction / whitening step run before ANN indexing
+    or clustering at corpus scale (e.g. IVF-PQ pipelines reduce 768d
+    to 64-128d first).
+
+    Structure is the classic treeAggregate shape (the same
+    "reduce to a dim-bounded invariant, round-trip only that" pattern
+    as kmeans_train's centroid updates): each partition computes ONE
+    (dim+1, dim) partial — the coordinate sums stacked on the
+    unnormalized scatter matrix Σx·xᵀ — via an Arrow-batched
+    mapInPandas; the driver sums the per-partition partials (sorted
+    by partition id for deterministic FP accumulation), forms the
+    covariance, and eigendecomposes it with numpy. Everything that
+    crosses the driver boundary is O(dim²), independent of n. Sign
+    convention: each eigenvector is flipped so its
+    largest-|coordinate| entry is positive (eigh's sign is otherwise
+    arbitrary — this pins run-to-run determinism).
+
+    Returns (mean, components[n_components][dim], explained_variance).
+    """
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    v = spread(df, id_col).select(F.col(vec_col).alias("__v"))
+
+    part_schema = StructType([
+        StructField("pid", LongType()),
+        StructField("n", LongType()),
+        StructField("flat", ArrayType(DoubleType())),
+    ])
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+            )
+            n += mat.shape[0]
+            part = np.vstack([mat.sum(axis=0), mat.T @ mat])
+            acc = part if acc is None else acc + part
+        if acc is not None:
+            yield pd.DataFrame(
+                {"pid": [pid], "n": [n], "flat": [acc.ravel().tolist()]}
+            )
+
+    rows = v.mapInPandas(partials, schema=part_schema).collect()
+    if not rows:
+        raise ValueError("pca_train: empty corpus")
+    rows.sort(key=lambda r: r.pid)  # deterministic accumulation order
+    # flat holds (dim+1)*dim entries; recover dim from the quadratic
+    L = len(rows[0].flat)
+    dim = int((-1 + np.sqrt(1 + 4 * L)) // 2)
+    total = np.zeros((dim + 1, dim))
+    n = 0
+    for r in rows:
+        total += np.array(r.flat, dtype=np.float64).reshape(dim + 1, dim)
+        n += r.n
+    mean = total[0] / n
+    cov = total[1:] / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:n_components]
+    comps = []
+    expl = []
+    for i in order:
+        vec = eigvec[:, i]
+        j = int(np.argmax(np.abs(vec)))
+        if vec[j] < 0:
+            vec = -vec
+        comps.append(vec.tolist())
+        expl.append(float(eigval[i]))
+    return mean.tolist(), comps, expl
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Project vectors onto trained components: k dot products per
+    row, pure Catalyst (each component is a literal array; the dot is
+    the same sequential zip_with/aggregate as ``cosine``) — no Python
+    in the data path, map-only, no shuffle. Output:
+    (id, projection array<double>)."""
+    mean_col = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mean_col, lambda x, m: x.cast("double") - m
+    )
+    proj = F.array(*[
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_digits,
+        )
+        for comp in components
+    ])
+    return spread(df, id_col).select(F.col(id_col), proj.alias("projection"))

@@ -143,6 +143,8 @@ _register("dedup_clusters", tp.dedup_clusters, tp.DEDUP_CLUSTERS_ORACLE)
 _register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE)
 _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
+_register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only
+_register("docs_quality_classifier", pp.docs_quality_classifier, None)  # iterative GD → rows-only
 
 # --- similarity search ----------------------------------------------
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)

@@ -1378,3 +1378,48 @@ def docs_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ------------------------------------------------- quality classifier
+
+_QC_STEPS = 6
+_QC_BUCKETS = 1024
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/GPT-3-style linear quality filter, trained and
+    applied distributed (functions/classifier.py): hashed bag-of-token
+    features, full-batch logistic regression where each step is two
+    Catalyst aggregations + an n_buckets-sized driver round-trip, then
+    one scoring pass. Weak labels come from the Gopher rule battery
+    (the standard bootstrap when no hand-labeled quality set exists),
+    so the entry is fully self-contained. Iterative training => no SQL
+    oracle (rows-only); the numpy twin in tests/test_classifier.py
+    re-runs the exact recipe and pins the weights.
+
+    Output: (doc_id, score, pred, label) — score = σ(w·x + b).
+    """
+    from analyst_spark.functions.classifier import (
+        hashed_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    labels = gopher_features(docs).select(
+        "doc_id", F.col("keep").cast("double").alias("y")
+    )
+    feats = hashed_features(docs, n_buckets=_QC_BUCKETS).persist()
+    w, b = train_quality_classifier(
+        feats, labels, n_buckets=_QC_BUCKETS, steps=_QC_STEPS
+    )
+    scored = score_quality(feats, w, b)
+    return _with_cached_deps(
+        scored.join(labels, "doc_id").select(
+            "doc_id",
+            "score",
+            (F.col("score") >= 0.5).alias("pred"),
+            (F.col("y") >= 0.5).alias("label"),
+        ),
+        feats,
+    )

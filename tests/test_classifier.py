@@ -1,0 +1,106 @@
+"""Quality-classifier twin tests: the pure-Catalyst logistic
+regression (functions/classifier.py) must match a numpy re-run of the
+exact same recipe (same md5 hashing, normalization, step count,
+learning rate, L2), and the gated entry must separate its weak labels
+and be deterministic."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    # "good" docs: word-y, stopword-bearing
+    (0, "the quick brown fox jumps over the lazy dog and runs away", 1.0),
+    (1, "a model of the system that we use for data work and more", 1.0),
+    (2, "in the beginning there was a small tool and it grew with us", 1.0),
+    (3, "we shipped the feature and the users were happy with that", 1.0),
+    # "bad" docs: symbol soup / repetition
+    (4, "### ### ### $$$ %%% @@@ !!! ??? ... --- === +++ ~~~", 0.0),
+    (5, "xxxxx xxxxx xxxxx xxxxx xxxxx xxxxx xxxxx xxxxx", 0.0),
+    (6, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0", 0.0),
+    (7, "...... ###### ...... ###### ...... ###### ......", 0.0),
+]
+
+
+def _py_features(text, n_buckets):
+    toks = text.strip().lower().split()
+    counts = {}
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+        counts[b] = counts.get(b, 0) + 1
+    total = float(len(toks))
+    return {b: c / total for b, c in counts.items()}
+
+
+def _py_train(docs, n_buckets, steps, lr, l2):
+    feats = [(_py_features(t, n_buckets), y) for _i, t, y in docs]
+    w = np.zeros(n_buckets)
+    b = 0.0
+    n = len(docs)
+    for _ in range(steps):
+        grad = np.zeros(n_buckets)
+        gb = 0.0
+        for fx, y in feats:
+            m = sum(x * w[i] for i, x in fx.items()) + b
+            r = 1.0 / (1.0 + np.exp(-m)) - y
+            gb += r
+            for i, x in fx.items():
+                grad[i] += x * r
+        w = w - lr * (grad / n + l2 * w)
+        b -= lr * (gb / n)
+    return w, b
+
+
+def test_classifier_matches_numpy_twin(spark):
+    from analyst_spark.functions.classifier import (
+        hashed_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    n_buckets, steps, lr, l2 = 256, 12, 8.0, 1e-4
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], ["doc_id", "text"]
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in DOCS], ["doc_id", "y"]
+    )
+    feats = hashed_features(df, n_buckets=n_buckets).persist()
+    w, b = train_quality_classifier(
+        feats, labels, n_buckets=n_buckets, steps=steps, lr=lr, l2=l2
+    )
+    w_py, b_py = _py_train(DOCS, n_buckets, steps, lr, l2)
+    assert np.allclose(w, w_py, atol=1e-9)
+    assert abs(b - b_py) < 1e-9
+    scores = {
+        r.doc_id: r.score for r in score_quality(feats, w, b).collect()
+    }
+    feats.unpersist()
+    # the model separates the planted classes on its training set
+    assert all(scores[i] > 0.5 for i in (0, 1, 2, 3))
+    assert all(scores[i] < 0.5 for i in (4, 5, 6, 7))
+
+
+def test_quality_classifier_entry(spark):
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.pipeline_plans import docs_quality_classifier
+
+    out = docs_quality_classifier(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    release_cached(out)
+    assert rows and all(0.0 <= r.score <= 1.0 for r in rows)
+    # weak-label agreement well above chance: the classifier must
+    # actually have learned the Gopher-rule structure from the hashes
+    agree = sum(1 for r in rows if r.pred == r.label) / len(rows)
+    base = max(
+        sum(1 for r in rows if r.label) / len(rows),
+        sum(1 for r in rows if not r.label) / len(rows),
+    )
+    assert agree >= base, f"agreement {agree:.3f} below majority {base:.3f}"
+    # determinism (rows-only gate contract)
+    out2 = docs_quality_classifier(spark, "/root/testdata/sf0.001")
+    again = {(r.doc_id, r.score, r.pred, r.label) for r in out2.collect()}
+    release_cached(out2)
+    assert again == {(r.doc_id, r.score, r.pred, r.label) for r in rows}

@@ -19,6 +19,8 @@ def test_contract_shapes():
         "agg_quantile_approx",     # sketch estimates are impl-specific
         "ann_ivf_trained",         # k-means centroids are engine-specific
         "dedup_semantic_trained",  # k-means clustering; twin-pinned in test_similarity
+        "embeddings_pca",          # eigendecomposition; twin-pinned in test_pca
+        "docs_quality_classifier", # iterative GD; twin-pinned in test_classifier
         "bpe_train_merges",        # iterative; vs python model in test_bpe
         "bpe_train_batched",       # iterative; vs python model in test_bpe
         "docs_bpe_tokenize_pack",  # iterative merge table; stages parity-tested
