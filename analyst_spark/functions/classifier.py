@@ -92,6 +92,9 @@ def train_quality_classifier(
     n = f.select(id_col).distinct().count()  # materializes the persist
     w = [0.0] * n_buckets
     b = 0.0
+    if n == 0:  # empty corpus -> the zero model, not a 0/0 crash
+        f.unpersist()
+        return w, b
     for _ in range(steps):
         w_df = spark.createDataFrame(
             list(enumerate(w)), ["bucket", "w"]

@@ -585,6 +585,12 @@ def semantic_dedup_trained(
     import math
 
     n = corpus.count()  # metadata-level count; sizes k before training
+    if n == 0:
+        # day-one empty corpus: schema-stable empty result, no train
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, cluster_id long, dup_of long, is_dup boolean",
+        )
     if k is None:
         k = int(min(max(16, math.ceil(n / target_cluster_size)), max(n, 1)))
     v = spread(corpus, id_col).select(

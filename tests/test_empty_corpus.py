@@ -18,6 +18,7 @@ DOC_ENTRIES = [
     "doc_winnow_fingerprints", "docs_lm_score", "docs_gopher_filter",
     "docs_dsir_weights", "docs_dup_span", "docs_curation_funnel",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_lsh_verified", "docs_quality_classifier",
     "dedup_ngram_jaccard", "docs_train_test_split",
     "bpe_train_merges", "bpe_train_batched",
 ]
@@ -53,8 +54,9 @@ EVENT_ENTRIES = [
     "events_distinct_users", "events_salted_rollup",
 ]
 
-EMB_ENTRIES = ["dedup_semantic", "ann_cosine_topk", "ann_lsh_topk",
-               "dedup_embedding", "knn_label_propagation"]
+EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",
+               "ann_lsh_topk", "dedup_embedding", "knn_label_propagation",
+               "embeddings_pca"]
 
 
 @pytest.fixture(scope="module")
