@@ -739,3 +739,84 @@ def pca_project(
         for comp in components
     ])
     return spread(df, id_col).select(F.col(id_col), proj.alias("projection"))
+
+
+def pca_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """The production ANN chain: PCA-reduce → IVF coarse quantization
+    in the REDUCED space → exact-cosine re-rank in the ORIGINAL space
+    (the IVF-PQ-style pipeline every billion-vector deployment runs:
+    cheap geometry for routing, full precision only for candidates).
+
+    Candidate generation pays n_components-wide arithmetic
+    (centroid assignment + probe routing on the 8d projections, ~8x
+    cheaper than raw 64d at these defaults and far more at
+    768d → 64d production shapes); only the ~n_probe/n_centroids
+    candidate slice ever touches the original vectors. Training ships
+    O(dim²) to the driver (pca_train); everything else is
+    joins/windows Catalyst plans like ivf_topk. Eigendecomposition =>
+    rows-only; recall vs exact top-k pinned in tests/test_pca.py.
+    """
+    mean, comps, _ = pca_train(corpus, n_components, id_col, vec_col)
+    cp = pca_project(corpus, mean, comps, id_col, vec_col)
+    qp = pca_project(queries, mean, comps, id_col, vec_col)
+    cents = (
+        cp.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("projection").alias("__cent"),
+        )
+    )
+    sim_to_cent = F.round(cosine(F.col("__p"), F.col("__cent")), 6)
+
+    def nearest(df: DataFrame, n: int) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("__id"), F.col("projection").alias("__p"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("__csim", sim_to_cent)
+            .withColumn(
+                "__crn",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(
+                        F.col("__csim").desc(), F.col("centroid_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("__crn") <= n)
+            .select("__id", "centroid_id")
+        )
+
+    inv_lists = nearest(cp, 1).select(F.col("__id").alias(id_col), "centroid_id")
+    probes = nearest(qp, n_probe).select(
+        F.col("__id").alias("query_id"), "centroid_id"
+    )
+    cand = inv_lists.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        cand.join(cv, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "cosine_sim")
+    )

@@ -438,24 +438,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window, no shuffle of the fact table beyond the groupBy.
     """
     ev = load_tables(spark, sf_dir)["events"]
-    cents = F.round(F.col("value") * 100).cast("long")
-    base = ev.select("event_id", "event_type", "value", cents.alias("cents"))
-    stats = base.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
-    )
-    # zero-variance guard in EXACT integers (n*ss == s*s iff every
-    # value in the group is identical): without it a constant group
-    # yields z = 0/0 = NaN, and Spark's NaN-is-greatest ordering makes
-    # abs(NaN) > 3 true while the oracle's NULL-yielding division
-    # drops the row — divergent on degenerate data
-    stats = stats.filter(
-        F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    var = F.col("ss").cast("double") / F.col("n") - mean * mean
-    z = (F.col("cents") - mean) / F.sqrt(var)
+    base = events_with_cents(ev)
+    stats = anomaly_stats(base)
+    z = zscore_expr()
     return (
         base.join(F.broadcast(stats), "event_type")  # one row per type
         .filter(F.abs(z) > F.lit(_ZSCORE_THRESHOLD))
@@ -466,6 +451,39 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+def events_with_cents(ev: DataFrame) -> DataFrame:
+    """(event_id, event_type, value, cents): the exact-integer value
+    surrogate both the batch and streaming anomaly paths score on."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select("event_id", "event_type", "value", cents.alias("cents"))
+
+
+def anomaly_stats(base: DataFrame) -> DataFrame:
+    """Per-type (n, s, ss) moment stats over integer cents, with the
+    zero-variance guard in EXACT integers (n*ss == s*s iff every
+    value in the group is identical): without it a constant group
+    yields z = 0/0 = NaN, and Spark's NaN-is-greatest ordering makes
+    abs(NaN) > 3 true while the oracle's NULL-yielding division
+    drops the row — divergent on degenerate data. Factored so the
+    streaming gate scores micro-batches with the SAME trained stats
+    the batch entry uses."""
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    return stats.filter(
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0
+    )
+
+
+def zscore_expr() -> F.Column:
+    """z of a cents column against joined (n, s, ss) stat columns."""
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    return (F.col("cents") - mean) / F.sqrt(var)
 
 
 EVENTS_ANOMALY_ORACLE = f"""

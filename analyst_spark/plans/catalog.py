@@ -128,6 +128,7 @@ _register("docs_dsir_weights", pp.docs_dsir_weights, pp.DOCS_DSIR_ORACLE)
 _register("docs_dup_span", pp.docs_dup_span, pp.DOCS_DUP_SPAN_ORACLE)
 _register("docs_curation_funnel", pp.docs_curation_funnel, pp.DOCS_FUNNEL_ORACLE)
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
+_register("streaming_anomaly_gate", st.streaming_anomaly_gate, st.STREAMING_ANOMALY_ORACLE)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model
 _register("bpe_train_batched", pp.bpe_train_batched, None)  # iterative; pinned vs python model
 _register("docs_bpe_tokenize_pack", pp.docs_bpe_tokenize_pack, None)  # iterative merge table; stages parity-tested
@@ -144,6 +145,7 @@ _register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE
 _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
 _register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only
+_register("ann_pca_ivf", tp.ann_pca_ivf, None)  # PCA chain → rows-only
 _register("docs_quality_classifier", pp.docs_quality_classifier, None)  # iterative GD → rows-only
 
 # --- similarity search ----------------------------------------------

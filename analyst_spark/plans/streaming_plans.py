@@ -376,3 +376,88 @@ GROUP BY d.lang
 
 
 STREAMING_QF_ORACLE = _qf_oracle()
+
+
+_ANOM_SINK = "streaming_anomaly_gate_sink"
+
+
+def streaming_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming metric-anomaly gate in the train-batch/score-stream
+    deployment shape: per-type moment stats are computed ONCE on the
+    batch history (the exact factored stats the batch
+    events_anomaly_zscore entry uses — analytics_plans.anomaly_stats),
+    broadcast into the stream, and every arriving micro-batch is
+    scored |z| > 3 statelessly; a complete-mode aggregation reports
+    per-type arrivals vs anomalies.
+
+    Because scoring is stateless against FROZEN stats and the
+    aggregation runs complete-mode under availableNow, the streaming
+    result must equal the batch computation — so this streaming path
+    carries a full DuckDB hash oracle, like streaming_quality_filter.
+    At 100 TB this is the standard monitoring shape: stats refresh on
+    a batch cadence, the stream pays one broadcast join per event.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.plans.analytics_plans import (
+        _ZSCORE_THRESHOLD,
+        anomaly_stats,
+        events_with_cents,
+        zscore_expr,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    stats = anomaly_stats(events_with_cents(ev))
+    tmp = tempfile.mkdtemp(prefix="asp_stream_anom_")
+    try:
+        ev.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
+            8
+        ).write.mode("overwrite").json(tmp)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        ).json(tmp)
+        scored = events_with_cents(stream).join(
+            F.broadcast(stats), "event_type", "left"
+        )
+        flag = F.when(
+            F.col("n").isNotNull()
+            & (F.abs(zscore_expr()) > F.lit(_ZSCORE_THRESHOLD)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        agg = scored.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(flag).cast("long").alias("n_anomalies"),
+        )
+        q = run_to_memory_sink(agg, _ANOM_SINK, output_mode="complete")
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(_ANOM_SINK)
+
+
+STREAMING_ANOMALY_ORACLE = """
+WITH c AS (
+    SELECT event_id, event_type, value,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), st AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(cents * cents) AS BIGINT) AS ss
+    FROM c GROUP BY event_type
+    HAVING count(*) * CAST(sum(cents * cents) AS BIGINT)
+           - CAST(sum(cents) AS BIGINT) * CAST(sum(cents) AS BIGINT) > 0
+)
+SELECT c.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (
+           st.event_type IS NOT NULL
+           AND abs((c.cents - CAST(st.s AS DOUBLE) / st.n)
+               / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                      - (CAST(st.s AS DOUBLE) / st.n)
+                        * (CAST(st.s AS DOUBLE) / st.n))) > 3.0
+       ) AS BIGINT) AS n_anomalies
+FROM c LEFT JOIN st USING (event_type)
+GROUP BY c.event_type
+"""

@@ -21,6 +21,7 @@ def test_contract_shapes():
         "dedup_semantic_trained",  # k-means clustering; twin-pinned in test_similarity
         "embeddings_pca",          # eigendecomposition; twin-pinned in test_pca
         "docs_quality_classifier", # iterative GD; twin-pinned in test_classifier
+        "ann_pca_ivf",             # PCA chain; recall-pinned in test_pca
         "bpe_train_merges",        # iterative; vs python model in test_bpe
         "bpe_train_batched",       # iterative; vs python model in test_bpe
         "docs_bpe_tokenize_pack",  # iterative merge table; stages parity-tested

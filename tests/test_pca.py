@@ -78,3 +78,21 @@ def test_embeddings_pca_entry(spark):
     assert {r.vec_id: tuple(r.projection) for r in rows} == {
         r.vec_id: tuple(r.projection) for r in again
     }
+
+
+def test_ann_pca_ivf_recall_and_determinism(spark):
+    """The PCA→IVF→rerank chain must recover most exact neighbors on
+    the real embeddings (routing in 8d loses little when variance
+    concentrates) and be run-to-run deterministic."""
+    from analyst_spark.plans.text_plans import ann_cosine_topk, ann_pca_ivf
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = ann_pca_ivf(spark, sf_dir)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id)
+         for r in ann_cosine_topk(spark, sf_dir).collect()}
+    assert len(e) > 0
+    assert len(a & e) / len(e) >= 0.6, f"recall {len(a & e) / len(e):.2f}"
+    again = {(r.query_id, r.vec_id)
+             for r in ann_pca_ivf(spark, sf_dir).collect()}
+    assert again == a
