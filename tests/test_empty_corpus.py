@@ -48,6 +48,7 @@ def test_entry_survives_empty_corpus(spark, empty_sf, name):
 
 
 EVENT_ENTRIES = [
+    "streaming_anomaly_gate",
     "events_hourly_rollup", "events_user_sessions", "events_moving_avg",
     "events_lag_delta", "events_cohort_retention", "events_funnel",
     "events_anomaly_zscore", "events_rollup", "events_pivot",
@@ -56,7 +57,7 @@ EVENT_ENTRIES = [
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",
                "ann_lsh_topk", "dedup_embedding", "knn_label_propagation",
-               "embeddings_pca"]
+               "embeddings_pca", "ann_pca_ivf"]
 
 
 @pytest.fixture(scope="module")
