@@ -502,3 +502,123 @@ def test_winnow_shared_run_guarantee():
         gs = [_md5(" ".join(t[i:i + _WIN_K])) for i in range(len(t) - _WIN_K + 1)]
         return {min(gs[i:i + _WIN_W]) for i in range(len(gs) - _WIN_W + 1)}
     assert fps(a) & fps(b)
+
+
+# ---- ParameterTable vs case-insensitive dict model --------------------------
+
+import hypothesis.strategies as _st
+from hypothesis import given as _given, settings as _settings
+
+
+@_given(
+    ops=_st.lists(
+        _st.tuples(
+            _st.sampled_from(["set", "get", "update", "pop", "copy_set"]),
+            _st.sampled_from(["Aa", "AA", "aa", "Bb", "b_B", "Cc"]),
+            _st.integers(0, 9),
+        ),
+        max_size=30,
+    )
+)
+@_settings(max_examples=60, deadline=None)
+def test_parameter_table_matches_ci_dict_model(ops):
+    """Every access path (including the C-level dict(pt) view) must
+    agree with a plain model: canonical upper-case keyed values +
+    first-seen display spelling."""
+    from analyst_spark.sinks.parameter import ParameterTable
+
+    pt = ParameterTable()
+    model: dict[str, int] = {}     # canon -> value
+    display: dict[str, str] = {}   # canon -> first-seen spelling
+    for op, key, val in ops:
+        c = key.upper()
+        if op == "set":
+            pt[key] = val
+            model[c] = val
+            display.setdefault(c, key)
+        elif op == "get":
+            assert pt.get(key) == model.get(c)
+            assert (key in pt) == (c in model)
+        elif op == "update":
+            pt.update({key: val})
+            model[c] = val
+            display.setdefault(c, key)
+        elif op == "pop":
+            if c in model:
+                assert pt.pop(key) == model.pop(c)
+                display.pop(c)
+            else:
+                assert pt.pop(key, "d") == "d"
+        elif op == "copy_set":
+            cp = pt.copy()
+            cp[key] = val + 100  # must not leak into the original
+            assert pt.get(key) == model.get(c)
+    # the C-level view: display spellings, correct values
+    assert dict(pt) == {display[c]: v for c, v in model.items()}
+
+
+# ---- pgwire quote_literal: SQL round trip via DuckDB ------------------------
+
+@_given(
+    _st.one_of(
+        _st.text(max_size=40),
+        _st.integers(-10**12, 10**12),
+        _st.floats(allow_nan=False, allow_infinity=False, width=64),
+        _st.booleans(),
+        _st.none(),
+    )
+)
+@_settings(max_examples=120, deadline=None)
+def test_pgwire_quote_literal_roundtrips_through_sql(v):
+    """quote_literal must produce a literal any engine parses back to
+    the same value (DuckDB stands in as the SQL oracle; the same
+    quoting rules hold on postgres — injection-safe '' escaping)."""
+    import duckdb
+
+    from analyst_spark.sources.pgwire import quote_literal
+
+    if isinstance(v, str) and "\x00" in v:
+        v = v.replace("\x00", "")  # NUL can't live in a SQL literal
+    got = duckdb.sql(f"SELECT {quote_literal(v)} AS v").fetchone()[0]
+    if v is None:
+        assert got is None
+    elif isinstance(v, bool):
+        assert got is v
+    elif isinstance(v, float):
+        assert float(got) == v
+    elif isinstance(v, int):
+        assert int(got) == v
+    else:
+        assert got == v
+
+
+# ---- DEDUP transform vs python model ----------------------------------------
+
+@_given(
+    rows=_st.lists(
+        _st.tuples(
+            _st.integers(0, 5),      # key
+            _st.integers(0, 100),    # payload
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    keep=_st.sampled_from(["FIRST", "LAST"]),
+)
+@_settings(max_examples=20, deadline=None)
+def test_dedup_transform_matches_model(spark, rows, keep):
+    from analyst_spark.aql.transforms_parser import build_dedup, parse_dedup
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]  # unique ord col
+    df = spark.createDataFrame(data, ["ord", "k", "v"])
+    out = build_dedup(df, parse_dedup(f"DEDUP ON k KEEP {keep} BY ord"))
+    got = {r.k: (r.ord, r.v) for r in out.collect()}
+    model: dict[int, tuple[int, int]] = {}
+    for ordv, k, v in data:
+        if k not in model:
+            model[k] = (ordv, v)
+        elif keep == "FIRST" and ordv < model[k][0]:
+            model[k] = (ordv, v)
+        elif keep == "LAST" and ordv > model[k][0]:
+            model[k] = (ordv, v)
+    assert got == model
