@@ -160,6 +160,7 @@ _register("multimodal_image_features", mm.multimodal_image_features, mm.MULTIMOD
 _register("multimodal_resize", mm.multimodal_resize_features, mm.MULTIMODAL_RESIZE_ORACLE)
 _register("multimodal_frame_sample", mm.multimodal_frame_sample, mm.MULTIMODAL_FRAMES_ORACLE)
 _register("multimodal_audio_features", mm.multimodal_audio_features, mm.MULTIMODAL_AUDIO_ORACLE)
+_register("multimodal_binary_dedup", mm.multimodal_binary_dedup, mm.MULTIMODAL_BDUP_ORACLE)
 
 # --- structured streaming (real readStream → memory sink run) -------
 _register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HOURLY_ORACLE)

@@ -158,3 +158,56 @@ SELECT doc_id,
        unnest(range(0, (doc_id % 240) + 1, 10)) AS frame_idx
 FROM documents
 """
+
+
+_BDUP_OFFSET = 10_000_000
+_BDUP_STEP = 5
+
+
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-content dedup — the first pass every multimodal
+    corpus runs (identical bytes re-crawled under new ids): md5 over
+    the RAW image bytes, min-doc_id survivor per digest, one
+    map-side-combined aggregation (the same shape as text
+    dedup_exact; md5(binary) is a JVM expression, no Python).
+
+    Plant-and-recover contract: every doc_id % 5 == 0 image reappears
+    under doc_id + 10M with byte-identical content (the copy branch
+    reuses the generator output of the ORIGINAL id, then renames).
+    The operator sees only bytes; the oracle reconstructs the
+    expected grouping from the generator arithmetic — pixels depend
+    on doc_id only through doc_id mod 251 (31 is invertible mod the
+    prime), so the TRUE content key is doc_id % 251 and cross-id
+    collisions (d, d+251) are genuine byte-level duplicates the
+    operator must also discover. Same device as dedup_embedding's
+    colinear twins, with the added wrinkle that the dedup has to find
+    duplicates nobody explicitly planted.
+
+    Output: (keep_id, n_copies) per distinct content.
+    """
+    fc = _fake_corpus(spark, sf_dir)
+    copies = fc.filter(F.col("doc_id") % _BDUP_STEP == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_BDUP_OFFSET)
+    )
+    corpus = fc.unionByName(copies)
+    return (
+        corpus.groupBy(F.md5("image").alias("__digest"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+MULTIMODAL_BDUP_ORACLE = f"""
+WITH all_docs AS (
+    SELECT doc_id, doc_id % 251 AS src FROM documents
+    UNION ALL
+    SELECT doc_id + {_BDUP_OFFSET}, doc_id % 251 FROM documents
+    WHERE doc_id % {_BDUP_STEP} = 0
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM all_docs GROUP BY src
+"""

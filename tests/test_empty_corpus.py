@@ -19,6 +19,7 @@ DOC_ENTRIES = [
     "docs_dsir_weights", "docs_dup_span", "docs_curation_funnel",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_lsh_verified", "docs_quality_classifier",
+    "multimodal_binary_dedup",
     "dedup_ngram_jaccard", "docs_train_test_split",
     "bpe_train_merges", "bpe_train_batched",
 ]
