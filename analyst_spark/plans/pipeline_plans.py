@@ -1010,20 +1010,23 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     micro = F.round(llr * F.lit(1000000.0)).cast("long")
     # Same vocab-level scoring shape as docs_lm_score: one llr per
-    # DISTINCT word (the log computation runs at vocab scale), then
-    # join the token postings DIRECTLY — the per-(doc, word)
-    # multiplicity pre-aggregation cost a full postings-scale shuffle
-    # for little reduction (dropping it measured 1.43s → 1.20s cold
-    # at sf0.1). Σ micro over occurrences ≡ Σ m·micro, so the oracle
-    # SQL is unchanged.
+    # DISTINCT word, joined against per-doc word multiplicities.
+    # UNLIKE the bigram case, the (doc, word) pre-aggregation stays:
+    # unigram multiplicities are high in any real corpus (stopwords
+    # repeat ~50x/doc), so the map-side-combined pre-agg compresses
+    # the shuffle by that factor — measured on the 10x stress corpus,
+    # the direct postings join decayed 4.4x at 10x data while this
+    # shape held 2.5x. (Bigram multiplicities are ~1, which is why
+    # docs_lm_score joins its postings directly.)
     word_scores = (
         cc.join(ct, "w", "left")
         .crossJoin(F.broadcast(scal))  # 1-row scalars: semantically bounded
         .select("w", micro.alias("micro"))
     )
-    scored = tok.join(word_scores, "w").select("doc_id", "micro")
-    n = F.count(F.lit(1))
-    s = F.sum(F.col("micro"))
+    doc_words = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("m"))
+    scored = doc_words.join(word_scores, "w").select("doc_id", "m", "micro")
+    n = F.sum("m")
+    s = F.sum(F.col("m") * F.col("micro"))
     return _with_cached_deps(
         scored.groupBy("doc_id").agg(
             n.cast("long").alias("n_tokens"),
