@@ -139,6 +139,7 @@ _register("dedup_minhash", tp.dedup_minhash, tp.DEDUP_MINHASH_ORACLE)
 _register("dedup_simhash", tp.dedup_simhash, tp.DEDUP_SIMHASH_ORACLE)
 _register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE)
 _register("dedup_lsh_verified", tp.dedup_lsh_verified, tp.DEDUP_LSH_VERIFIED_ORACLE)
+_register("dedup_pipeline_e2e", tp.dedup_pipeline_e2e, tp.DEDUP_PIPELINE_E2E_ORACLE)
 _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 _register("dedup_clusters", tp.dedup_clusters, tp.DEDUP_CLUSTERS_ORACLE)
 _register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE)

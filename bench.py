@@ -29,6 +29,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # v6 (r6): + dedup_lsh_verified — the composed LSH-candidates →
 # exact-jaccard-verify production chain (VERDICT r5 #3); its two
 # halves (dedup_minhash, dedup_ngram_jaccard) stay for continuity.
+# + dedup_pipeline_e2e — the full raw→exact→verify→components→
+# representatives pipeline as one gated entry.
 #
 # v5 (r5): + docs_lm_score (bigram-LM perplexity), docs_dsir_weights
 # (importance resampling), docs_gopher_filter (rule battery),
@@ -82,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_lsh_verified",
+    "dedup_pipeline_e2e",
     "dedup_simhash",
     "dedup_embedding",
     "ann_ivf_topk",

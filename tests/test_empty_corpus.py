@@ -20,7 +20,7 @@ DOC_ENTRIES = [
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup",
-    "dedup_ngram_jaccard", "docs_train_test_split",
+    "dedup_ngram_jaccard", "dedup_pipeline_e2e", "docs_train_test_split",
     "bpe_train_merges", "bpe_train_batched",
 ]
 
@@ -44,6 +44,10 @@ def test_entry_survives_empty_corpus(spark, empty_sf, name):
         # the funnel still reports its four (empty) stages
         assert sorted(r.stage for r in rows) == ["dedup", "gopher", "lm", "raw"]
         assert all(r.n_docs == 0 for r in rows)
+    elif name == "dedup_pipeline_e2e":
+        assert sorted(r.stage for r in rows) == [
+            "exact", "final", "raw", "verified_pairs"]
+        assert all(r.n == 0 for r in rows)
     else:
         assert rows == []
 
