@@ -119,6 +119,7 @@ _register("docs_pii_scrub", pp.docs_pii_scrub, pp.DOCS_PII_SCRUB_ORACLE)
 _register("text_repetition", pp.text_repetition, pp.TEXT_REPETITION_ORACLE)
 _register("text_top_tokens", pp.text_top_tokens, pp.TEXT_TOP_TOKENS_ORACLE)
 _register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACLE)
+_register("docs_chunk_windows", pp.docs_chunk_windows, pp.DOCS_CHUNK_ORACLE)
 _register("docs_token_budget_mix", pp.docs_token_budget_mix, pp.TOKEN_BUDGET_MIX_ORACLE)
 _register("docs_write_shards", pp.docs_write_shards, pp.WRITE_SHARDS_ORACLE)
 _register("doc_winnow_fingerprints", pp.doc_winnow_fingerprints, pp.WINNOW_ORACLE)
@@ -147,6 +148,7 @@ _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
 _register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only
 _register("ann_pca_ivf", tp.ann_pca_ivf, None)  # PCA chain → rows-only
+_register("embeddings_quantize_int8", tp.embeddings_quantize_int8, tp.EMBEDDINGS_QUANTIZE_ORACLE)
 _register("docs_quality_classifier", pp.docs_quality_classifier, None)  # iterative GD → rows-only
 
 # --- similarity search ----------------------------------------------

@@ -1424,3 +1424,76 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         feats,
     )
+
+
+# ------------------------------------------------- chunking for embedding prep
+
+_CHUNK_SIZE = 64     # tokens per chunk
+_CHUNK_STRIDE = 48   # overlap = size - stride
+
+
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the standard prep step
+    before embedding (RAG indexing, retrieval corpora): fixed-size
+    token windows with overlap, the LAST window right-aligned so
+    every token is covered with no degenerate tail fragment.
+
+    starts = {1, 1+S, 1+2S, ... ≤ n-C+1} ∪ {max(n-C+1, 1)}; chunk k
+    is tokens [start, start+C). Pure Catalyst array expressions
+    (sequence/slice/transform), map-only, zero shuffles — at 100 TB
+    chunking is scan-bound and embarrassingly parallel, exactly as it
+    must be. Chunk text rides out as an md5 so the hash gate compares
+    content without hashing megabytes of raw text per row.
+
+    Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_md5).
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    t = F.split(F.trim("text"), r"\s+")
+    n = F.size(t)
+    C, S = _CHUNK_SIZE, _CHUNK_STRIDE
+    last = F.greatest(n - F.lit(C) + 1, F.lit(1))
+    seq = F.sequence(F.lit(1), last, F.lit(S))
+    # append the right-aligned last start only when the stride didn't
+    # already land on it (conditional append keeps order on BOTH
+    # engines — DuckDB's list_distinct reorders, Spark's doesn't)
+    starts = F.when((last - 1) % F.lit(S) == 0, seq).otherwise(
+        F.concat(seq, F.array(last))
+    )
+    chunks = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(F.col("t"), F.col("start_tok"), C)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
+DOCS_CHUNK_ORACLE = rf"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+), st AS (
+    SELECT doc_id, t,
+           CASE WHEN (greatest(len(t) - {_CHUNK_SIZE} + 1, 1) - 1)
+                     % {_CHUNK_STRIDE} = 0
+                THEN range(1, greatest(len(t) - {_CHUNK_SIZE} + 1, 1) + 1,
+                           {_CHUNK_STRIDE})
+                ELSE range(1, greatest(len(t) - {_CHUNK_SIZE} + 1, 1) + 1,
+                           {_CHUNK_STRIDE})
+                     || [greatest(len(t) - {_CHUNK_SIZE} + 1, 1)]
+           END AS starts
+    FROM base
+)
+SELECT doc_id,
+       CAST(unnest(range(len(starts))) AS BIGINT) AS chunk_idx,
+       CAST(unnest(starts) AS BIGINT) AS start_tok,
+       CAST(len(t[unnest(starts):unnest(starts) + {_CHUNK_SIZE} - 1]) AS BIGINT) AS n_tok,
+       md5(array_to_string(t[unnest(starts):unnest(starts) + {_CHUNK_SIZE} - 1], ' ')) AS chunk_md5
+FROM st
+"""

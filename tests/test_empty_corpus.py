@@ -20,7 +20,8 @@ DOC_ENTRIES = [
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup",
-    "dedup_ngram_jaccard", "dedup_pipeline_e2e", "docs_train_test_split",
+    "dedup_ngram_jaccard", "dedup_pipeline_e2e", "docs_chunk_windows",
+    "docs_train_test_split",
     "bpe_train_merges", "bpe_train_batched",
 ]
 
@@ -62,7 +63,7 @@ EVENT_ENTRIES = [
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",
                "ann_lsh_topk", "dedup_embedding", "knn_label_propagation",
-               "embeddings_pca", "ann_pca_ivf"]
+               "embeddings_pca", "ann_pca_ivf", "embeddings_quantize_int8"]
 
 
 @pytest.fixture(scope="module")
