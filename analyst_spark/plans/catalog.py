@@ -127,6 +127,7 @@ _register("docs_lm_score", pp.docs_lm_score, pp.DOCS_LM_SCORE_ORACLE)
 _register("docs_gopher_filter", pp.docs_gopher_filter, pp.DOCS_GOPHER_ORACLE)
 _register("docs_dsir_weights", pp.docs_dsir_weights, pp.DOCS_DSIR_ORACLE)
 _register("docs_dup_span", pp.docs_dup_span, pp.DOCS_DUP_SPAN_ORACLE)
+_register("docs_dedup_spans", pp.docs_dedup_spans, pp.DOCS_DEDUP_SPANS_ORACLE)
 _register("docs_curation_funnel", pp.docs_curation_funnel, pp.DOCS_FUNNEL_ORACLE)
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
 _register("streaming_anomaly_gate", st.streaming_anomaly_gate, st.STREAMING_ANOMALY_ORACLE)

@@ -1497,3 +1497,161 @@ SELECT doc_id,
        md5(array_to_string(t[unnest(starts):unnest(starts) + {_CHUNK_SIZE} - 1], ' ')) AS chunk_md5
 FROM st
 """
+
+
+# ------------------------------------------------- duplicate-span REMOVAL
+
+_SPAN_MIN_RUN = 8  # tokens: only cut runs at least this long
+
+
+def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (Lee et al. 2022 substring dedup, the
+    operation docs_dup_span only accounts for): cut every maximal run
+    of >= _SPAN_MIN_RUN tokens whose 6-gram windows all occur in at
+    least one OTHER document, and emit the cleaned text fingerprint.
+
+    Distributed shape: the corpus-scale work is identical to
+    docs_dup_span (postings explode → shared-gram aggregation → one
+    join back), plus ONE extra per-doc array stage: the matched
+    window starts collect per document (bounded by doc length), and
+    coverage / window-full / removable-run masks are pure Catalyst
+    array expressions — "p is removable iff some R-window containing
+    p is fully covered", which equals the maximal-run >= R rule
+    without any sequential scan. Per-doc cost is O(len · R); no
+    Python, no extra shuffle beyond dup_span's.
+
+    Output: (doc_id, n_tokens, n_removed, clean_md5).
+    """
+    N, R = _DUP_N, _SPAN_MIN_RUN
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(_ngrams(F.col("t"), N), lambda g: F.xxhash64(g))
+            ).alias("i0", "g"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+        .persist()  # consumed 2x: shared table + join back
+    )
+    grams.count()
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    doc_starts = (
+        grams.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+    d = toks.join(doc_starts, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
+    )
+    n_t = F.size("t")
+    cov = F.transform(
+        F.sequence(F.lit(1), n_t),
+        lambda p: F.exists(
+            "starts", lambda s: (p >= s) & (p <= s + F.lit(N - 1))
+        ).cast("int"),
+    )
+    d = d.withColumn("cov", cov)
+    # win[q] = 1 iff tokens q..q+R-1 are ALL covered
+    win = F.when(
+        n_t >= R,
+        F.transform(
+            F.sequence(F.lit(1), n_t - F.lit(R - 1)),
+            lambda q: (
+                F.aggregate(
+                    F.slice("cov", q, R), F.lit(0), lambda a, x: a + x
+                )
+                == R
+            ),
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    d = d.withColumn("win", win)
+    # rm[p] = p lies inside SOME fully-covered R-window  <=>  p is in
+    # a maximal covered run of length >= R
+    rm = F.transform(
+        F.sequence(F.lit(1), n_t),
+        lambda p: F.when(
+            (n_t >= R)
+            & (F.least(p, n_t - F.lit(R - 1)) >= F.greatest(p - F.lit(R - 1), F.lit(1))),
+            F.exists(
+                F.sequence(
+                    F.greatest(p - F.lit(R - 1), F.lit(1)),
+                    F.least(p, n_t - F.lit(R - 1)),
+                ),
+                lambda q: F.element_at("win", q),
+            ),
+        ).otherwise(F.lit(False)),
+    )
+    d = d.withColumn("rm", rm)
+    kept = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), n_t), lambda p: ~F.element_at("rm", p)
+        ),
+        lambda p: F.element_at("t", p),
+    )
+    return _with_cached_deps(
+        d.select(
+            "doc_id",
+            n_t.cast("long").alias("n_tokens"),
+            F.aggregate(
+                "rm", F.lit(0), lambda a, x: a + x.cast("int")
+            ).cast("long").alias("n_removed"),
+            F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+        ),
+        grams,
+    )
+
+
+DOCS_DEDUP_SPANS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), ng AS (
+    SELECT doc_id, {_duck_ngrams(_DUP_N)} AS gs FROM toks
+), grams AS (
+    SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS i FROM ng
+), shared AS (
+    SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), doc_starts AS (
+    SELECT grams.doc_id, list(i ORDER BY i) AS starts
+    FROM grams JOIN shared ON grams.g = shared.g
+    GROUP BY grams.doc_id
+), base AS (
+    SELECT t.doc_id, t.t, COALESCE(s.starts, []) AS starts, len(t.t) AS n_t
+    FROM toks t LEFT JOIN doc_starts s ON t.doc_id = s.doc_id
+), masks AS (
+    SELECT doc_id, t, n_t,
+        [CASE WHEN len(list_filter(starts,
+             s -> s <= p AND p <= s + {_DUP_N - 1})) > 0
+         THEN 1 ELSE 0 END
+         for p in range(1, n_t + 1)] AS cov
+    FROM base
+), wins AS (
+    SELECT doc_id, t, n_t, cov,
+        [list_sum(cov[q:q + {_SPAN_MIN_RUN - 1}]) = {_SPAN_MIN_RUN}
+         for q in range(1, n_t - {_SPAN_MIN_RUN - 1} + 1)] AS win
+    FROM masks
+), rms AS (
+    SELECT doc_id, t, n_t,
+        [CASE WHEN len([q for q in range(greatest(p - {_SPAN_MIN_RUN - 1}, 1),
+                                         least(p, n_t - {_SPAN_MIN_RUN - 1}) + 1)
+                        if win[q]]) > 0
+         THEN 1 ELSE 0 END
+         for p in range(1, n_t + 1)] AS rm
+    FROM wins
+)
+SELECT doc_id,
+       CAST(n_t AS BIGINT) AS n_tokens,
+       CAST(list_sum(rm) AS BIGINT) AS n_removed,
+       md5(COALESCE(array_to_string(
+               [t[p] for p in range(1, n_t + 1) if rm[p] = 0], ' '),
+           '')) AS clean_md5
+FROM rms
+"""

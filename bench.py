@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "docs_dsir_weights",
     "docs_gopher_filter",
     "docs_dup_span",
+    "docs_dedup_spans",
     "dedup_exact",
     "dedup_minhash",
     "dedup_lsh_verified",

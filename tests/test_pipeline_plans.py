@@ -341,3 +341,38 @@ def test_bpe_tokenize_pack_invariants(spark):
     ).collect()[0].t
     assert sum(r.n_bpe_tokens for r in rows) == total
     assert len(rows) >= 2  # corpus spans multiple 512-token sequences
+
+
+def test_dedup_spans_cuts_long_runs_keeps_short_overlaps(spark, tmp_path):
+    """docs_dedup_spans: a >=8-token span shared across docs is
+    removed from BOTH carriers; a shared 6-gram that doesn't extend
+    to an 8-token covered run survives; unique text is untouched."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    docs = [
+        (1, f"unique one two three {shared} tail1 tailb tailc tdone"),
+        (2, f"other prefix words here {shared} postfix pw2 pw3 pw4"),
+        # doc 3/4 share only one 6-gram (6 covered tokens < 8): kept
+        (3, "p q r s t u v w x y z"),
+        (4, "m n o p q r s t u aa bb"),  # shares 6-gram "p q r s t u"
+    ]
+    import os
+
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.pipeline_plans import docs_dedup_spans
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = docs_dedup_spans(spark, str(tmp_path))
+    rows = {r.doc_id: r for r in out.collect()}
+    release_cached(out)
+    # the 10-token shared span is removed from both docs 1 and 2
+    assert rows[1].n_removed == 10 and rows[2].n_removed == 10
+    # the shared 6-gram between 3 and 4 covers only 6 tokens (< 8): kept
+    assert rows[3].n_removed == 0 and rows[4].n_removed == 0
+    import hashlib
+
+    clean1 = "unique one two three tail1 tailb tailc tdone"
+    assert rows[1].clean_md5 == hashlib.md5(clean1.encode()).hexdigest()
