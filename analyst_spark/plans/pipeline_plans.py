@@ -1520,6 +1520,14 @@ def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     without any sequential scan. Per-doc cost is O(len · R); no
     Python, no extra shuffle beyond dup_span's.
 
+    Each mask stage (cov → win → rm) is persisted: projection
+    collapsing would otherwise INLINE the cov transform into every
+    one of win's R slice references (and win/rm into each downstream
+    per-position reference), compounding to an O(len²·R·|starts|)
+    re-evaluation — measured 40s → ~1.5s at sf0.1. The InMemory
+    boundary pins each mask as a materialized attribute; the cached
+    frames are (docs × short arrays), registered for release.
+
     Output: (doc_id, n_tokens, n_removed, clean_md5).
     """
     N, R = _DUP_N, _SPAN_MIN_RUN
@@ -1559,7 +1567,7 @@ def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "starts", lambda s: (p >= s) & (p <= s + F.lit(N - 1))
         ).cast("int"),
     )
-    d = d.withColumn("cov", cov)
+    d = d.withColumn("cov", cov).persist()
     # win[q] = 1 iff tokens q..q+R-1 are ALL covered
     win = F.when(
         n_t >= R,
@@ -1573,7 +1581,8 @@ def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<boolean>"))
-    d = d.withColumn("win", win)
+    d_cov = d
+    d = d.withColumn("win", win).persist()
     # rm[p] = p lies inside SOME fully-covered R-window  <=>  p is in
     # a maximal covered run of length >= R
     rm = F.transform(
@@ -1590,7 +1599,8 @@ def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(False)),
     )
-    d = d.withColumn("rm", rm)
+    d_win = d
+    d = d.withColumn("rm", rm).persist()
     kept = F.transform(
         F.filter(
             F.sequence(F.lit(1), n_t), lambda p: ~F.element_at("rm", p)
@@ -1607,6 +1617,9 @@ def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(kept, " ")).alias("clean_md5"),
         ),
         grams,
+        d_cov,
+        d_win,
+        d,
     )
 
 
