@@ -1668,3 +1668,203 @@ SELECT doc_id,
            '')) AS clean_md5
 FROM rms
 """
+
+
+# ------------------------------------------------- Stupid Backoff LM
+
+_SB_ALPHA = 0.4  # Brants et al. 2007 backoff weight
+
+
+def docs_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff trigram LM scoring (Brants et al. 2007) in the
+    CCNet deployment shape: the LM trains on the TARGET slice
+    (lang='en' stands in for the high-quality reference corpus) and
+    scores EVERY document — so backoff genuinely fires on non-target
+    text whose trigrams/bigrams the target never saw.
+
+    s(w3|w1w2) = c3/c2                     if the target saw the trigram
+               = α · c2'(w2,w3)/c1(w2)     else if it saw the bigram
+               = α² · (c1(w3)+k)/(Nt+k·V)  else (add-k unigram floor, so
+                                           OOV words never hit log 0)
+
+    Distributed shape (docs_lm_score's discipline): all count tables
+    are vocab-bounded; each DISTINCT corpus trigram is scored once
+    against them (left joins at vocab scale), snapped to integer
+    micro-logs, and the per-doc aggregation joins the trigram
+    POSTINGS directly (trigram multiplicities ~1 — the r6
+    pre-agg-vs-direct-join lesson). Scalars ride one 1-row broadcast.
+
+    Output: (doc_id, n_trigrams, sum_micro_logscore, neg_avg_logscore,
+    ppl_proxy) — ppl over s, the standard backoff quality signal.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = spread(docs).select(
+        "doc_id",
+        "lang",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+    )
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                        F.element_at("t", i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "lang", "g.w1", "g.w2", "g.w3")
+        .persist()  # consumed by target counts AND the scoring join
+    )
+    tri.count()
+    uni = (
+        toks.select("lang", F.explode("t").alias("w"))
+        .persist()  # consumed 3x: target uni/bigram counts + vocab
+    )
+    uni.count()
+    t_uni = (
+        uni.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    t_bi = (
+        toks.filter((F.col("lang") == _DSIR_TARGET_LANG) & (F.size("t") >= 2))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    t_tri = (
+        tri.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    scal = uni.agg(
+        F.sum((F.col("lang") == _DSIR_TARGET_LANG).cast("long")).alias("nt"),
+        F.count_distinct("w").alias("v"),
+    )
+    k, a = F.lit(_LM_K), F.lit(_SB_ALPHA)
+    distinct_tri = tri.select("w1", "w2", "w3").distinct()
+    b12 = t_bi.select(
+        F.col("w1"), F.col("w2"), F.col("c2").alias("c2_ctx")
+    )
+    b23 = t_bi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c2").alias("c2_bo"),
+    )
+    u2 = t_uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    u3 = t_uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3"))
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3") / F.col("c2_ctx"),
+        )
+        .when(
+            F.col("c2_bo").isNotNull(),
+            a * F.col("c2_bo") / F.col("c1_w2"),
+        )
+        .otherwise(
+            a * a * (F.coalesce(F.col("c1_w3"), F.lit(0)) + k)
+            / (F.col("nt") + k * F.col("v"))
+        )
+    )
+    tri_scores = (
+        distinct_tri.join(t_tri, ["w1", "w2", "w3"], "left")
+        .join(b12, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(scal))  # 1-row scalars
+        .select(
+            "w1", "w2", "w3",
+            F.round(F.log(s) * F.lit(1000000.0)).cast("long").alias("micro"),
+        )
+    )
+    scored = tri.join(tri_scores, ["w1", "w2", "w3"]).select("doc_id", "micro")
+    n = F.count(F.lit(1))
+    ssum = F.sum("micro")
+    return _with_cached_deps(
+        scored.groupBy("doc_id").agg(
+            n.cast("long").alias("n_trigrams"),
+            ssum.cast("long").alias("sum_micro_logscore"),
+            F.round(-(ssum / F.lit(1000000.0)) / n, 6).alias("neg_avg_logscore"),
+            F.round(F.exp(-(ssum / F.lit(1000000.0)) / n), 4).alias("ppl_proxy"),
+        ),
+        tri,
+        uni,
+    )
+
+
+DOCS_LM_BACKOFF_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), tri AS (
+    SELECT doc_id, lang,
+           t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+    FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+    WHERE len(t) >= 3
+), uni AS (
+    SELECT lang, unnest(t) AS w FROM toks
+), t_uni AS (
+    SELECT w, count(*) AS c1 FROM uni
+    WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY w
+), t_bi AS (
+    SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c2
+    FROM toks, unnest(range(1, len(t))) AS r(i)
+    WHERE lang = '{_DSIR_TARGET_LANG}' AND len(t) >= 2
+    GROUP BY 1, 2
+), t_tri AS (
+    SELECT w1, w2, w3, count(*) AS c3 FROM tri
+    WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1, 2, 3
+), scal AS (
+    SELECT (SELECT count(*) FROM uni WHERE lang = '{_DSIR_TARGET_LANG}') AS nt,
+           (SELECT count(DISTINCT w) FROM uni) AS v
+), dtri AS (
+    SELECT DISTINCT w1, w2, w3 FROM tri
+), tri_scores AS (
+    SELECT d.w1, d.w2, d.w3,
+           CAST(round(ln(
+               CASE
+                 WHEN tt.c3 IS NOT NULL
+                   THEN tt.c3 / CAST(b12.c2 AS DOUBLE)
+                 WHEN b23.c2 IS NOT NULL
+                   THEN {_SB_ALPHA} * b23.c2 / CAST(u2.c1 AS DOUBLE)
+                 ELSE {_SB_ALPHA} * {_SB_ALPHA}
+                      * (COALESCE(u3.c1, 0) + {_LM_K})
+                      / (s.nt + {_LM_K} * s.v)
+               END) * 1000000.0) AS BIGINT) AS micro
+    FROM dtri d
+    LEFT JOIN t_tri tt ON d.w1 = tt.w1 AND d.w2 = tt.w2 AND d.w3 = tt.w3
+    LEFT JOIN t_bi b12 ON d.w1 = b12.w1 AND d.w2 = b12.w2
+    LEFT JOIN t_bi b23 ON d.w2 = b23.w1 AND d.w3 = b23.w2
+    LEFT JOIN t_uni u2 ON d.w2 = u2.w
+    LEFT JOIN t_uni u3 ON d.w3 = u3.w
+    CROSS JOIN scal s
+)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(micro) AS BIGINT) AS sum_micro_logscore,
+       round(-(sum(micro) / 1000000.0) / count(*), 6) AS neg_avg_logscore,
+       round(exp(-(sum(micro) / 1000000.0) / count(*)), 4) AS ppl_proxy
+FROM tri
+JOIN tri_scores ON tri.w1 = tri_scores.w1 AND tri.w2 = tri_scores.w2
+               AND tri.w3 = tri_scores.w3
+GROUP BY tri.doc_id
+"""
