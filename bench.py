@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "text_top_tokens",
     "doc_winnow_fingerprints",
     "docs_lm_score",
+    "docs_lm_backoff_score",
     "docs_dsir_weights",
     "docs_gopher_filter",
     "docs_dup_span",
