@@ -246,6 +246,14 @@ class PgConnection:
     def source(self, spark: SparkSession, options: dict, body: str) -> DataFrame:
         cur = self.conn.cursor()
         cur.execute(body.rstrip().rstrip(";"))
+        if not cur.description:
+            # a DML/DDL body yields no RowDescription; without this
+            # guard the empty DDL string dies inside createDataFrame
+            # with a cryptic schema-parse error
+            raise ValueError(
+                "QUERY body returned no result set (statement "
+                "produced no rows/columns) — use EXEC for DML/DDL"
+            )
         desc = cur.description or []
         names = [d[0] for d in desc]
         types = [_PG_TYPE_TO_SPARK.get(d[1], "string") for d in desc]
@@ -262,8 +270,18 @@ class PgConnection:
     source.executes_sql = True
 
     def write(self, df: DataFrame, options: dict) -> None:
+        """Strategy mirror of the reference's inserter registry
+        (engine/sql_inserter.go:16-29): writes that fit in one batch
+        use the default multi-row INSERT; anything larger switches to
+        ``COPY ... FROM STDIN`` — the PostgresInserter strategy
+        (sql_inserter.go:145-171, pq.CopyIn). Table/column names are
+        identifier-quoted (mixed case / reserved words are legal)."""
         from analyst_spark.aql.parser import truthy
-        from analyst_spark.sources.pgwire import quote_literal
+        from analyst_spark.sources.pgwire import (
+            copy_text_value,
+            quote_ident,
+            quote_literal,
+        )
 
         table = str(options.get("TABLE") or "")
         if not table:
@@ -271,22 +289,39 @@ class PgConnection:
         if truthy(options.get("DROP_NULLS")):
             df = df.na.drop(how="any")
         batch = int(options.get("ROWS_PER_BATCH") or 500)
-        cols = ", ".join(df.columns)
+        table_sql = quote_ident(table)
+        cols = ", ".join(quote_ident(c) for c in df.columns)
         cur = self.conn.cursor()
-        buf: list[str] = []
+        it = df.toLocalIterator()
 
-        def flush():
+        # peek up to one batch: small writes keep the multi-row
+        # INSERT path; a stream that overflows the first batch is a
+        # bulk write and routes through COPY end-to-end
+        head = []
+        for row in it:
+            head.append(tuple(row))
+            if len(head) > batch:
+                break
+        if len(head) <= batch:
+            buf = [
+                "(" + ", ".join(quote_literal(v) for v in r) + ")"
+                for r in head
+            ]
             if buf:
                 cur.execute(
-                    f"INSERT INTO {table} ({cols}) VALUES " + ", ".join(buf)
+                    f"INSERT INTO {table_sql} ({cols}) VALUES "
+                    + ", ".join(buf)
                 )
-                buf.clear()
+        else:
+            import itertools
 
-        for row in df.toLocalIterator():
-            buf.append("(" + ", ".join(quote_literal(v) for v in row) + ")")
-            if len(buf) >= batch:
-                flush()
-        flush()
+            self.conn.copy_in(
+                f"COPY {table_sql} ({cols}) FROM STDIN",
+                (
+                    "\t".join(copy_text_value(v) for v in r)
+                    for r in itertools.chain(head, (tuple(x) for x in it))
+                ),
+            )
         if not self.managed:
             self.conn.commit()
 

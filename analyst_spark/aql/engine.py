@@ -301,16 +301,26 @@ class Executor:
                 fn = self._connection_handler(ref.name.lower())
                 if fn is None:
                     raise ValueError(f"no connection registered: {ref.name!r}")
+                # USING PARAMETER binds on EVERY SQL-bearing source,
+                # exactly like the reference's SQLSource
+                # (engine/sql_source.go:68-81) — not only GLOBAL
+                # bodies (r7 fix: the connection path sent raw '?'
+                # to the remote engine)
+                body = blk.body or ""
+                if body and blk.using_params:
+                    body = _bind_params(
+                        body, blk.using_params, res.parameters
+                    )
                 if getattr(fn, "executes_sql", False):
                     # a SQL connection is a remote engine: the query
                     # body runs ON it, not on Spark over a view
-                    df = fn(self.spark, blk.options, blk.body or "")
+                    df = fn(self.spark, blk.options, body)
                 else:
                     df = fn(self.spark, blk.options)
-                    if blk.body and blk.kind == "query":
+                    if body and blk.kind == "query":
                         view = (ref.alias or ref.name).lower()
                         df.createOrReplaceTempView(view)
-                        df = self.spark.sql(translate_sql(blk.body))
+                        df = self.spark.sql(translate_sql(body))
                 frames.append(df)
         if len(frames) == 1:
             return frames[0]

@@ -468,6 +468,39 @@ class AnalystServer:
         return 200, {"success": True, "blocks": n}
 
 
+def _drain_nonblocking(connection, rfile, recv_buf: bytearray) -> bool:
+    """Move every byte already available — rfile's read-ahead buffer
+    (filled during the HTTP handshake) PLUS the kernel socket queue —
+    into recv_buf without blocking. select() alone can't see the
+    rfile buffer, so a frame pulled in by readline()'s read-ahead
+    would otherwise sit invisible until more bytes arrive; ``read1``
+    on a zero-timeout socket returns buffered bytes first, then
+    pending bytes, then b''. Returns False on EOF — and ONLY on a
+    true EOF: b'' from a socket select() reported readable. ``read1``
+    may instead return None on a spurious would-block even when
+    select reported readable (the readiness can evaporate between the
+    two calls); that is NOT EOF and must not close a healthy
+    session."""
+    import select
+
+    connection.settimeout(0.0)
+    try:
+        while True:
+            readable = select.select([connection], [], [], 0)[0]
+            try:
+                chunk = rfile.read1(65536)
+            except (BlockingIOError, InterruptedError):
+                chunk = None
+            if chunk:
+                recv_buf.extend(chunk)
+                continue
+            if chunk is None:
+                return True  # would-block, not EOF
+            return not readable
+    finally:
+        connection.settimeout(None)
+
+
 def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDULER_INTERVAL_SECS):
     """Blocking socket adapter: ThreadingHTTPServer over
     AnalystServer.handle plus the scheduler tick thread
@@ -565,33 +598,9 @@ def serve(server: AnalystServer, port: int = 4040, tick_interval: float = SCHEDU
             recv_buf = bytearray()
 
             def drain_pending() -> bool:
-                """Move every byte already available — rfile's
-                read-ahead buffer (filled during the HTTP handshake)
-                PLUS the kernel socket queue — into recv_buf without
-                blocking. select() alone can't see the rfile buffer,
-                so a frame pulled in by readline()'s read-ahead would
-                otherwise sit invisible until more bytes arrive;
-                ``read1`` on a zero-timeout socket returns buffered
-                bytes first, then pending bytes, then b''. Returns
-                False on EOF (readable socket + empty read)."""
-                import select
-
-                self.connection.settimeout(0.0)
-                try:
-                    while True:
-                        readable = select.select(
-                            [self.connection], [], [], 0
-                        )[0]
-                        try:
-                            chunk = self.rfile.read1(65536)
-                        except (BlockingIOError, InterruptedError):
-                            chunk = b""
-                        if chunk:
-                            recv_buf.extend(chunk)
-                            continue
-                        return not readable
-                finally:
-                    self.connection.settimeout(None)
+                return _drain_nonblocking(
+                    self.connection, self.rfile, recv_buf
+                )
 
             def client_frames():
                 """Handle every complete client frame buffered so

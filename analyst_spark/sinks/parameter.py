@@ -90,6 +90,15 @@ class ParameterTable(dict):
         for k, v in dict(*args, **kwargs).items():
             self[k] = v
 
+    def clear(self):
+        super().clear()
+        self._index.clear()
+
+    def popitem(self):
+        stored, v = super().popitem()
+        self._index.pop(self._canon(stored), None)
+        return stored, v
+
     def copy(self) -> "ParameterTable":
         out = ParameterTable()
         out._index = dict(self._index)

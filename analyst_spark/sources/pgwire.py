@@ -11,7 +11,10 @@ simple-query flow (Q → RowDescription/DataRow/CommandComplete/
 ReadyForQuery), and error surfacing. Text result format only.
 
 This is NOT a general driver: no extended protocol, no prepared
-statements, no COPY, no TLS. It exists so the CONNECTION
+statements, no TLS. COPY ... FROM STDIN (text format) IS
+implemented (``PgWireConnection.copy_in``) because the reference's
+postgres inserter strategy is pq.CopyIn (engine/sql_inserter.go:
+145-171) — bulk writes route through it. It exists so the CONNECTION
 driver='postgres' path can be executed against a LIVE server in
 tests (tests/test_pgwire.py spins up the bundled postgres under a
 non-root uid) instead of stopping at option assembly. Production
@@ -24,6 +27,7 @@ distributed path avoids.
 from __future__ import annotations
 
 import datetime as _dt
+import math
 import socket
 import struct
 
@@ -75,11 +79,67 @@ def quote_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        # repr() would emit bare nan/inf tokens, which the server
+        # parses as identifiers and rejects confusingly; postgres
+        # accepts these special values only as quoted float8 input
+        if math.isnan(v):
+            return "'NaN'::float8"
+        return "'Infinity'::float8" if v > 0 else "'-Infinity'::float8"
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, (_dt.datetime, _dt.date)):
         return "'" + v.isoformat() + "'"
-    return "'" + str(v).replace("'", "''") + "'"
+    s = str(v)
+    if "\x00" in s:
+        # a NUL would terminate the simple-query C string mid-SQL;
+        # postgres text values cannot store \x00 at all, so fail
+        # clearly client-side instead of sending a truncated query
+        raise ValueError(
+            "string value contains a NUL byte; PostgreSQL text "
+            "cannot represent \\x00"
+        )
+    return "'" + s.replace("'", "''") + "'"
+
+
+def quote_ident(name: str) -> str:
+    """Double-quoted SQL identifier with embedded-quote doubling;
+    dotted names are quoted per segment (schema.table)."""
+    return ".".join(
+        '"' + part.replace('"', '""') + '"' for part in str(name).split(".")
+    )
+
+
+def copy_text_value(v) -> str:
+    """One value in COPY text format (delimiter-separated, \\N null,
+    backslash escapes — postgresql.org/docs/current/sql-copy.html
+    'Text Format')."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)
+    if isinstance(v, (int,)):
+        return repr(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    s = str(v)
+    if "\x00" in s:
+        raise ValueError(
+            "string value contains a NUL byte; PostgreSQL text "
+            "cannot represent \\x00"
+        )
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
 
 
 class PgWireConnection:
@@ -200,6 +260,74 @@ class PgWireConnection:
         if err is not None:
             raise PgError(err)
         return desc, rows, rowcount
+
+    def copy_in(self, sql: str, lines) -> int:
+        """``COPY ... FROM STDIN`` (text format) over the simple-query
+        flow — the reference's PostgresInserter strategy
+        (engine/sql_inserter.go:145-171, pq.CopyIn). ``lines`` yields
+        pre-encoded text-format rows WITHOUT the trailing newline
+        (build cells with :func:`copy_text_value`). Returns the
+        server-reported row count.
+
+        Protocol: Q → CopyInResponse ('G') → stream CopyData ('d')
+        → CopyDone ('c') → CommandComplete → ReadyForQuery. On a
+        server error before the CopyInResponse the normal error path
+        applies; an error during the data stream surfaces after
+        CopyDone."""
+        q = sql.encode() + b"\0"
+        self._sock.sendall(b"Q" + struct.pack(">i", 4 + len(q)) + q)
+        err = None
+        started = False
+        while True:
+            t, payload = self._recv_msg()
+            if t == "G":  # CopyInResponse
+                started = True
+                break
+            if t == "E":
+                err = _parse_error(payload)
+            elif t == "Z":
+                raise PgError(err or {"M": "COPY did not start"})
+        rowcount = -1
+        try:
+            buf = bytearray()
+            for line in lines:
+                buf += line.encode() + b"\n"
+                if len(buf) >= 1 << 16:
+                    self._sock.sendall(
+                        b"d" + struct.pack(">i", 4 + len(buf)) + buf
+                    )
+                    buf.clear()
+            if buf:
+                self._sock.sendall(
+                    b"d" + struct.pack(">i", 4 + len(buf)) + buf
+                )
+        except BaseException:
+            if started:
+                msg = b"client-side failure\0"
+                self._sock.sendall(  # CopyFail
+                    b"f" + struct.pack(">i", 4 + len(msg)) + msg
+                )
+                while True:
+                    t, payload = self._recv_msg()
+                    if t == "E":
+                        pass  # expected: COPY failed
+                    elif t == "Z":
+                        break
+            raise
+        self._sock.sendall(b"c" + struct.pack(">i", 4))  # CopyDone
+        while True:
+            t, payload = self._recv_msg()
+            if t == "C":  # "COPY n"
+                tag = payload.rstrip(b"\0").decode().split()
+                if tag and tag[-1].isdigit():
+                    rowcount = int(tag[-1])
+            elif t == "E":
+                err = _parse_error(payload)
+            elif t == "Z":
+                break
+        if err is not None:
+            raise PgError(err)
+        return rowcount
 
     def cursor(self) -> "PgWireCursor":
         return PgWireCursor(self)

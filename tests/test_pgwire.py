@@ -212,3 +212,218 @@ def test_aql_postgres_tx_rollback(spark, pg_sockdir):
     )
     assert cur.fetchone() == (0,), "CREATE TABLE must have rolled back"
     chk.close()
+
+
+# ---- round 7: COPY FROM STDIN + identifier quoting + torture params --------
+
+
+def test_pgwire_copy_in_direct(pg_sockdir):
+    """COPY ... FROM STDIN text format (the reference's
+    PostgresInserter strategy, engine/sql_inserter.go:145-171) — all
+    the escape-bearing values survive the wire."""
+    import math
+
+    from analyst_spark.sources.pgwire import copy_text_value
+
+    conn = _connect(pg_sockdir)
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE ct (i INT, t TEXT, f FLOAT8, b BOOLEAN)")
+    rows = [
+        (1, "plain", 2.5, True),
+        (2, "tab\there", -1.0, False),
+        (3, "new\nline", float("nan"), None),
+        (4, "back\\slash", float("inf"), True),
+        (5, None, None, None),
+        (6, "uni✓漢字", 0.125, False),
+    ]
+    n = conn.copy_in(
+        "COPY ct (i, t, f, b) FROM STDIN",
+        ("\t".join(copy_text_value(v) for v in r) for r in rows),
+    )
+    assert n == len(rows)
+    cur.execute("SELECT i, t, f, b FROM ct ORDER BY i")
+    got = cur.fetchall()
+    for expect, actual in zip(rows, got):
+        assert actual[0] == expect[0]
+        assert actual[1] == expect[1]
+        if isinstance(expect[2], float) and math.isnan(expect[2]):
+            assert math.isnan(actual[2])
+        else:
+            assert actual[2] == expect[2]
+        assert actual[3] == expect[3]
+    conn.close()
+
+
+def test_pgwire_copy_in_error_surfaces_and_conn_survives(pg_sockdir):
+    from analyst_spark.sources.pgwire import PgError
+
+    conn = _connect(pg_sockdir)
+    with pytest.raises(PgError, match="no_such_copy_target"):
+        conn.copy_in("COPY no_such_copy_target FROM STDIN", iter([]))
+    # bad data mid-stream: error surfaces after CopyDone, conn usable
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE ce (i INT)")
+    with pytest.raises(PgError):
+        conn.copy_in("COPY ce (i) FROM STDIN", iter(["not-an-int"]))
+    cur.execute("SELECT 1 AS ok")
+    assert cur.fetchone() == (1,)
+    conn.close()
+
+
+def test_pg_write_bulk_routes_copy_small_stays_insert(spark, pg_sockdir):
+    """PgConnection.write mirrors the inserter strategy registry:
+    ≤1 batch → multi-row INSERT; >1 batch → COPY end-to-end."""
+    from analyst_spark.aql.connections import PgConnection
+
+    pgc = PgConnection(f"host={pg_sockdir} user=pg dbname=postgres")
+    cur = pgc.conn.cursor()
+    cur.execute("CREATE TABLE strat (i INT, t TEXT)")
+    copied = []
+    orig = pgc.conn.copy_in
+    pgc.conn.copy_in = lambda sql, lines: copied.append(sql) or orig(sql, lines)
+
+    df_small = spark.createDataFrame([(1, "a"), (2, "b")], "i INT, t STRING")
+    pgc.write(df_small, {"TABLE": "strat", "ROWS_PER_BATCH": 5})
+    assert copied == []  # small write: INSERT path
+
+    df_big = spark.createDataFrame(
+        [(10 + k, f"r{k}") for k in range(23)], "i INT, t STRING"
+    )
+    pgc.write(df_big, {"TABLE": "strat", "ROWS_PER_BATCH": 5})
+    assert len(copied) == 1 and copied[0].startswith('COPY "strat"')
+    cur.execute("SELECT count(*), min(i), max(i) FROM strat")
+    assert cur.fetchone() == (25, 1, 32)
+    pgc.conn.close()
+
+
+def test_pg_write_mixed_case_and_reserved_identifiers(spark, pg_sockdir):
+    """ADVICE r6: unquoted identifiers broke mixed-case / reserved
+    names. Table "Order" with columns "Select"/"group by-ish" now
+    round-trips on both the INSERT and COPY strategies."""
+    from analyst_spark.aql.connections import PgConnection
+
+    pgc = PgConnection(f"host={pg_sockdir} user=pg dbname=postgres")
+    cur = pgc.conn.cursor()
+    cur.execute('CREATE TABLE "Order" ("Select" INT, "from col" TEXT)')
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(12)], "`Select` INT, `from col` STRING"
+    )
+    pgc.write(df, {"TABLE": "Order", "ROWS_PER_BATCH": 4})  # COPY path
+    df2 = spark.createDataFrame([(99, "tail")], "`Select` INT, `from col` STRING")
+    pgc.write(df2, {"TABLE": "Order", "ROWS_PER_BATCH": 500})  # INSERT path
+    cur.execute('SELECT count(*), max("Select") FROM "Order"')
+    assert cur.fetchone() == (13, 99)
+    pgc.conn.close()
+
+
+def test_pg_write_nonfinite_floats_insert_path(spark, pg_sockdir):
+    """ADVICE r6 headline case: a DataFrame containing NaN written via
+    the INSERT strategy must land as real float8 specials."""
+    import math
+
+    from analyst_spark.aql.connections import PgConnection
+
+    pgc = PgConnection(f"host={pg_sockdir} user=pg dbname=postgres")
+    cur = pgc.conn.cursor()
+    cur.execute("CREATE TABLE nf (i INT, f FLOAT8)")
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, float("-inf")), (4, 1.5)],
+        "i INT, f DOUBLE",
+    )
+    pgc.write(df, {"TABLE": "nf"})
+    cur.execute("SELECT i, f FROM nf ORDER BY i")
+    rows = cur.fetchall()
+    assert math.isnan(rows[0][1])
+    assert rows[1][1] == float("inf")
+    assert rows[2][1] == float("-inf")
+    assert rows[3][1] == 1.5
+    pgc.conn.close()
+
+
+def test_pg_query_dml_body_clear_error(spark, pg_sockdir):
+    """ADVICE r6: a QUERY body that returns no result set must fail
+    with a clear message, not a schema-parse error inside
+    createDataFrame."""
+    from analyst_spark.aql.connections import PgConnection
+
+    pgc = PgConnection(f"host={pg_sockdir} user=pg dbname=postgres")
+    with pytest.raises(ValueError, match="no result set"):
+        pgc.source(spark, {}, "CREATE TABLE should_not_matter (i INT)")
+    pgc.conn.close()
+
+
+TORTURE_VALUES = [
+    "O'Hara",
+    "''",
+    'double"quote',
+    "back\\slash",
+    "semi;colon -- comment",
+    "/* block */ txt",
+    "uni✓漢字 éß",
+    "new\nline",
+    "tab\tchar",
+    "?",
+    "%s $1 :x ${v}",
+    "1; DROP TABLE people; --",
+]
+
+
+def test_pgwire_param_torture_roundtrip_live(pg_sockdir):
+    """VERDICT r6 #6: the property tests' quote/unicode torture set,
+    through the LIVE server via `?` parameter substitution."""
+    import math
+
+    conn = _connect(pg_sockdir)
+    cur = conn.cursor()
+    for v in TORTURE_VALUES:
+        cur.execute("SELECT ? AS v, length(?) AS n", (v, v))
+        assert cur.fetchone() == (v, len(v)), v
+    cur.execute("SELECT ? AS a, ? AS b, ? AS c", (float("nan"), float("inf"), None))
+    a, b, c = cur.fetchone()
+    assert math.isnan(a) and b == float("inf") and c is None
+    with pytest.raises(ValueError, match="NUL"):
+        cur.execute("SELECT ? AS v", ("bad\x00byte",))
+    conn.close()
+
+
+def test_aql_using_parameter_adversarial_live_pg(spark, pg_sockdir):
+    """End-to-end USING PARAMETER on live postgres with an
+    injection-shaped value: the parameter is computed ON the server,
+    flows INTO PARAMETER, then binds into a second live query whose
+    body also contains a '?' inside a string literal (must not be
+    treated as a placeholder). The victim table must survive."""
+    connstr = f"host={pg_sockdir} user=pg dbname=postgres"
+    script = f"""
+    DECLARE @Evil;
+    CONNECTION 'PG' (Driver = 'postgres', ConnectionString = '{connstr}')
+
+    EXEC 'Init' FROM CONNECTION PG (
+        CREATE TABLE victim (id INT);
+        INSERT INTO victim VALUES (1)
+    )
+
+    QUERY 'GetEvil' FROM CONNECTION PG (
+        SELECT 'x''; DROP TABLE victim; --' AS evil
+    ) INTO PARAMETER (@Evil)
+    AFTER Init
+
+    EXEC 'MakeOut' FROM CONNECTION PG (
+        CREATE TABLE echo_out (echoed TEXT, keep TEXT)
+    ) AFTER Init
+
+    QUERY 'UseEvil' FROM CONNECTION PG (
+        SELECT ? AS echoed, 'literal?mark' AS keep
+    )
+    USING PARAMETER @Evil
+    INTO CONNECTION PG WITH (TABLE = 'echo_out')
+    AFTER GetEvil, MakeOut
+    """
+    res = execute_script(spark, script)
+    assert res.parameters["Evil"] == "x'; DROP TABLE victim; --"
+    chk = _connect(pg_sockdir)
+    cur = chk.cursor()
+    cur.execute("SELECT count(*) FROM victim")
+    assert cur.fetchone() == (1,), "victim table must survive injection"
+    cur.execute("SELECT echoed, keep FROM echo_out")
+    assert cur.fetchall() == [("x'; DROP TABLE victim; --", "literal?mark")]
+    chk.close()
