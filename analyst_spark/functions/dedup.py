@@ -302,11 +302,29 @@ def lsh_verified_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """The PRODUCTION near-dup chain: MinHash-LSH candidate
     generation followed by exact n-gram Jaccard verification computed
     ONLY on the candidate pair list — the composition
     :func:`ngram_jaccard_pairs`'s docstring prescribes for scale.
+
+    ``collapse_exact`` (default, r7) makes the standalone operator
+    dup-storm-safe BY CONSTRUCTION: documents with byte-identical
+    text are collapsed to one representative BEFORE shingling and
+    candidate generation, the LSH+verify chain runs on unique texts
+    only, and the pair list is expanded back afterwards. The output
+    pair set is EXACTLY the un-collapsed one — members of an exact
+    group have identical shingle sets, hence identical signatures and
+    bucket memberships, so (a, b) is a verified pair iff
+    (rep_a, rep_b) is; intra-group pairs all verify at jaccard 1.0
+    (provided the text shingles at all, matching the un-collapsed
+    behavior where shingle-less docs never pair). On a 90 %-clone
+    corpus the un-collapsed chain paid Σ(candidates × shingle count)
+    — measured 11.09× at 10× data (SCALE.md) — while the collapsed
+    form pays one fingerprint shuffle plus work linear in UNIQUE
+    texts plus output-proportional expansion, which is the size of
+    the answer itself.
 
     The verify join is keyed on the candidates, never on the raw
     shingle postings: ``cand ⋈ sh(id_a)`` propagates each candidate's
@@ -325,6 +343,62 @@ def lsh_verified_pairs(
 
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     """
+    if collapse_exact:
+        base = spread(df, id_col)
+        groups = (
+            base.select(
+                F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
+            )
+            .groupBy("__fp")
+            .agg(
+                F.min(id_col).alias("rep"),
+                F.collect_list(id_col).alias("members"),
+                F.count(F.lit(1)).alias("gsz"),
+            )
+            .persist()
+        )
+        reps_df = base.join(
+            groups.select(F.col("rep").alias(id_col)), id_col, "leftsemi"
+        )
+        rep_pairs = lsh_verified_pairs(
+            reps_df, text_col, id_col, n, bands, rows_per_band,
+            threshold, collapse_exact=False,
+        )
+        rep_deps = getattr(rep_pairs, "_asp_cached_deps", ())
+        ga = groups.select(F.col("rep").alias("id_a"), F.col("members").alias("__ma"))
+        gb = groups.select(F.col("rep").alias("id_b"), F.col("members").alias("__mb"))
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(F.explode("__ma").alias("__x"), "__mb", "jaccard")
+            .select("__x", F.explode("__mb").alias("__y"), "jaccard")
+            .select(
+                F.least("__x", "__y").alias("id_a"),
+                F.greatest("__x", "__y").alias("id_b"),
+                "jaccard",
+            )
+        )
+        # intra-group pairs verify at exactly 1.0 — but only when the
+        # text shingles at all (< n tokens ⇒ no signature ⇒ the
+        # un-collapsed chain never pairs them either)
+        shingled_reps = reps_df.filter(
+            F.size(shingle_tokens(text_col, n)) >= 1
+        ).select(F.col(id_col).alias("rep"))
+        intra = (
+            groups.filter(F.col("gsz") >= 2)
+            .join(shingled_reps, "rep", "leftsemi")
+            .select(F.explode("members").alias("__x"), "members")
+            .select("__x", F.explode("members").alias("__y"))
+            .filter(F.col("__x") < F.col("__y"))
+            .select(
+                F.col("__x").alias("id_a"),
+                F.col("__y").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return _with_cached_deps(
+            cross.unionByName(intra), groups, *rep_deps
+        )
     sh = shingles_exploded(df, text_col, id_col, n).persist()
     cand_full = minhash_pairs(
         df, text_col, id_col, n, bands, rows_per_band, shingles=sh

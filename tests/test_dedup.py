@@ -155,3 +155,42 @@ def test_lsh_verified_composes_candidates_and_exact_jaccard(spark):
     # exact duplicates collide in every band and survive verification
     assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0
     assert not any(4 in p for p in got)
+
+
+def test_lsh_verified_collapse_exact_equals_uncollapsed(spark):
+    """r7 hardening: the exact-fingerprint collapse pre-step must not
+    change the output pair set — byte-identical groups (including
+    shingle-less short texts, which must NOT pair), near-dups across
+    groups, and singletons all compared against collapse_exact=False."""
+    from analyst_spark.functions.dedup import lsh_verified_pairs, release_cached
+
+    rows = [
+        # exact group A (3 members, shingled)
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        # near-dup of group A (one word changed)
+        (3, "the quick brown fox leaps over the lazy dog"),
+        # exact group B (2 members) near group A? no — distinct topic
+        (4, "spark catalyst optimizer rewrites logical plans fast"),
+        (5, "spark catalyst optimizer rewrites logical plans fast"),
+        # shingle-less exact group (2 tokens < n=3): must never pair
+        (6, "too short"),
+        (7, "too short"),
+        # singleton
+        (8, "completely unrelated text about marine biology and reefs"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(threshold=0.2, bands=4, rows_per_band=2)
+    out_c = lsh_verified_pairs(docs, collapse_exact=True, **kw)
+    got_c = {(r.id_a, r.id_b): r.jaccard for r in out_c.collect()}
+    release_cached(out_c)
+    out_u = lsh_verified_pairs(docs, collapse_exact=False, **kw)
+    got_u = {(r.id_a, r.id_b): r.jaccard for r in out_u.collect()}
+    release_cached(out_u)
+    assert got_c == got_u
+    # intra-group pairs all present at 1.0
+    for p in [(0, 1), (0, 2), (1, 2), (4, 5)]:
+        assert got_c[p] == 1.0
+    # shingle-less identical docs never pair
+    assert (6, 7) not in got_c
