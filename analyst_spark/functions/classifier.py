@@ -144,3 +144,53 @@ def score_quality(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), round_digits
         ).alias("score"),
     )
+
+
+def frozen_quality_margins(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, margin) under the FROZEN model (classifier_frozen.py,
+    generated by tools/freeze_classifier.py) — the CCNet deployment
+    shape: train offline, score with shipped constants.
+
+    The margin is computed in EXACT integer arithmetic so any engine
+    reproduces it bit-for-bit (the funnel hash gate depends on this):
+    numer = Σ cnt·Wn over nano-unit integer weights (order-free
+    integer sum), margin = numer/(total·1e9) + Bn/1e9 — every operand
+    of every float op is exactly representable, so IEEE rounding is
+    identical on Spark and the DuckDB oracle."""
+    from analyst_spark.functions import classifier_frozen as cf
+    from analyst_spark.tables import spread
+
+    spark = docs.sparkSession
+    tok = spread(docs, id_col).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % cf.N_BUCKETS
+    )
+    cnt = (
+        tok.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_df = spark.createDataFrame(
+        [(b, w) for b, w in enumerate(cf.WEIGHTS_NANO) if w],
+        "bucket long, wn long",
+    )
+    tot = cnt.groupBy(id_col).agg(F.sum("cnt").alias("total"))
+    num = (
+        cnt.join(F.broadcast(w_df), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("wn")).alias("numer"))
+    )
+    return tot.join(num, id_col, "left").select(
+        F.col(id_col),
+        (
+            F.coalesce(F.col("numer"), F.lit(0))
+            / (F.col("total") * F.lit(1e9))
+            + F.lit(cf.BIAS_NANO) / F.lit(1e9)
+        ).alias("margin"),
+    )

@@ -130,6 +130,7 @@ _register("docs_dsir_weights", pp.docs_dsir_weights, pp.DOCS_DSIR_ORACLE)
 _register("docs_dup_span", pp.docs_dup_span, pp.DOCS_DUP_SPAN_ORACLE)
 _register("docs_dedup_spans", pp.docs_dedup_spans, pp.DOCS_DEDUP_SPANS_ORACLE)
 _register("docs_curation_funnel", pp.docs_curation_funnel, pp.DOCS_FUNNEL_ORACLE)
+_register("docs_curation_funnel_v2", pp.docs_curation_funnel_v2, pp.DOCS_FUNNEL_V2_ORACLE)
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
 _register("streaming_anomaly_gate", st.streaming_anomaly_gate, st.STREAMING_ANOMALY_ORACLE)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model

@@ -1281,6 +1281,187 @@ SELECT 4, 'lm', CAST(count(*) FILTER (p3) AS BIGINT),
 """
 
 
+# --------------------------------------- curation funnel v2 (classifier stage)
+
+# Margin floor for the frozen-classifier stage: σ-margin units (score
+# = σ(margin), so 0.545 ≈ keep score ≥ 0.633). Chosen from the sf0.01
+# /sf0.1 margin distribution (p25 ≈ 0.546) so the stage measurably
+# bites (~25% of gopher survivors) at both gate SFs.
+_FUNNEL_QC_MARGIN_MIN = 0.545
+
+
+def docs_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with the CCNet-style classifier deployed
+    as a STAGE (VERDICT r6 #4): raw → Gopher rules → frozen quality
+    classifier (hashed-feature logistic scorer, weights shipped as
+    constants — functions/classifier_frozen.py, generated by
+    tools/freeze_classifier.py from the docs_quality_classifier
+    training recipe) → duplicate-span ceiling → LM perplexity
+    ceiling. Training stays rows-only (iterative); SCORING with the
+    frozen table is exact-integer arithmetic, so the composed funnel
+    is fully hash-gated.
+
+    Scale: the classifier stage adds one token explode + a broadcast
+    join against a KB-sized weight table + two groupBys keyed on
+    doc_id — the same partition-parallel shape as the other stages.
+    """
+    from analyst_spark.functions.classifier import frozen_quality_margins
+
+    g0 = docs_gopher_filter(spark, sf_dir)
+    d0 = docs_dup_span(spark, sf_dir)
+    lm0 = docs_lm_score(spark, sf_dir)
+    g = g0.select("doc_id", "keep")
+    d = d0.select("doc_id", "dup_ratio")
+    lm = lm0.select("doc_id", "ppl")
+    docs = load_tables(spark, sf_dir)["documents"]
+    qc = frozen_quality_margins(docs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("toks"),
+    )
+    pass1 = F.col("keep")
+    pass2 = pass1 & F.coalesce(
+        F.col("margin") >= F.lit(_FUNNEL_QC_MARGIN_MIN), F.lit(False)
+    )
+    pass3 = pass2 & F.coalesce(
+        F.col("dup_ratio") < F.lit(_FUNNEL_DUP_MAX), F.lit(False)
+    )
+    pass4 = pass3 & F.coalesce(
+        F.col("ppl") <= F.lit(_FUNNEL_PPL_MAX), F.lit(False)
+    )
+    base = (
+        toks.join(g, "doc_id")
+        .join(qc, "doc_id", "left")
+        .join(d, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "toks",
+            pass1.alias("p1"),
+            pass2.alias("p2"),
+            pass3.alias("p3"),
+            pass4.alias("p4"),
+        )
+    )
+    stages = base.select(
+        "toks",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("r"), F.lit("raw").alias("s"), F.lit(True).alias("p")),
+                F.struct(F.lit(2).alias("r"), F.lit("gopher").alias("s"), F.col("p1").alias("p")),
+                F.struct(F.lit(3).alias("r"), F.lit("classifier").alias("s"), F.col("p2").alias("p")),
+                F.struct(F.lit(4).alias("r"), F.lit("dedup").alias("s"), F.col("p3").alias("p")),
+                F.struct(F.lit(5).alias("r"), F.lit("lm").alias("s"), F.col("p4").alias("p")),
+            )
+        ).alias("st"),
+    )
+    agg = (
+        stages.groupBy(
+            F.col("st.r").cast("long").alias("stage_rank"),
+            F.col("st.s").alias("stage"),
+        )
+        .agg(
+            F.sum(F.when(F.col("st.p"), 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("st.p"), F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    stage_names = spark.createDataFrame(
+        [(1, "raw"), (2, "gopher"), (3, "classifier"), (4, "dedup"), (5, "lm")],
+        "stage_rank long, stage string",
+    )
+    out = stage_names.join(agg, ["stage_rank", "stage"], "left").select(
+        "stage_rank",
+        "stage",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    deps = []
+    for comp in (g0, d0, lm0):
+        deps.extend(getattr(comp, "_asp_cached_deps", []))
+    return _with_cached_deps(out, *deps)
+
+
+def _qc_frozen_values() -> str:
+    """VALUES list of the frozen model's non-zero (bucket, nano-weight)
+    rows for the oracle SQL."""
+    from analyst_spark.functions.classifier_frozen import WEIGHTS_NANO
+
+    rows = [f"({b}, {w})" for b, w in enumerate(WEIGHTS_NANO) if w]
+    return ", ".join(rows) or "(0, 0)"
+
+
+def _funnel_v2_oracle() -> str:
+    from analyst_spark.functions.classifier_frozen import BIAS_NANO, N_BUCKETS
+
+    return rf"""
+WITH g AS (SELECT doc_id, keep FROM ({DOCS_GOPHER_ORACLE})),
+dd AS (SELECT doc_id, dup_ratio FROM ({DOCS_DUP_SPAN_ORACLE})),
+lm AS (SELECT doc_id, ppl FROM ({DOCS_LM_SCORE_ORACLE})),
+qtok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+),
+qcnt AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {N_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM qtok GROUP BY 1, 2
+),
+qtot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total FROM qcnt GROUP BY 1),
+qw(bucket, wn) AS (VALUES {_qc_frozen_values()}),
+qnum AS (
+    SELECT c.doc_id, CAST(sum(c.cnt * qw.wn) AS BIGINT) AS numer
+    FROM qcnt c JOIN qw USING (bucket) GROUP BY 1
+),
+qc AS (
+    SELECT t.doc_id,
+           COALESCE(qnum.numer, 0) / (t.total * 1e9)
+             + {BIAS_NANO} / 1000000000.0 AS margin
+    FROM qtot t LEFT JOIN qnum USING (doc_id)
+),
+t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+    FROM documents
+),
+base AS (
+    SELECT t.toks,
+           g.keep AS p1,
+           g.keep AND COALESCE(qc.margin >= {_FUNNEL_QC_MARGIN_MIN}, FALSE) AS p2,
+           g.keep AND COALESCE(qc.margin >= {_FUNNEL_QC_MARGIN_MIN}, FALSE)
+                  AND COALESCE(dd.dup_ratio < {_FUNNEL_DUP_MAX}, FALSE) AS p3,
+           g.keep AND COALESCE(qc.margin >= {_FUNNEL_QC_MARGIN_MIN}, FALSE)
+                  AND COALESCE(dd.dup_ratio < {_FUNNEL_DUP_MAX}, FALSE)
+                  AND COALESCE(lm.ppl <= {_FUNNEL_PPL_MAX}, FALSE) AS p4
+    FROM t
+    JOIN g USING (doc_id)
+    LEFT JOIN qc USING (doc_id)
+    LEFT JOIN dd USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+)
+SELECT CAST(1 AS BIGINT) AS stage_rank, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(COALESCE(sum(toks), 0) AS BIGINT) AS n_tokens
+FROM base
+UNION ALL
+SELECT 2, 'gopher', CAST(count(*) FILTER (p1) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p1), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 3, 'classifier', CAST(count(*) FILTER (p2) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p2), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 4, 'dedup', CAST(count(*) FILTER (p3) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p3), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 5, 'lm', CAST(count(*) FILTER (p4) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p4), 0) AS BIGINT) FROM base
+"""
+
+
+DOCS_FUNNEL_V2_ORACLE = _funnel_v2_oracle()
+
+
 # ------------------------------------------------- PII scrub output
 
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ DOC_ENTRIES = [
     "doc_winnow_fingerprints", "docs_lm_score", "docs_lm_backoff_score",
     "docs_gopher_filter",
     "docs_dsir_weights", "docs_dup_span", "docs_dedup_spans",
-    "docs_curation_funnel",
+    "docs_curation_funnel", "docs_curation_funnel_v2",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup",
@@ -46,6 +46,10 @@ def test_entry_survives_empty_corpus(spark, empty_sf, name):
     if name == "docs_curation_funnel":
         # the funnel still reports its four (empty) stages
         assert sorted(r.stage for r in rows) == ["dedup", "gopher", "lm", "raw"]
+        assert all(r.n_docs == 0 for r in rows)
+    elif name == "docs_curation_funnel_v2":
+        assert sorted(r.stage for r in rows) == [
+            "classifier", "dedup", "gopher", "lm", "raw"]
         assert all(r.n_docs == 0 for r in rows)
     elif name == "dedup_pipeline_e2e":
         assert sorted(r.stage for r in rows) == [
