@@ -480,6 +480,15 @@ def semantic_dedup(
     mark within-cluster near-duplicates — a vector is a duplicate when
     some LOWER-id member of its cluster has cosine >= threshold.
 
+    **ORACLE CONTROL, NOT THE PRODUCTION OPERATOR.** This constant-k
+    form exists to keep the SemDeDup semantics SQL-expressible for the
+    DuckDB hash gate; with k fixed, mean cluster size grows with the
+    corpus and the within-cluster pair cost is super-linear — measured
+    decaying 15.95× at 10× data (SCALE.md, embeddings family). Use
+    :func:`semantic_dedup_trained` for real workloads: identical dedup
+    semantics over kmeans clusters with k ∝ n/target_cluster_size,
+    measured holding 1.73× at 10× on the same input.
+
     The clustering confines the quadratic pair search to cluster
     granularity: pair cost is sum of squared cluster sizes, never
     O(n^2) over the corpus. Centroids here are the ``n_centroids``
