@@ -17,8 +17,23 @@ from analyst_spark.tables import load_tables
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup: count + mean value per (hour, type).
     date_trunc keeps the window a plain group key — one shuffle,
-    map-side combined; identical plan under Structured Streaming."""
+    map-side combined; identical plan under Structured Streaming.
+
+    value is cents-exact, so both aggregates accumulate integer cents
+    and derive the floats at the end: a double SUM's low bits depend
+    on summation order, and at sf0.1 one group's avg landed exactly
+    on the 4dp rounding half-boundary — flipping the hash between
+    engines (caught by the r7 sf0.1 full gate). Integer sums are
+    order-free; the division inputs are then bit-identical on Spark
+    and the oracle."""
     ev = load_tables(spark, sf_dir)["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    # the 4dp mean must round in INTEGER arithmetic: round(cents/
+    # (100·n), 4) = half-away((100·cents)/n)/1e4 — engines' round()
+    # disagree on exact decimal halves (sum 88959 cents over 24
+    # events = 37.06625 exactly; Spark rounds the decimal string,
+    # DuckDB the binary double), and with cents-valued data such
+    # halves are COMMON, not edge — four flips at sf0.1
     return (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("hour"),
@@ -26,20 +41,38 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(cents).cast("long").alias("__sc"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            (
+                F.expr(
+                    "CASE WHEN __sc >= 0 THEN (200*__sc + n_events) DIV (2*n_events) "
+                    "ELSE -((-200*__sc + n_events) DIV (2*n_events)) END"
+                )
+                / F.lit(10000.0)
+            ).alias("avg_value"),
+            (F.col("__sc") / F.lit(100.0)).alias("sum_value"),
         )
     )
 
 
 EVENTS_HOURLY_ORACLE = """
-SELECT date_trunc('hour', ts)  AS hour,
-       event_type,
-       count(*)                AS n_events,
-       round(avg(value), 4)    AS avg_value,
-       round(sum(value), 2)    AS sum_value
-FROM events
-GROUP BY 1, 2
+SELECT hour, event_type, n_events,
+       (CASE WHEN sc >= 0 THEN (200*sc + n_events) // (2*n_events)
+             ELSE -((-200*sc + n_events) // (2*n_events)) END) / 10000.0
+           AS avg_value,
+       sc / 100.0 AS sum_value
+FROM (
+    SELECT date_trunc('hour', ts)  AS hour,
+           event_type,
+           count(*)                AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+    FROM events
+    GROUP BY 1, 2
+)
 """
 
 

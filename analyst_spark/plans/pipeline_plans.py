@@ -727,6 +727,34 @@ def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_K = 0.5  # add-k smoothing constant
 
 
+def _avg_micro6(s_col: str, n_col: str):
+    """``round((s/1e6)/n, 6)`` computed EXACTLY: because s and n are
+    integers, the 6-decimal rounding of s/(n·1e6) has an exact
+    integer form — half-away-from-zero division
+    sign(s)·((2|s|+n) div (2n)) — followed by ONE IEEE division by
+    1e6. ``round()`` on an already-divided double differs between
+    engines when the true quotient sits on the decimal half-boundary
+    (the r7 sf0.1 full gate caught exactly one such doc in each LM
+    entry); this form cannot differ — both engines divide the same
+    integers. :func:`_avg_micro6_sql` is the DuckDB twin."""
+    return (
+        F.expr(
+            f"CASE WHEN {s_col} >= 0 THEN (2*{s_col} + {n_col}) DIV (2*{n_col}) "
+            f"ELSE -((-2*{s_col} + {n_col}) DIV (2*{n_col})) END"
+        )
+        / F.lit(1000000.0)
+    )
+
+
+def _avg_micro6_sql(s: str, n: str) -> str:
+    """DuckDB twin of :func:`_avg_micro6` (``//`` floor-div equals
+    trunc-div here because both operands are arranged positive)."""
+    return (
+        f"(CASE WHEN {s} >= 0 THEN (2*({s}) + ({n})) // (2*({n})) "
+        f"ELSE -((-2*({s}) + ({n})) // (2*({n}))) END) / 1000000.0"
+    )
+
+
 def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model quality scoring: train an add-k
     bigram LM on the corpus (one pass), score every document by its
@@ -798,11 +826,25 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     s = F.sum(F.col("micro"))
     return _with_cached_deps(
-        scored.groupBy("doc_id").agg(
+        scored.groupBy("doc_id")
+        .agg(
             n.cast("long").alias("n_bigrams"),
             s.cast("long").alias("sum_micro_logprob"),
-            F.round(-(s / F.lit(1000000.0)) / n, 6).alias("neg_avg_logprob"),
-            F.round(F.exp(-(s / F.lit(1000000.0)) / n), 4).alias("ppl"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_micro_logprob",
+            (-_avg_micro6("sum_micro_logprob", "n_bigrams")).alias(
+                "neg_avg_logprob"
+            ),
+            F.round(
+                F.exp(
+                    -(F.col("sum_micro_logprob") / F.lit(1000000.0))
+                    / F.col("n_bigrams")
+                ),
+                4,
+            ).alias("ppl"),
         ),
         bg,
         uni,
@@ -838,13 +880,16 @@ WITH toks AS (
     JOIN uni u ON g.w1 = u.w1
     CROSS JOIN vocab
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(micro) AS BIGINT) AS sum_micro_logprob,
-       round(-(CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*), 6) AS neg_avg_logprob,
-       round(exp(-(CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*)), 4) AS ppl
-FROM scored
-GROUP BY doc_id
+SELECT doc_id, n_bigrams, sum_micro_logprob,
+       -({_avg_micro6_sql("sum_micro_logprob", "n_bigrams")}) AS neg_avg_logprob,
+       round(exp(-(sum_micro_logprob / 1000000.0) / n_bigrams), 4) AS ppl
+FROM (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(micro) AS BIGINT) AS sum_micro_logprob
+    FROM scored
+    GROUP BY doc_id
+)
 """
 
 
@@ -1028,11 +1073,23 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.sum("m")
     s = F.sum(F.col("m") * F.col("micro"))
     return _with_cached_deps(
-        scored.groupBy("doc_id").agg(
+        scored.groupBy("doc_id")
+        .agg(
             n.cast("long").alias("n_tokens"),
             s.cast("long").alias("sum_micro_llr"),
-            F.round((s / F.lit(1000000.0)) / n, 6).alias("avg_llr"),
-            F.round(F.exp((s / F.lit(1000000.0)) / n), 4).alias("weight"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_micro_llr",
+            _avg_micro6("sum_micro_llr", "n_tokens").alias("avg_llr"),
+            F.round(
+                F.exp(
+                    (F.col("sum_micro_llr") / F.lit(1000000.0))
+                    / F.col("n_tokens")
+                ),
+                4,
+            ).alias("weight"),
         ),
         tok,
     )
@@ -1062,13 +1119,16 @@ WITH tok AS (
     LEFT JOIN ct ON t.w = ct.w
     CROSS JOIN scal s
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(micro) AS BIGINT) AS sum_micro_llr,
-       round((CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*), 6) AS avg_llr,
-       round(exp((CAST(sum(micro) AS BIGINT) / 1000000.0) / count(*)), 4) AS weight
-FROM scored
-GROUP BY doc_id
+SELECT doc_id, n_tokens, sum_micro_llr,
+       {_avg_micro6_sql("sum_micro_llr", "n_tokens")} AS avg_llr,
+       round(exp((sum_micro_llr / 1000000.0) / n_tokens), 4) AS weight
+FROM (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(micro) AS BIGINT) AS sum_micro_llr
+    FROM scored
+    GROUP BY doc_id
+)
 """
 
 
@@ -1980,11 +2040,25 @@ def docs_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     ssum = F.sum("micro")
     return _with_cached_deps(
-        scored.groupBy("doc_id").agg(
+        scored.groupBy("doc_id")
+        .agg(
             n.cast("long").alias("n_trigrams"),
             ssum.cast("long").alias("sum_micro_logscore"),
-            F.round(-(ssum / F.lit(1000000.0)) / n, 6).alias("neg_avg_logscore"),
-            F.round(F.exp(-(ssum / F.lit(1000000.0)) / n), 4).alias("ppl_proxy"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "sum_micro_logscore",
+            (-_avg_micro6("sum_micro_logscore", "n_trigrams")).alias(
+                "neg_avg_logscore"
+            ),
+            F.round(
+                F.exp(
+                    -(F.col("sum_micro_logscore") / F.lit(1000000.0))
+                    / F.col("n_trigrams")
+                ),
+                4,
+            ).alias("ppl_proxy"),
         ),
         tri,
         uni,
@@ -2039,13 +2113,16 @@ WITH toks AS (
     LEFT JOIN t_uni u3 ON d.w3 = u3.w
     CROSS JOIN scal s
 )
-SELECT tri.doc_id,
-       CAST(count(*) AS BIGINT) AS n_trigrams,
-       CAST(sum(micro) AS BIGINT) AS sum_micro_logscore,
-       round(-(sum(micro) / 1000000.0) / count(*), 6) AS neg_avg_logscore,
-       round(exp(-(sum(micro) / 1000000.0) / count(*)), 4) AS ppl_proxy
-FROM tri
-JOIN tri_scores ON tri.w1 = tri_scores.w1 AND tri.w2 = tri_scores.w2
-               AND tri.w3 = tri_scores.w3
-GROUP BY tri.doc_id
+SELECT doc_id, n_trigrams, sum_micro_logscore,
+       -({_avg_micro6_sql("sum_micro_logscore", "n_trigrams")}) AS neg_avg_logscore,
+       round(exp(-(sum_micro_logscore / 1000000.0) / n_trigrams), 4) AS ppl_proxy
+FROM (
+    SELECT tri.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(micro) AS BIGINT) AS sum_micro_logscore
+    FROM tri
+    JOIN tri_scores ON tri.w1 = tri_scores.w1 AND tri.w2 = tri_scores.w2
+                   AND tri.w3 = tri_scores.w3
+    GROUP BY tri.doc_id
+)
 """

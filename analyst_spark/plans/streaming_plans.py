@@ -51,12 +51,18 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_HOURLY_ORACLE = """
-SELECT date_trunc('hour', ts)  AS hour,
-       event_type,
-       count(*)                AS n_events,
-       round(avg(value), 4)    AS avg_value
-FROM events
-GROUP BY 1, 2
+SELECT hour, event_type, n_events,
+       (CASE WHEN sc >= 0 THEN (200*sc + n_events) // (2*n_events)
+             ELSE -((-200*sc + n_events) // (2*n_events)) END) / 10000.0
+           AS avg_value
+FROM (
+    SELECT date_trunc('hour', ts)  AS hour,
+           event_type,
+           count(*)                AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+    FROM events
+    GROUP BY 1, 2
+)
 """
 
 

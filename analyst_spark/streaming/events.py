@@ -51,19 +51,30 @@ def hourly_rollup_stream(
 ) -> DataFrame:
     """Tumbling 1h windows with late-data tolerance = watermark.
     State per (window, event_type) only — watermark expires old
-    windows so state is bounded."""
+    windows so state is bounded. The mean accumulates integer cents
+    (value is cents-exact) and rounds to 4dp in INTEGER arithmetic —
+    state-merge order can't move the result, and cents-valued data
+    lands on exact decimal halves where engines' float round()
+    disagree (caught by the r7 sf0.1 gate)."""
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(cents).cast("long").alias("__sc"),
         )
         .select(
             F.col("win.start").alias("hour"),
             "event_type",
             "n_events",
-            "avg_value",
+            (
+                F.expr(
+                    "CASE WHEN __sc >= 0 THEN (200*__sc + n_events) DIV (2*n_events) "
+                    "ELSE -((-200*__sc + n_events) DIV (2*n_events)) END"
+                )
+                / F.lit(10000.0)
+            ).alias("avg_value"),
         )
     )
 
