@@ -326,6 +326,15 @@ def lsh_verified_pairs(
     texts plus output-proportional expansion, which is the size of
     the answer itself.
 
+    The collapse is ADAPTIVE: one cheap count/count-distinct scan of
+    the fingerprints decides. A dup-free corpus (the common case —
+    exact dedup usually runs first) pays only that scan and takes the
+    direct path unchanged; the collapse machinery (one min_by shuffle
+    + output expansion) engages only when byte-identical duplicates
+    actually exist. Callers that KNOW the input is exact-deduped
+    (dedup_pipeline_e2e) pass ``collapse_exact=False`` and skip even
+    the scan.
+
     The verify join is keyed on the candidates, never on the raw
     shingle postings: ``cand ⋈ sh(id_a)`` propagates each candidate's
     left shingle set (cost Σ|A| over candidate pairs), then one hash
@@ -345,28 +354,50 @@ def lsh_verified_pairs(
     """
     if collapse_exact:
         base = spread(df, id_col)
+        stats = base.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("__d"),
+        ).first()
+        # Engage the collapse only for STORM-level duplication (>5 %
+        # of rows byte-identical). Trace duplication (sf0.1 ships 8
+        # identical texts in 5000) is already linear-cost on the
+        # direct path, while the collapse machinery (full-row min_by
+        # shuffle + group persist + expansion joins) costs ~3x the
+        # whole direct chain — the pre-step must only fire when the
+        # quadratic candidate blowup it prevents actually looms.
+        n_rows = stats["__n"] or 0
+        if n_rows - stats["__d"] <= 0.05 * n_rows:
+            collapse_exact = False
+    if collapse_exact:
+        base = spread(df, id_col)
+        # ONE shuffle: min_by carries the representative's full row
+        # through the fingerprint groupBy (the exact_dedup device),
+        # so no second semi-join of the corpus is needed
+        rows = base.select(
+            F.struct("*").alias("__row"),
+            F.md5(F.col(text_col)).alias("__fp"),
+            F.col(id_col).alias("__id"),
+        )
         groups = (
-            base.select(
-                F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
-            )
-            .groupBy("__fp")
+            rows.groupBy("__fp")
             .agg(
-                F.min(id_col).alias("rep"),
-                F.collect_list(id_col).alias("members"),
+                F.min_by("__row", "__id").alias("__row"),
+                F.collect_list("__id").alias("members"),
                 F.count(F.lit(1)).alias("gsz"),
             )
             .persist()
         )
-        reps_df = base.join(
-            groups.select(F.col("rep").alias(id_col)), id_col, "leftsemi"
-        )
+        reps_df = groups.select("__row.*")
         rep_pairs = lsh_verified_pairs(
             reps_df, text_col, id_col, n, bands, rows_per_band,
             threshold, collapse_exact=False,
         )
         rep_deps = getattr(rep_pairs, "_asp_cached_deps", ())
-        ga = groups.select(F.col("rep").alias("id_a"), F.col("members").alias("__ma"))
-        gb = groups.select(F.col("rep").alias("id_b"), F.col("members").alias("__mb"))
+        g2 = groups.select(
+            F.col(f"__row.{id_col}").alias("rep"), "members", "gsz"
+        )
+        ga = g2.select(F.col("rep").alias("id_a"), F.col("members").alias("__ma"))
+        gb = g2.select(F.col("rep").alias("id_b"), F.col("members").alias("__mb"))
         cross = (
             rep_pairs.join(ga, "id_a")
             .join(gb, "id_b")
@@ -385,7 +416,7 @@ def lsh_verified_pairs(
             F.size(shingle_tokens(text_col, n)) >= 1
         ).select(F.col(id_col).alias("rep"))
         intra = (
-            groups.filter(F.col("gsz") >= 2)
+            g2.filter(F.col("gsz") >= 2)
             .join(shingled_reps, "rep", "leftsemi")
             .select(F.explode("members").alias("__x"), "members")
             .select("__x", F.explode("members").alias("__y"))

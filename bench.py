@@ -57,6 +57,11 @@ def _calibration_probe(spark):
 # and one of each training-data op (the LSH/IVF variants are the
 # at-scale paths — brute-force twins are correctness-only).
 #
+# v7 (r7): + docs_curation_funnel_v2 — the five-stage curation report
+# with the frozen-classifier stage (the composition a real corpus run
+# executes); + ann_pca_ivf — the PCA-route/full-rerank ANN chain, now
+# with its sweep-chosen 4/8 defaults.
+#
 # v6 (r6): + dedup_lsh_verified — the composed LSH-candidates →
 # exact-jaccard-verify production chain (VERDICT r5 #3); its two
 # halves (dedup_minhash, dedup_ngram_jaccard) stay for continuity.
@@ -81,7 +86,7 @@ def _calibration_probe(spark):
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 6
+HEADLINE_VERSION = 7
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -122,6 +127,8 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pca_ivf",
+    "docs_curation_funnel_v2",
     "knn_label_propagation",
     "orders_merge_upsert",
     "aql_lookup_aggregate_pipeline",
