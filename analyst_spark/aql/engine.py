@@ -497,16 +497,23 @@ class Executor:
         if blk.kind == "exec":
             if self.test_mode:
                 return  # neutralized (compiler.go:34-39)
+            # USING PARAMETER binds on EXEC exactly as on QUERY — the
+            # reference's SQLSource substitutes params BEFORE the
+            # ExecOnly branch (sql_source.go:68-81 vs :137); r7 fix:
+            # the engine silently dropped exec-block params
+            body = blk.body or ""
+            if body and blk.using_params:
+                body = _bind_params(body, blk.using_params, res.parameters)
             for ref in blk.sources:
                 if ref.kind == "global":
-                    res.globals.run_global_block(blk.body or "")
+                    res.globals.run_global_block(body)
                 elif ref.kind == "connection":
                     fn = self._connection_handler(f"{ref.name.lower()}.exec")
                     if fn is None:
                         raise ValueError(
                             f"no exec handler for connection {ref.name!r}"
                         )
-                    fn(blk.body, blk.options)
+                    fn(body, blk.options)
             return
         if blk.kind == "data":
             cols = [c.strip() for c in str(blk.options.get("COLUMNS", "")).split(",") if c.strip()]

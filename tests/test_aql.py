@@ -695,3 +695,26 @@ def test_dedup_transform_case_insensitive_keys(spark):
     out = execute_script(spark, script).globals.get("out")
     assert sorted(out.columns) == ["id", "k", "v"]
     assert [(r.k, r.id, r.v) for r in out.collect()] == [("a", 2, 20)]
+
+
+def test_exec_using_parameter_on_global(spark):
+    """r7: EXEC FROM GLOBAL also binds USING PARAMETER."""
+    script = """
+    DECLARE @V;
+    GLOBAL 'Init' (
+        CREATE TABLE ep ( x integer );
+    );
+    QUERY 'GetV' FROM GLOBAL (
+        SELECT 41 + 1 AS v
+    ) INTO PARAMETER (@V);
+    EXEC 'Ins' FROM GLOBAL (
+        INSERT INTO ep (x) VALUES (?)
+    ) USING PARAMETER @V
+    AFTER GetV;
+    QUERY 'Out' FROM GLOBAL (
+        SELECT x FROM ep
+    ) INTO GLOBAL WITH (Table = 'Out')
+    AFTER Ins
+    """
+    res = execute_script(spark, script)
+    assert [r.x for r in res.globals.get("out").collect()] == [42]

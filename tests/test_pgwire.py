@@ -427,3 +427,36 @@ def test_aql_using_parameter_adversarial_live_pg(spark, pg_sockdir):
     cur.execute("SELECT echoed, keep FROM echo_out")
     assert cur.fetchall() == [("x'; DROP TABLE victim; --", "literal?mark")]
     chk.close()
+
+
+def test_exec_using_parameter_live_pg(spark, pg_sockdir):
+    """r7 fix: EXEC blocks bind USING PARAMETER like QUERY blocks (the
+    reference's SQLSource substitutes params before the ExecOnly
+    branch, sql_source.go:68-81) — exercised on live postgres with a
+    quote-bearing value."""
+    connstr = f"host={pg_sockdir} user=pg dbname=postgres"
+    script = f"""
+    DECLARE @Nm;
+    CONNECTION 'PG' (Driver = 'postgres', ConnectionString = '{connstr}')
+
+    EXEC 'Init' FROM CONNECTION PG (
+        CREATE TABLE exec_param_t (name TEXT)
+    )
+
+    QUERY 'GetName' FROM CONNECTION PG (
+        SELECT 'D''Arcy' AS nm
+    ) INTO PARAMETER (@Nm)
+    AFTER Init
+
+    EXEC 'Insert' FROM CONNECTION PG (
+        INSERT INTO exec_param_t VALUES (?)
+    )
+    USING PARAMETER @Nm
+    AFTER GetName
+    """
+    execute_script(spark, script)
+    chk = _connect(pg_sockdir)
+    cur = chk.cursor()
+    cur.execute("SELECT name FROM exec_param_t")
+    assert cur.fetchall() == [("D'Arcy",)]
+    chk.close()
