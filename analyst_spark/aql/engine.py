@@ -288,6 +288,25 @@ class Executor:
     def _source_frame(self, blk: Block, res: JobResult) -> DataFrame:
         if not blk.sources:
             raise ValueError(f"block {blk.name!r} has no FROM source")
+        # QUERY ... FROM BLOCK b (sql): the reference stages the
+        # block's output into in-memory SQLite and runs the SQL over
+        # it (docs-src/docs/query.md "Non-database sources",
+        # auto_sql_transform.go) — here that is temp views + one
+        # spark.sql. r7 fix: this path previously returned the
+        # upstream frame unchanged, silently discarding the body.
+        if (
+            blk.kind == "query"
+            and (blk.body or "").strip()
+            and all(r.kind == "block" for r in blk.sources)
+        ):
+            body = blk.body or ""
+            if blk.using_params:
+                body = _bind_params(body, blk.using_params, res.parameters)
+            for ref in blk.sources:
+                res.frames[ref.name.lower()].createOrReplaceTempView(
+                    (ref.alias or ref.name).lower()
+                )
+            return self.spark.sql(translate_sql(body))
         frames = []
         for ref in blk.sources:
             if ref.kind == "global":

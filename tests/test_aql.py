@@ -718,3 +718,46 @@ def test_exec_using_parameter_on_global(spark):
     """
     res = execute_script(spark, script)
     assert [r.x for r in res.globals.get("out").collect()] == [42]
+
+
+def test_query_from_block_runs_sql_over_block_output(spark):
+    """r7 parity fix: QUERY ... FROM BLOCK b (sql) runs the SQL over
+    the upstream block's output (reference: AutoSQL staging into
+    SQLite, docs query.md "Non-database sources") — previously the
+    body was silently discarded."""
+    script = """
+    DATA 'Vals' (
+        [[1, "a"], [2, "b"], [3, "a"]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'n,k')
+
+    QUERY 'Agg' FROM BLOCK Vals (
+        SELECT k, sum(n) AS total FROM vals GROUP BY k
+    ) INTO GLOBAL WITH (Table = 'Out')
+    """
+    res = execute_script(spark, script)
+    got = {(r.k, r.total) for r in res.globals.get("out").collect()}
+    assert got == {("a", 4), ("b", 2)}
+
+
+def test_query_from_block_alias_and_params(spark):
+    """The block view is named by its AS alias, and USING PARAMETER
+    binds in the body."""
+    script = """
+    DECLARE @Min;
+    DATA 'Numbers' (
+        [[1], [5], [9]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'n')
+
+    QUERY 'GetMin' FROM GLOBAL (
+        SELECT 4 AS m
+    ) INTO PARAMETER (@Min);
+
+    QUERY 'Big' FROM BLOCK Numbers AS Nums (
+        SELECT n FROM nums WHERE n > ?
+    )
+    USING PARAMETER @Min
+    INTO GLOBAL WITH (Table = 'Out')
+    AFTER GetMin
+    """
+    res = execute_script(spark, script)
+    assert sorted(r.n for r in res.globals.get("out").collect()) == [5, 9]
