@@ -700,6 +700,13 @@ class Executor:
                         f"no write handler for connection {sink.name!r}"
                     )
                 fn(df, self._effective_options(blk, sink.name))
+            elif sink.kind == "block":
+                # the reference rejects BLOCK destinations outright
+                # (compiler.go:1366-1368) — same diagnostic here
+                raise ValueError(
+                    "BLOCK destinations are not allowed because they "
+                    f"create non-deterministic source orders: {blk.name}"
+                )
             else:
                 raise ValueError(f"unsupported sink {sink.kind}")
 

@@ -761,3 +761,16 @@ def test_query_from_block_alias_and_params(spark):
     """
     res = execute_script(spark, script)
     assert sorted(r.n for r in res.globals.get("out").collect()) == [5, 9]
+
+
+def test_into_block_rejected_with_reference_diagnostic(spark):
+    """compiler.go:1366-1368: BLOCK destinations are a compile error
+    in the reference; we reject with the same rationale."""
+    script = """
+    DATA 'Vals' (
+        [[1]]
+    ) WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'n')
+    INTO BLOCK Other
+    """
+    with pytest.raises(ValueError, match="non-deterministic source orders"):
+        execute_script(spark, script)
