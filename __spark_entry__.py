@@ -3,12 +3,12 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator/query from SURVEY.md §2
 plus the training-data pipeline ops (dedup / similarity / text /
-multimodal / streaming / corpus splits / curation / LM scoring): 117
+multimodal / streaming / corpus splits / curation / LM scoring): 119
 entries spanning all 22 TPC-H query shapes, the reference operator
 inventory, the AQL DSL end-to-end, and the beyond-reference scale
 operators.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the hash gate
-(106 of 117; the 11 rows-only entries are impl-specific or iterative
+(108 of 119; the 11 rows-only entries are impl-specific or iterative
 by nature: trained k-means lists/clusters, PCA eigendecomposition,
 logistic-regression training, HLL sketches, sketch quantiles, seeded
 sampling, sequential + batched BPE merge training — each bounded by a

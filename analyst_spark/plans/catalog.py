@@ -132,6 +132,7 @@ _register("docs_dedup_spans", pp.docs_dedup_spans, pp.DOCS_DEDUP_SPANS_ORACLE)
 _register("docs_curation_funnel", pp.docs_curation_funnel, pp.DOCS_FUNNEL_ORACLE)
 _register("docs_curation_funnel_v2", pp.docs_curation_funnel_v2, pp.DOCS_FUNNEL_V2_ORACLE)
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
+_register("streaming_classifier_gate", st.streaming_classifier_gate, st.STREAMING_CLS_GATE_ORACLE)
 _register("streaming_anomaly_gate", st.streaming_anomaly_gate, st.STREAMING_ANOMALY_ORACLE)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model
 _register("bpe_train_batched", pp.bpe_train_batched, None)  # iterative; pinned vs python model

@@ -384,6 +384,127 @@ GROUP BY d.lang
 STREAMING_QF_ORACLE = _qf_oracle()
 
 
+def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming intake scored by the FROZEN quality classifier — the
+    CCNet model at the STREAM edge, completing the funnel-v2 story:
+    weights trained offline ship as constants
+    (functions/classifier_frozen.py), every arriving micro-batch is
+    scored via ``foreachBatch`` running the exact batch scorer
+    (frozen_quality_margins: hashed features → exact-integer margin),
+    and the landed results aggregate to per-language intake/keep
+    counts.
+
+    ``foreachBatch`` (not a chained streaming agg — Spark forbids two
+    aggregations in one streaming query) is the production intake
+    shape: per-batch model application, append to the lake, aggregate
+    downstream. The margin is deterministic integer arithmetic, so
+    the streamed result equals the batch computation and the entry
+    carries a full DuckDB oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.classifier import frozen_quality_margins
+    from analyst_spark.plans.pipeline_plans import _FUNNEL_QC_MARGIN_MIN
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tmp = tempfile.mkdtemp(prefix="asp_stream_cls_")
+    out_dir = tempfile.mkdtemp(prefix="asp_stream_cls_out_")
+    try:
+        docs.select("doc_id", "text", "lang").coalesce(8).write.mode(
+            "overwrite"
+        ).json(tmp)
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string"
+        ).json(tmp)
+
+        def score_batch(batch_df, _epoch):
+            scored = frozen_quality_margins(batch_df)
+            (
+                batch_df.select("doc_id", "lang")
+                .join(scored, "doc_id")
+                .select(
+                    "doc_id",
+                    "lang",
+                    (
+                        F.col("margin") >= F.lit(_FUNNEL_QC_MARGIN_MIN)
+                    ).alias("keep"),
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        landed = spark.read.schema(
+            "doc_id long, lang string, keep boolean"
+        ).parquet(out_dir)
+        # language-count report: bounded by the language set, so
+        # collecting it lets the staging dir be cleaned up eagerly
+        # (the memory-sink device the other streaming entries use,
+        # with parquet standing in for the lake the gate appends to)
+        rows = (
+            landed.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "lang string, n_docs long, n_keep long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _cls_gate_oracle() -> str:
+    from analyst_spark.functions.classifier_frozen import BIAS_NANO, N_BUCKETS
+    from analyst_spark.plans.pipeline_plans import (
+        _FUNNEL_QC_MARGIN_MIN,
+        _qc_frozen_values,
+    )
+
+    return rf"""
+WITH qtok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+),
+qcnt AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {N_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM qtok GROUP BY 1, 2
+),
+qtot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total FROM qcnt GROUP BY 1),
+qw(bucket, wn) AS (VALUES {_qc_frozen_values()}),
+qnum AS (
+    SELECT c.doc_id, CAST(sum(c.cnt * qw.wn) AS BIGINT) AS numer
+    FROM qcnt c JOIN qw USING (bucket) GROUP BY 1
+),
+qc AS (
+    SELECT t.doc_id,
+           COALESCE(qnum.numer, 0) / (t.total * 1e9)
+             + {BIAS_NANO} / 1000000000.0 AS margin
+    FROM qtot t LEFT JOIN qnum USING (doc_id)
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (qc.margin >= {_FUNNEL_QC_MARGIN_MIN}) AS BIGINT)
+           AS n_keep
+FROM documents d JOIN qc USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+STREAMING_CLS_GATE_ORACLE = _cls_gate_oracle()
+
+
 _ANOM_SINK = "streaming_anomaly_gate_sink"
 
 

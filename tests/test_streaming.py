@@ -215,3 +215,37 @@ def test_streaming_quality_filter_equals_batch(spark):
         .collect()
     }
     assert got == want and sum(v[1] for v in got.values()) > 0
+
+
+def test_streaming_classifier_gate_equals_batch(spark):
+    """availableNow foreachBatch intake scored by the FROZEN
+    classifier == the batch frozen-margin computation (deterministic
+    integer margins make them bit-equal)."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.classifier import frozen_quality_margins
+    from analyst_spark.plans.pipeline_plans import _FUNNEL_QC_MARGIN_MIN
+    from analyst_spark.plans.streaming_plans import streaming_classifier_gate
+    from analyst_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.lang: (r.n_docs, r.n_keep)
+           for r in streaming_classifier_gate(spark, sf).collect()}
+    docs = load_tables(spark, sf)["documents"]
+    want = {
+        r.lang: (r.n_docs, r.n_keep)
+        for r in docs.select("doc_id", "lang")
+        .join(frozen_quality_margins(docs), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("margin") >= F.lit(_FUNNEL_QC_MARGIN_MIN)).cast("long")
+            ).cast("long").alias("n_keep"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) > 0
+    # the gate must actually drop something at this threshold
+    assert any(k < n for n, k in got.values())
