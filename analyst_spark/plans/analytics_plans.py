@@ -461,22 +461,28 @@ def events_with_cents(ev: DataFrame) -> DataFrame:
 
 
 def anomaly_stats(base: DataFrame) -> DataFrame:
-    """Per-type (n, s, ss) moment stats over integer cents, with the
-    zero-variance guard in EXACT integers (n*ss == s*s iff every
-    value in the group is identical): without it a constant group
-    yields z = 0/0 = NaN, and Spark's NaN-is-greatest ordering makes
+    """Per-type (n, s, ss) moment stats over integer cents, with an
+    EXACT zero-variance guard: without one a constant group yields
+    z = 0/0 = NaN, and Spark's NaN-is-greatest ordering makes
     abs(NaN) > 3 true while the oracle's NULL-yielding division
-    drops the row — divergent on degenerate data. Factored so the
-    streaming gate scores micro-batches with the SAME trained stats
-    the batch entry uses."""
+    drops the row — divergent on degenerate data.
+
+    The guard is ``min(cents) != max(cents)`` (all-identical ⇔ zero
+    variance), NOT the moment identity ``n·ss − s² > 0``: the r7
+    ×100-events probe showed n·ss overflowing int64 at 10M rows/type
+    (s ≈ 1e10 ⇒ s² ≈ 1e20 > 2⁶³) — min/max is exact at any scale.
+    Factored so the streaming gate scores micro-batches with the SAME
+    trained stats the batch entry uses. (At extreme corpus sizes the
+    s/ss sums themselves approach 2⁶³; promote to decimal(38,0) on a
+    real cluster — the z-score consumes them as doubles either way.)"""
     stats = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s"),
         F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        F.min("cents").alias("__lo"),
+        F.max("cents").alias("__hi"),
     )
-    return stats.filter(
-        F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0
-    )
+    return stats.filter(F.col("__lo") != F.col("__hi")).drop("__lo", "__hi")
 
 
 def zscore_expr() -> F.Column:
@@ -494,7 +500,8 @@ WITH c AS (
 ), st AS (
     SELECT event_type, count(*) AS n,
            CAST(sum(cents) AS BIGINT) AS s,
-           CAST(sum(cents * cents) AS BIGINT) AS ss
+           CAST(sum(cents * cents) AS BIGINT) AS ss,
+           min(cents) AS lo, max(cents) AS hi
     FROM c GROUP BY event_type
 )
 SELECT c.event_id, c.event_type, c.value,
@@ -503,7 +510,7 @@ SELECT c.event_id, c.event_type, c.value,
                     - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)),
              4) AS zscore
 FROM c JOIN st USING (event_type)
-WHERE st.n * st.ss - st.s * st.s > 0  -- exact zero-variance guard
+WHERE st.lo <> st.hi  -- exact zero-variance guard, overflow-free
   AND abs((c.cents - CAST(st.s AS DOUBLE) / st.n)
           / sqrt(CAST(st.ss AS DOUBLE) / st.n
                  - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)))

@@ -573,8 +573,7 @@ WITH c AS (
            CAST(sum(cents) AS BIGINT) AS s,
            CAST(sum(cents * cents) AS BIGINT) AS ss
     FROM c GROUP BY event_type
-    HAVING count(*) * CAST(sum(cents * cents) AS BIGINT)
-           - CAST(sum(cents) AS BIGINT) * CAST(sum(cents) AS BIGINT) > 0
+    HAVING min(cents) <> max(cents)  -- exact guard, overflow-free
 )
 SELECT c.event_type,
        CAST(count(*) AS BIGINT) AS n_events,

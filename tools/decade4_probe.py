@@ -61,6 +61,30 @@ def build(spark, copies: int) -> str:
             (F.col("n_chars") + F.lit(8)).alias("n_chars"),
         )
         rep.repartition(64).write.mode("overwrite").parquet(path)
+    ev_path = os.path.join(big, "events.parquet")
+    if os.path.islink(ev_path):
+        os.remove(ev_path)  # earlier runs symlinked the sf0.1 table
+    if not os.path.exists(ev_path):
+        # growth by MORE USERS (scale_stress rule): per-user series
+        # length constant, so sessionize/funnel state stays bounded
+        # per key — how event volume actually grows
+        ev = load_tables(spark, SRC)["events"]
+        k = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__k")
+        rep = ev.select("*", k).select(
+            (
+                F.col("event_id")
+                + F.col("__k").cast("long") * F.lit(OFFSET).cast("long")
+            ).alias("event_id"),
+            "ts",
+            (
+                F.col("user_id")
+                + F.col("__k").cast("long") * F.lit(1_000_000).cast("long")
+            ).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        rep.repartition(64).write.mode("overwrite").parquet(ev_path)
     for f in os.listdir(SRC):
         dst = os.path.join(big, f)
         if f.endswith(".parquet") and not os.path.exists(dst):
