@@ -46,6 +46,17 @@ def cosine(a: Column, b: Column) -> Column:
 MAX_EXACT_QUERIES = 1024
 
 
+
+def drop_null_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """NULL embedding rows cannot participate in any similarity
+    computation — numpy batches see ``None`` (crash), Catalyst dots go
+    NULL and can leak NULL-ranked rows. Every vector-consuming entry
+    point drops them at the edge (the vector analog of the sink-side
+    DROP_NULLS); found by the r7 null-corpus sweep, which crashed five
+    operators on a corpus with NULL vectors."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,6 +79,8 @@ def cosine_topk(
     know the cost is intended). The scale path for big query sets is
     ``lsh_bucket_topk`` / ``ivf_topk``.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     if max_queries is not None:
         n_q = queries.count()  # broadcast side: counting it is cheap
         if n_q > max_queries:
@@ -229,6 +242,8 @@ def lsh_bucket_topk(
     """Approximate top-k: candidates limited to the query's sign-LSH
     bucket (2^num_planes buckets). Recall < 1 by design; the 100 TB
     path where a full scan per query is unaffordable."""
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     planes = _pseudo_planes(num_planes, dim)
     cb = spread(corpus, id_col).withColumn("__bucket", hyperplane_bits(F.col(vec_col), planes))
     qb = queries.withColumn("__bucket", hyperplane_bits(F.col(vec_col), planes))
@@ -342,6 +357,7 @@ def lsh_neardup_pairs(
 
     from analyst_spark.functions.dedup import _with_cached_deps
 
+    df = drop_null_vectors(df, vec_col)
     v = spread(df, id_col).select(F.col(id_col), F.col(vec_col).alias("__v"))
     sig = band_signature_udf(bands, bits_per_band, dim)
     # materialize the signatures: both sides of the candidate
@@ -422,12 +438,23 @@ def kmeans_train(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
+    df = drop_null_vectors(df, vec_col)
     v = spread(df, id_col).select(F.col(id_col), F.col(vec_col).alias("__v"))
     v = v.persist()
     cents = [
         list(r[0])
         for r in v.orderBy(id_col).limit(k).select("__v").collect()
     ]
+    # a corpus smaller than k seeds fewer centroids; clamp so the
+    # empty-cluster carry-forward can't index past the init list
+    # (r7 null-sweep: 2 usable vectors with k=16 -> IndexError)
+    k = len(cents)
+    if k == 0:
+        v.unpersist()
+        empty = df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster long"
+        )
+        return [], empty
     assigned = None
     for _ in range(iters):
         cmat = np.asarray(cents, dtype=np.float64)  # (k, dim)
@@ -500,6 +527,7 @@ def semantic_dedup(
     qualifying lower id (the retained representative), null for
     keepers. Cosines round to 6dp before thresholding on both engines.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -593,6 +621,7 @@ def semantic_dedup_trained(
     """
     import math
 
+    corpus = drop_null_vectors(corpus, vec_col)
     n = corpus.count()  # metadata-level count; sizes k before training
     if n == 0:
         # day-one empty corpus: schema-stable empty result, no train
@@ -659,7 +688,9 @@ def pca_train(
         ArrayType, DoubleType, LongType, StructField, StructType,
     )
 
-    v = spread(df, id_col).select(F.col(vec_col).alias("__v"))
+    v = spread(drop_null_vectors(df, vec_col), id_col).select(
+        F.col(vec_col).alias("__v")
+    )
 
     part_schema = StructType([
         StructField("pid", LongType()),
@@ -747,7 +778,9 @@ def pca_project(
         )
         for comp in components
     ])
-    return spread(df, id_col).select(F.col(id_col), proj.alias("projection"))
+    return spread(drop_null_vectors(df, vec_col), id_col).select(
+        F.col(id_col), proj.alias("projection")
+    )
 
 
 def pca_ivf_topk(

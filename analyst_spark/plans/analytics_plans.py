@@ -275,11 +275,19 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language (sampleBy, fixed seed) — the
     rebalancing primitive for skewed training corpora. Seeded and
     deterministic for a given partitioning, but engine-specific, so
-    no cross-engine oracle; tests bound the per-stratum rates."""
+    no cross-engine oracle; tests bound the per-stratum rates.
+
+    NULL lang forms its own stratum: sampleBy's fractions dict cannot
+    hold a None key (r7 null-sweep crash), so the sampling key is
+    lang coalesced to a sentinel and the output reports the original
+    (possibly NULL) lang."""
     docs = load_tables(spark, sf_dir)["documents"]
-    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    keyed = docs.withColumn(
+        "__stratum", F.coalesce(F.col("lang"), F.lit("<null>"))
+    )
+    langs = [r[0] for r in keyed.select("__stratum").distinct().collect()]
     fractions = {lang: 0.5 for lang in langs}
-    sampled = docs.sampleBy("lang", fractions, seed=42)
+    sampled = keyed.sampleBy("__stratum", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
