@@ -60,6 +60,9 @@ from analyst_spark.tables import spread
 _CHECKPOINT_EVERY = 8
 
 
+MAX_BPE_WORD_CHARS = 512
+
+
 def _merge_fold(sym_col: Column, a: str, b: str) -> Column:
     """Replace leftmost non-overlapping adjacent (a, b) with a+b via a
     left-to-right fold: push x; if the last pushed symbol is ``a`` and
@@ -164,6 +167,14 @@ def bpe_train(
     receives {"iterations": N} — the measured Spark-iteration count
     the O(merges/M) cost model predicts (tools/bpe_probe.py)."""
     wf = word_frequencies(docs, text_col)
+    # Overlong words are EXCLUDED from training: the per-word fold's
+    # immutable-array accumulator copies the accumulator per symbol
+    # (O(len²) per word — one 100k-char token hung an executor for
+    # minutes, r7 pathological-text sweep), and such runs are noise,
+    # not vocabulary. Same cap as the encoder (production tokenizers'
+    # max_input_chars_per_word discipline); the python twin
+    # bpe_train_model applies the identical rule.
+    wf = wf.filter(F.length("w") <= MAX_BPE_WORD_CHARS)
     syms = wf.select(
         "cnt", F.split("w", "").alias("s")
     ).persist()
@@ -236,7 +247,7 @@ def bpe_train_model(texts: list[str], num_merges: int = 16,
     wf = Counter()
     for t in texts:
         for w in t.lower().strip().split():
-            if w:
+            if w and len(w) <= MAX_BPE_WORD_CHARS:
                 wf[w] += 1
     syms = {w: list(w) for w in wf}
     merges: list[tuple[str, str, int]] = []
@@ -284,10 +295,13 @@ def bpe_encode(col: Column | str, merges: list[tuple[str, str, int]] | list[tupl
 
     def encode_word(w: Column) -> Column:
         s = F.split(w, "")
+        folded = s
         for m in merges:
             a, b = m[0], m[1]
-            s = _merge_fold(s, a, b)
-        return s
+            folded = _merge_fold(folded, a, b)
+        # overlong words skip the folds (O(len²) accumulator copies;
+        # same cap as the trainer and the pandas encoder)
+        return F.when(F.length(w) <= MAX_BPE_WORD_CHARS, folded).otherwise(s)
 
     return F.flatten(
         F.transform(F.filter(words, lambda w: w != ""), encode_word)
@@ -298,6 +312,9 @@ def bpe_encode_model(text: str, merges) -> list[str]:
     """Pure-Python twin of :func:`bpe_encode`."""
     out: list[str] = []
     for w in text.lower().strip().split():
+        if len(w) > MAX_BPE_WORD_CHARS:
+            out.extend(list(w))
+            continue
         if not w:
             continue
         s = list(w)
@@ -336,6 +353,14 @@ def bpe_encode_pandas(
     output, whose pairs rank strictly later, so the rank-priority
     rescan visits merges in exactly the sequential order. Pinned in
     tests/test_bpe.py.
+
+    Words longer than ``MAX_BPE_WORD_CHARS`` bypass the merge loop and
+    emit as raw character symbols: the rescan applies up to L merges
+    per word, each with an O(L) scan — O(L²) on a single 100k-char
+    base64-ish token hung an executor for minutes (r7 pathological-
+    text sweep). Production tokenizers impose the same cap (e.g.
+    HuggingFace ``max_input_chars_per_word``); real corpora DO carry
+    such runs, so the cap is the deployment behavior, not a shortcut.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -343,6 +368,8 @@ def bpe_encode_pandas(
     table = {(m[0], m[1]): m[0] + m[1] for m in merges}
 
     def encode_word(w: str) -> list[str]:
+        if len(w) > MAX_BPE_WORD_CHARS:
+            return list(w)
         s = list(w)
         while len(s) >= 2:
             best_i, best_r = -1, len(rank)

@@ -75,11 +75,16 @@ def exact_dedup(
     )
 
 
-def shingle_tokens(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (space-joined).
-    Documents with fewer than n tokens yield an empty array
-    (sequence(1, 0) would DESCEND in Spark — guarded)."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a PRE-TOKENIZED array column
+    (space-joined strings). Documents with fewer than n tokens yield
+    an empty array (sequence(1, 0) would DESCEND in Spark — guarded).
+
+    ``toks`` must be a materialized column reference: the transform
+    lambda slices ``toks`` per element and Catalyst re-evaluates a
+    captured outer expression for EVERY element — an inline
+    ``tokens(text)`` here is O(tokens²) on long documents (r7
+    pathological-text sweep: 223s vs 0.6s at 60k tokens)."""
     cnt = F.size(toks) - (n - 1)
     arr = F.transform(
         F.sequence(F.lit(1), cnt),
@@ -88,13 +93,28 @@ def shingle_tokens(col: Column | str, n: int = 3) -> Column:
     return F.when(cnt >= 1, arr).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_tokens(col: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column. ONLY safe when the
+    argument is cheap to re-evaluate; prefer tokenizing into a column
+    first and calling :func:`shingles_of_tokens` (see its warning)."""
+    return shingles_of_tokens(tokens(col), n)
+
+
 def shingles_exploded(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per document."""
-    return spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingle_tokens(text_col, n))).alias("shingle"),
+    """(id, shingle) rows, distinct per document. Tokenizes into a
+    column first so the shingle transform is linear in document
+    length (see shingles_of_tokens)."""
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_of_tokens(F.col("__toks"), n))
+            ).alias("shingle"),
+        )
     )
 
 
@@ -412,8 +432,11 @@ def lsh_verified_pairs(
         # intra-group pairs verify at exactly 1.0 — but only when the
         # text shingles at all (< n tokens ⇒ no signature ⇒ the
         # un-collapsed chain never pairs them either)
+        # a doc shingles iff it has >= n tokens — no need to build
+        # the shingle array (whose lambda re-evaluates inline token
+        # expressions quadratically on long docs)
         shingled_reps = reps_df.filter(
-            F.size(shingle_tokens(text_col, n)) >= 1
+            F.size(tokens(text_col)) >= n
         ).select(F.col(id_col).alias("rep"))
         intra = (
             g2.filter(F.col("gsz") >= 2)

@@ -30,14 +30,29 @@ _BENCH_MOD = 97       # doc_id % _BENCH_MOD == 0 → benchmark member
 _REP_N = 3            # repetition shingle width
 _TOP_K = 5            # vocabulary depth per language
 
-_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+# Quantifiers are BOUNDED (RFC 5321 caps: local part <= 64, domain
+# label <= 63): unbounded `[a-z0-9]+@` makes Java's backtracking
+# engine O(run²) on long alphanumeric runs — a single 100k-char
+# base64-ish token cost ~120 s/doc in the r7 pathological-text sweep,
+# and 100 TB corpora DO contain such runs. Bounded quantifiers cap
+# the backtrack depth at 64, restoring O(run·64); matches on
+# RFC-valid PII are identical (both gates re-verified).
+_EMAIL_RE = r"[a-z0-9]{1,64}@[a-z0-9]{1,63}\.[a-z]{1,24}"
 _PHONE_RE = r"555-[0-9]{4}"
 _PII_RE = f"({_EMAIL_RE}|{_PHONE_RE})"
 
 
 def _ngrams(toks: Column, n: int) -> Column:
     """All word n-grams of a token array as space-joined strings;
-    empty when the document is shorter than n tokens."""
+    empty when the document is shorter than n tokens.
+
+    ``toks`` MUST be a materialized column reference (select the
+    split into a column first), never an inline ``F.split(...)``
+    expression: the transform lambda references ``toks`` per element,
+    and Catalyst re-evaluates a captured outer expression for EVERY
+    element — an inline split turns O(tokens) into O(tokens²)
+    (measured 223s vs 0.6s on one 60k-token document; found by the
+    r7 pathological-text sweep)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -243,9 +258,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition threshold) composes as a predicate on this output.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    t = F.split(F.col("text"), " ")
+    # split into a COLUMN first — _ngrams' lambda would re-evaluate
+    # an inline split per element (O(tokens²) on long docs)
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    )
+    t = F.col("__t")
     g3, g2 = _ngrams(t, _REP_N), _ngrams(t, 2)
-    return docs.select(
+    return base.select(
         "doc_id",
         F.size(g3).cast("long").alias("n_gram3"),
         (F.size(g3) - F.size(F.array_distinct(g3))).cast("long").alias("n_dup3"),
@@ -1689,7 +1709,10 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_md5).
     """
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
-    t = F.split(F.trim("text"), r"\s+")
+    base = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__t")
+    )
+    t = F.col("__t")
     n = F.size(t)
     C, S = _CHUNK_SIZE, _CHUNK_STRIDE
     last = F.greatest(n - F.lit(C) + 1, F.lit(1))
@@ -1700,16 +1723,27 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when((last - 1) % F.lit(S) == 0, seq).otherwise(
         F.concat(seq, F.array(last))
     )
-    chunks = docs.select(
-        "doc_id",
-        t.alias("t"),
-        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    # slice each chunk BEFORE exploding: exploding (start, full-array)
+    # rows duplicates the whole token array once per chunk — on a
+    # 200k-token doc that is ~12.5k copies of a 200k-element array
+    # (112s; r7 pathological-text sweep). The transform slices while
+    # the array exists once per doc, and the exploded rows carry only
+    # their C-token piece.
+    pieces = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.slice(t, s, C).alias("piece"),
+        ),
     )
-    piece = F.slice(F.col("t"), F.col("start_tok"), C)
+    chunks = base.select(
+        "doc_id", F.posexplode(pieces).alias("chunk_idx", "__ch")
+    )
+    piece = F.col("__ch.piece")
     return chunks.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("__ch.start_tok").cast("long").alias("start_tok"),
         F.size(piece).cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
     )
