@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from analyst_spark.tables import load_tables
+from analyst_spark.tables import cents_of, load_tables
 
 
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,8 +31,9 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free) and divides back at the end."""
     ev = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cents = F.round(F.col("value") * 100).cast("long")
-    base = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    base = ev.select(
+        "user_id", "event_id", "ts", cents_of("value").alias("cents")
+    )
     return base.select(
         "user_id",
         "event_id",
@@ -54,7 +55,7 @@ SELECT user_id, event_id,
              / (100.0 * count(cents) OVER w_frame), 4) AS mov_avg7,
        CAST(sum(cents) OVER w_cum AS DOUBLE) / 100.0   AS run_sum
 FROM (SELECT user_id, event_id, ts,
-             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+             CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents FROM events)
 WINDOW w_frame AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
        w_cum   AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -464,8 +465,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_with_cents(ev: DataFrame) -> DataFrame:
     """(event_id, event_type, value, cents): the exact-integer value
     surrogate both the batch and streaming anomaly paths score on."""
-    cents = F.round(F.col("value") * 100).cast("long")
-    return ev.select("event_id", "event_type", "value", cents.alias("cents"))
+    return ev.select(
+        "event_id", "event_type", "value", cents_of("value").alias("cents")
+    )
 
 
 def anomaly_stats(base: DataFrame) -> DataFrame:
@@ -484,7 +486,7 @@ def anomaly_stats(base: DataFrame) -> DataFrame:
     s/ss sums themselves approach 2⁶³; promote to decimal(38,0) on a
     real cluster — the z-score consumes them as doubles either way.)"""
     stats = base.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("cents").alias("n"),  # valid measurements only
         F.sum("cents").alias("s"),
         F.sum(F.col("cents") * F.col("cents")).alias("ss"),
         F.min("cents").alias("__lo"),
@@ -503,10 +505,10 @@ def zscore_expr() -> F.Column:
 EVENTS_ANOMALY_ORACLE = f"""
 WITH c AS (
     SELECT event_id, event_type, value,
-           CAST(round(value * 100) AS BIGINT) AS cents
+           CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents
     FROM events
 ), st AS (
-    SELECT event_type, count(*) AS n,
+    SELECT event_type, count(cents) AS n,
            CAST(sum(cents) AS BIGINT) AS s,
            CAST(sum(cents * cents) AS BIGINT) AS ss,
            min(cents) AS lo, max(cents) AS hi

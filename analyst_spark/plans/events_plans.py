@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from analyst_spark.tables import load_tables
+from analyst_spark.tables import cents_of, load_tables
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,7 +27,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free; the division inputs are then bit-identical on Spark
     and the oracle."""
     ev = load_tables(spark, sf_dir)["events"]
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = cents_of("value")
     # the 4dp mean must round in INTEGER arithmetic: round(cents/
     # (100·n), 4) = half-away((100·cents)/n)/1e4 — engines' round()
     # disagree on exact decimal halves (sum 88959 cents over 24
@@ -41,6 +41,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.count(cents).alias("__nv"),  # valid measurements
             F.sum(cents).cast("long").alias("__sc"),
         )
         .select(
@@ -49,8 +50,9 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             (
                 F.expr(
-                    "CASE WHEN __sc >= 0 THEN (200*__sc + n_events) DIV (2*n_events) "
-                    "ELSE -((-200*__sc + n_events) DIV (2*n_events)) END"
+                    "CASE WHEN __nv = 0 THEN NULL "
+                    "WHEN __sc >= 0 THEN (200*__sc + __nv) DIV (2*__nv) "
+                    "ELSE -((-200*__sc + __nv) DIV (2*__nv)) END"
                 )
                 / F.lit(10000.0)
             ).alias("avg_value"),
@@ -61,16 +63,18 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_HOURLY_ORACLE = """
 SELECT hour, event_type, n_events,
-       (CASE WHEN sc >= 0 THEN (200*sc + n_events) // (2*n_events)
-             ELSE -((-200*sc + n_events) // (2*n_events)) END) / 10000.0
+       (CASE WHEN nv = 0 THEN NULL
+             WHEN sc >= 0 THEN (200*sc + nv) // (2*nv)
+             ELSE -((-200*sc + nv) // (2*nv)) END) / 10000.0
            AS avg_value,
        sc / 100.0 AS sum_value
 FROM (
     SELECT date_trunc('hour', ts)  AS hour,
            event_type,
            count(*)                AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
-    FROM events
+           count(cents)            AS nv,
+           CAST(sum(cents) AS BIGINT) AS sc
+    FROM (SELECT ts, event_type, CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents FROM events)
     GROUP BY 1, 2
 )
 """

@@ -52,15 +52,17 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAMING_HOURLY_ORACLE = """
 SELECT hour, event_type, n_events,
-       (CASE WHEN sc >= 0 THEN (200*sc + n_events) // (2*n_events)
-             ELSE -((-200*sc + n_events) // (2*n_events)) END) / 10000.0
+       (CASE WHEN nv = 0 THEN NULL
+             WHEN sc >= 0 THEN (200*sc + nv) // (2*nv)
+             ELSE -((-200*sc + nv) // (2*nv)) END) / 10000.0
            AS avg_value
 FROM (
     SELECT date_trunc('hour', ts)  AS hour,
            event_type,
            count(*)                AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
-    FROM events
+           count(cents)            AS nv,
+           CAST(sum(cents) AS BIGINT) AS sc
+    FROM (SELECT ts, event_type, CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents FROM events)
     GROUP BY 1, 2
 )
 """
@@ -566,10 +568,10 @@ def streaming_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_ANOMALY_ORACLE = """
 WITH c AS (
     SELECT event_id, event_type, value,
-           CAST(round(value * 100) AS BIGINT) AS cents
+           CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents
     FROM events
 ), st AS (
-    SELECT event_type, count(*) AS n,
+    SELECT event_type, count(cents) AS n,
            CAST(sum(cents) AS BIGINT) AS s,
            CAST(sum(cents * cents) AS BIGINT) AS ss
     FROM c GROUP BY event_type

@@ -56,12 +56,15 @@ def hourly_rollup_stream(
     state-merge order can't move the result, and cents-valued data
     lands on exact decimal halves where engines' float round()
     disagree (caught by the r7 sf0.1 gate)."""
-    cents = F.round(F.col("value") * 100).cast("long")
+    from analyst_spark.tables import cents_of
+
+    cents = cents_of("value")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.count(cents).alias("__nv"),  # valid measurements
             F.sum(cents).cast("long").alias("__sc"),
         )
         .select(
@@ -70,8 +73,9 @@ def hourly_rollup_stream(
             "n_events",
             (
                 F.expr(
-                    "CASE WHEN __sc >= 0 THEN (200*__sc + n_events) DIV (2*n_events) "
-                    "ELSE -((-200*__sc + n_events) DIV (2*n_events)) END"
+                    "CASE WHEN __nv = 0 THEN NULL "
+                    "WHEN __sc >= 0 THEN (200*__sc + __nv) DIV (2*__nv) "
+                    "ELSE -((-200*__sc + __nv) DIV (2*__nv)) END"
                 )
                 / F.lit(10000.0)
             ).alias("avg_value"),

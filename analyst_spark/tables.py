@@ -125,3 +125,28 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, 
     for name in TABLE_NAMES:
         tables[name].createOrReplaceTempView(name)
     return tables
+
+
+# |value| bound for the exact-integer-cents surrogate: cents =
+# round(value*100) must stay well inside BIGINT and the float-exact
+# integer range. 9e13 (cents ≤ 9e15 < 2^53) is far beyond any
+# currency-like measurement; values outside it are data-quality
+# rejects, not measurements.
+CENTS_DOMAIN_MAX = 9e13
+
+
+def cents_of(col) -> "F.Column":
+    """Exact integer-cents surrogate of a 2-decimal double column —
+    the order-free summation device the events family aggregates on.
+
+    Values outside ``CENTS_DOMAIN_MAX`` map to NULL (excluded from
+    sums/averages exactly like SQL NULL measurements) instead of
+    killing the whole job: under ANSI arithmetic a single 1e18
+    outlier crashed five operators with CAST_OVERFLOW in the r7
+    extreme-value probe, and at 100 TB one poison row must never
+    abort a scan. The DuckDB oracles guard with the same predicate.
+    """
+    v = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.abs(v) <= F.lit(CENTS_DOMAIN_MAX), F.round(v * 100).cast("long")
+    )

@@ -99,3 +99,55 @@ def test_entry_survives_nulls(spark, null_sf, name):
     df = QUERIES[name](spark, null_sf)
     df.collect()
     release_cached(df)
+
+
+@pytest.fixture(scope="module")
+def extreme_sf(spark, tmp_path_factory):
+    """One 1e18-valued poison row — beyond the integer-cents domain.
+    Under ANSI arithmetic this crashed five operators with
+    CAST_OVERFLOW (r7 extreme-value probe); cents_of now maps
+    out-of-domain values to NULL measurements."""
+    td = str(tmp_path_factory.mktemp("extreme_sf"))
+    ts = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, ts, 1, "view", 1.5, "{}"),
+            (1, ts, 1, "view", 1e18, "{}"),
+            (2, ts, 2, "click", -1e18, "{}"),
+            (3, ts, 2, "click", 0.01, "{}"),
+            (4, ts, 2, "click", 0.03, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(os.path.join(td, "events.parquet"))
+    for f in os.listdir("/root/testdata/sf0.001"):
+        dst = os.path.join(td, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join("/root/testdata/sf0.001", f), dst)
+    return td
+
+
+@pytest.mark.parametrize("name", [
+    "events_hourly_rollup", "events_moving_avg", "events_anomaly_zscore",
+    "streaming_hourly_rollup", "streaming_anomaly_gate",
+])
+def test_cents_entries_survive_extreme_values(spark, extreme_sf, name):
+    df = QUERIES[name](spark, extreme_sf)
+    rows = df.collect()
+    release_cached(df)
+    if name != "events_anomaly_zscore":  # legitimately empty: no |z|>3
+        assert rows  # aggregates exist; poison rows excluded, not fatal
+
+
+def test_extreme_values_excluded_as_null_measurements(spark, extreme_sf):
+    """The poison rows count as events but not as measurements."""
+    rows = {r.event_type: r for r in QUERIES["events_hourly_rollup"](
+        spark, extreme_sf).collect()}
+    view = rows["view"]
+    assert view.n_events == 2          # the 1e18 row is still an event
+    assert view.avg_value == 1.5       # mean over VALID measurements
+    assert view.sum_value == 1.5
+    click = rows["click"]
+    assert click.n_events == 3
+    assert click.avg_value == 0.02     # (1 + 3) cents / 2 valid
