@@ -163,6 +163,12 @@ def _topo_order(blocks: list[Block]) -> list[Block]:
     return order
 
 
+# See globals_store.VIEW_LOCK: serializes every register-view →
+# spark.sql window so concurrent jobs with same-named staging views
+# cannot clobber each other (eager analysis makes the window short).
+from analyst_spark.aql.globals_store import VIEW_LOCK as _AUTOSQL_VIEW_LOCK
+
+
 def _bind_params(sql: str, names: list[str], params: dict[str, object]) -> str:
     """USING PARAMETER @p: positional '?' placeholders bound in order
     (engine/sql_source.go:68-81), values rendered as SQL literals."""
@@ -302,18 +308,21 @@ class Executor:
             body = blk.body or ""
             if blk.using_params:
                 body = _bind_params(body, blk.using_params, res.parameters)
-            for ref in blk.sources:
-                res.frames[ref.name.lower()].createOrReplaceTempView(
-                    (ref.alias or ref.name).lower()
-                )
-            return self.spark.sql(translate_sql(body))
+            with _AUTOSQL_VIEW_LOCK:
+                for ref in blk.sources:
+                    res.frames[ref.name.lower()].createOrReplaceTempView(
+                        (ref.alias or ref.name).lower()
+                    )
+                return self.spark.sql(translate_sql(body))
         frames = []
         for ref in blk.sources:
             if ref.kind == "global":
                 sql = translate_sql(blk.body or "")
                 if blk.using_params:
                     sql = _bind_params(sql, blk.using_params, res.parameters)
-                return self.spark.sql(sql)
+                with _AUTOSQL_VIEW_LOCK:
+                    res.globals.reassert_views()
+                    return self.spark.sql(sql)
             if ref.kind == "block":
                 frames.append(res.frames[ref.name.lower()])
             elif ref.kind == "connection":
@@ -338,8 +347,9 @@ class Executor:
                     df = fn(self.spark, blk.options)
                     if body and blk.kind == "query":
                         view = (ref.alias or ref.name).lower()
-                        df.createOrReplaceTempView(view)
-                        df = self.spark.sql(translate_sql(body))
+                        with _AUTOSQL_VIEW_LOCK:
+                            df.createOrReplaceTempView(view)
+                            df = self.spark.sql(translate_sql(body))
                 frames.append(df)
         if len(frames) == 1:
             return frames[0]

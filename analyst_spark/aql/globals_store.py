@@ -13,6 +13,7 @@ here and turned into typed empty/literal DataFrames.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -32,17 +33,39 @@ _TYPE_MAP = {
 }
 
 
+# Guards every register-temp-view → spark.sql window in the engine:
+# temp views are session-global while jobs are per-job, so concurrent
+# jobs staging the same name would clobber each other. spark.sql()
+# analysis is eager (the returned DataFrame binds to the view's plan at
+# call time), so holding the lock only across register+analyze restores
+# isolation. The reference never shares this state between concurrent
+# jobs either — its AutoSQL staging is a fresh SQLite per transform and
+# its server runs each job as a separate subprocess.
+VIEW_LOCK = threading.Lock()
+
+
 class GlobalStore:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
 
     def register(self, name: str, df: DataFrame, append: bool = True) -> None:
-        key = name.lower()
-        if append and key in self.tables:
-            df = self.tables[key].unionByName(df, allowMissingColumns=True)
-        self.tables[key] = df
-        df.createOrReplaceTempView(key)
+        with VIEW_LOCK:
+            key = name.lower()
+            if append and key in self.tables:
+                df = self.tables[key].unionByName(
+                    df, allowMissingColumns=True
+                )
+            self.tables[key] = df
+            df.createOrReplaceTempView(key)
+
+    def reassert_views(self) -> None:
+        """Re-create THIS job's temp views (call under VIEW_LOCK just
+        before a spark.sql over globals — a concurrent job may have
+        pointed a same-named view at its own table since we last
+        registered)."""
+        for key, df in self.tables.items():
+            df.createOrReplaceTempView(key)
 
     def get(self, name: str) -> DataFrame:
         return self.tables[name.lower()]
