@@ -159,14 +159,25 @@ def frozen_quality_margins(
     integer sum), margin = numer/(total·1e9) + Bn/1e9 — every operand
     of every float op is exactly representable, so IEEE rounding is
     identical on Spark and the DuckDB oracle."""
-    from analyst_spark.functions import classifier_frozen as cf
     from analyst_spark.tables import spread
 
-    spark = docs.sparkSession
     tok = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("tok"),
     )
+    return frozen_quality_margins_from_tokens(tok, id_col)
+
+
+def frozen_quality_margins_from_tokens(
+    tok: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`frozen_quality_margins` over an already-exploded
+    (id, tok) frame — the shared-tokenization form the fused curation
+    funnel consumes so the corpus is split exactly once across all
+    funnel stages. Same exact-integer margin arithmetic."""
+    from analyst_spark.functions import classifier_frozen as cf
+
+    spark = tok.sparkSession
     bucket = (
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
         % cf.N_BUCKETS
