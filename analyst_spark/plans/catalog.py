@@ -85,6 +85,9 @@ _register("aql_dedup_pipeline", aq.aql_dedup_pipeline, aq.AQL_DEDUP_ORACLE)
 _register("events_hourly_rollup", ev.events_hourly_rollup, ev.EVENTS_HOURLY_ORACLE)
 _register("events_json_props", ev.events_json_props, ev.EVENTS_JSON_ORACLE)
 _register("events_user_sessions", ev.events_user_sessions, ev.EVENTS_SESSIONS_ORACLE)
+_register(
+    "events_sessions_chunked", ev.events_sessions_chunked, ev.EVENTS_SESSIONS_ORACLE
+)
 _register("events_session_window", ev.events_session_window, ev.EVENTS_SESSION_WINDOW_ORACLE)
 _register("events_asof_view_click", ev.events_asof_view_click, ev.EVENTS_ASOF_ORACLE)
 _register("events_range_join", ev.events_range_join, ev.EVENTS_RANGE_JOIN_ORACLE)

@@ -130,6 +130,21 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe sessionization (operators/sessionize.py, VERDICT
+    r7 #3): same per-user session report as events_user_sessions, but
+    computed with day-sliced windows + exact boundary merge so one
+    pathological key (a billion-event bot) cannot straggle the stage
+    — per-task sort state is bounded by one key's volume in one time
+    slice. Gated against the SAME oracle as the plain entry: the
+    chunked math must reproduce single-window sessionization
+    row-for-row."""
+    from analyst_spark.operators.sessionize import sessionize_chunked
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return sessionize_chunked(ev, gap_s=1800, slice_s=86400)
+
+
 def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every click, the user's latest view at or
     before it, plus the lag in whole seconds (operators/asof.py —

@@ -66,6 +66,7 @@ EVENT_ENTRIES = [
     "events_lag_delta", "events_cohort_retention", "events_funnel",
     "events_anomaly_zscore", "events_rollup", "events_pivot",
     "events_distinct_users", "events_salted_rollup",
+    "events_sessions_chunked",
 ]
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",

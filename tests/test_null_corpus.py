@@ -42,6 +42,7 @@ EVENT_ENTRIES = [
     "events_cohort_retention", "events_rollup", "events_pivot",
     "events_distinct_users", "events_salted_rollup", "events_json_props",
     "events_asof_view_click", "events_range_join", "events_session_window",
+    "events_sessions_chunked",
 ]
 
 
