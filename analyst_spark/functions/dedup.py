@@ -193,6 +193,7 @@ def minhash_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate duplicate pairs (id_a < id_b) with band votes.
 
@@ -201,6 +202,16 @@ def minhash_pairs(
     similarity s. The self-join is on (band_idx, band_hash), so the
     shuffle key is the bucket — skew only if a bucket is huge, which
     AQE's skew-join handles.
+
+    ``max_bucket_size`` (opt-in, VERDICT r7 #4) caps the candidate
+    blowup explicitly: buckets larger than the cap are SKIPPED in the
+    self-join, and the dropped buckets are reported on the result as
+    ``result._asp_dropped_buckets`` — a lazy (band, bucket, bsz,
+    dropped_pairs) frame where dropped_pairs = C(bsz, 2) is that
+    bucket's skipped candidate count (an upper bound on distinct
+    dropped pairs, since a pair sharing several oversized buckets is
+    counted once per bucket). Default None = exact banding-OR recall,
+    gates untouched.
     """
     k = bands * rows_per_band
     sigs = minhash_signatures(
@@ -221,9 +232,29 @@ def minhash_pairs(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket").persist()
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
-    return _with_cached_deps(
+    dropped = None
+    join_src = buckets
+    if max_bucket_size is not None:
+        bsz = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        keep = bsz.filter(F.col("bsz") <= max_bucket_size).select(
+            "band", "bucket"
+        )
+        dropped = bsz.filter(F.col("bsz") > max_bucket_size).select(
+            "band",
+            "bucket",
+            "bsz",
+            (F.col("bsz") * (F.col("bsz") - 1) / 2)
+            .cast("long")
+            .alias("dropped_pairs"),
+        )
+        # co-partitioned hash join on the bucket key — the kept-set
+        # is corpus-derived, AQE decides broadcast
+        join_src = buckets.join(keep, ["band", "bucket"])
+    a = join_src.alias("a")
+    b_ = join_src.alias("b")
+    out = _with_cached_deps(
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -236,6 +267,9 @@ def minhash_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands")),
         buckets,
     )
+    if dropped is not None:
+        out._asp_dropped_buckets = dropped  # type: ignore[attr-defined]
+    return out
 
 
 def simhash_signatures(
@@ -323,6 +357,7 @@ def lsh_verified_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The PRODUCTION near-dup chain: MinHash-LSH candidate
     generation followed by exact n-gram Jaccard verification computed
@@ -370,6 +405,24 @@ def lsh_verified_pairs(
     :func:`minhash_pairs`; precision after verification is exactly 1
     at the threshold.
 
+    NOTE (laziness): with ``collapse_exact=True`` this builder runs
+    an EAGER Spark job at construction time — the adaptive decision
+    needs one count/count-distinct scan of the corpus fingerprints —
+    and the returned plan shape is data-dependent. Callers building
+    plans speculatively (without executing them) should pass
+    ``collapse_exact=False`` to stay fully lazy.
+
+    ``max_bucket_size`` (opt-in, VERDICT r7 #4) bounds the remaining
+    storm mode the exact-collapse cannot absorb: NEAR-clone corpora,
+    where the answer itself is quadratic in the clone-group size.
+    Buckets above the cap are skipped during candidate generation and
+    reported on the result as ``result._asp_dropped_buckets``
+    ((band, bucket, bsz, dropped_pairs) — see :func:`minhash_pairs`),
+    so the worst case is bounded EXPLICITLY with dropped-work
+    accounting instead of by corpus assumption. Recall trade measured
+    in SCALE.md (near-clone storm probe); default None keeps the
+    exact banding-OR recall and leaves every hash gate untouched.
+
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     """
     if collapse_exact:
@@ -411,6 +464,7 @@ def lsh_verified_pairs(
         rep_pairs = lsh_verified_pairs(
             reps_df, text_col, id_col, n, bands, rows_per_band,
             threshold, collapse_exact=False,
+            max_bucket_size=max_bucket_size,
         )
         rep_deps = getattr(rep_pairs, "_asp_cached_deps", ())
         g2 = groups.select(
@@ -450,12 +504,18 @@ def lsh_verified_pairs(
                 F.lit(1.0).alias("jaccard"),
             )
         )
-        return _with_cached_deps(
+        out = _with_cached_deps(
             cross.unionByName(intra), groups, *rep_deps
         )
+        if hasattr(rep_pairs, "_asp_dropped_buckets"):
+            out._asp_dropped_buckets = (  # type: ignore[attr-defined]
+                rep_pairs._asp_dropped_buckets
+            )
+        return out
     sh = shingles_exploded(df, text_col, id_col, n).persist()
     cand_full = minhash_pairs(
-        df, text_col, id_col, n, bands, rows_per_band, shingles=sh
+        df, text_col, id_col, n, bands, rows_per_band, shingles=sh,
+        max_bucket_size=max_bucket_size,
     )
     # capture the buckets dep BEFORE projecting (select drops the
     # _asp_cached_deps attribute)
@@ -475,7 +535,7 @@ def lsh_verified_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return _with_cached_deps(
+    out = _with_cached_deps(
         inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
@@ -489,3 +549,8 @@ def lsh_verified_pairs(
         sh,
         *cand_deps,
     )
+    if hasattr(cand_full, "_asp_dropped_buckets"):
+        out._asp_dropped_buckets = (  # type: ignore[attr-defined]
+            cand_full._asp_dropped_buckets
+        )
+    return out

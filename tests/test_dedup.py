@@ -194,3 +194,69 @@ def test_lsh_verified_collapse_exact_equals_uncollapsed(spark):
         assert got_c[p] == 1.0
     # shingle-less identical docs never pair
     assert (6, 7) not in got_c
+
+
+def test_lsh_bucket_cap_bounds_storm_with_accounting(spark):
+    """r8 (VERDICT r7 #4): the opt-in max_bucket_size cap skips
+    oversized LSH buckets, reports the dropped candidate count, and
+    leaves results untouched when no bucket exceeds the cap."""
+    from analyst_spark.functions.dedup import lsh_verified_pairs, release_cached
+
+    # a near-clone storm: 12 docs, all near-identical (one trailing
+    # word varies) -> they share band buckets of size ~12
+    base = "the quick brown fox jumps over the lazy dog variant"
+    storm = [(i, f"{base} {i % 3}") for i in range(12)]
+    # plus an unrelated tight pair that lives in its own small bucket
+    storm += [
+        (100, "spark catalyst optimizer rewrites logical query plans"),
+        (101, "spark catalyst optimizer rewrites logical query plans"),
+    ]
+    docs = spark.createDataFrame(storm, ["doc_id", "text"])
+    kw = dict(threshold=0.2, bands=4, rows_per_band=2, collapse_exact=False)
+
+    uncapped = lsh_verified_pairs(docs, **kw)
+    full = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    release_cached(uncapped)
+    assert not hasattr(uncapped, "_asp_dropped_buckets")
+
+    capped = lsh_verified_pairs(docs, max_bucket_size=6, **kw)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    dropped = capped._asp_dropped_buckets.collect()
+    release_cached(capped)
+    # the storm bucket(s) were skipped: fewer pairs, and the small
+    # bucket's pair survives untouched
+    assert got < full
+    assert (100, 101) in got
+    # accounting: every dropped bucket reports its C(bsz, 2) pairs
+    assert dropped and all(
+        r.bsz > 6 and r.dropped_pairs == r.bsz * (r.bsz - 1) // 2
+        for r in dropped
+    )
+
+    # a cap nothing exceeds changes nothing (pure accounting path)
+    loose = lsh_verified_pairs(docs, max_bucket_size=1000, **kw)
+    assert {(r.id_a, r.id_b) for r in loose.collect()} == full
+    assert loose._asp_dropped_buckets.count() == 0
+    release_cached(loose)
+
+
+def test_lsh_bucket_cap_through_collapse_path(spark):
+    """The cap threads through the exact-collapse pre-step: dropped
+    accounting is propagated from the representative-level chain."""
+    from analyst_spark.functions.dedup import lsh_verified_pairs, release_cached
+
+    # >5% byte-identical so the collapse engages, plus a near-clone
+    # storm among the representatives
+    rows = [(i, "byte identical clone text for the collapse group") for i in range(10)]
+    rows += [(50 + i, f"near clone storm document trailing {i % 2}") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = lsh_verified_pairs(
+        docs, threshold=0.2, bands=4, rows_per_band=2,
+        collapse_exact=True, max_bucket_size=3,
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert hasattr(out, "_asp_dropped_buckets")
+    # the exact clone group still expands fully (collapse handles it;
+    # the cap only bounds representative-level candidates)
+    assert (0, 1) in pairs and (0, 9) in pairs
+    release_cached(out)

@@ -13,6 +13,13 @@ The two modes are first checked for pair-set equality at sf0.01 scale
 (beyond the pytest twin), then timed at sf0.1×CLONES.
 
 Usage: python tools/dup_storm_probe.py [clones]
+       python tools/dup_storm_probe.py near [clones] [cap]
+
+``near`` mode (r8, VERDICT r7 #4) builds the storm the exact-collapse
+CANNOT absorb — every copy's text differs by one appended token, so
+the answer itself is quadratic in the clone-group size — and measures
+the opt-in ``max_bucket_size`` cap: wall time, surviving pair count,
+dropped-candidate accounting, and recall vs the uncapped run.
 """
 
 from __future__ import annotations
@@ -91,5 +98,63 @@ def main() -> None:
         print(f"{label}: {best:7.2f}s  pairs={n}", flush=True)
 
 
+def near_clone_corpus(docs, copies: int):
+    """Each copy appends a distinct token: byte-distinct, Jaccard
+    ~1 - 1/|shingles| — the collapse pre-step sees 0% duplication."""
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.lit(f"variant{k}")).alias("text"),
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main_near() -> None:
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    spark = get_spark("dup_storm_probe_near")
+    big = near_clone_corpus(
+        load_tables(spark, "/root/testdata/sf0.1")["documents"], copies
+    ).persist()
+    n_docs = big.count()
+    print(f"near-clone corpus: {n_docs} docs ({copies} copies)", flush=True)
+
+    results = {}
+    for label, kw in (
+        ("uncapped", {}),
+        (f"cap={cap}", {"max_bucket_size": cap}),
+    ):
+        best, pairs, dropped = None, None, 0
+        for _ in range(2):
+            t0 = time.time()
+            out = lsh_verified_pairs(big, collapse_exact=False, **kw)
+            pairs = out.count()
+            dt = time.time() - t0
+            acct = getattr(out, "_asp_dropped_buckets", None)
+            if acct is not None:
+                row = acct.agg(
+                    F.coalesce(F.sum("dropped_pairs"), F.lit(0)).alias("d"),
+                    F.count(F.lit(1)).alias("b"),
+                ).first()
+                dropped = (row["d"], row["b"])
+            release_cached(out)
+            best = dt if best is None else min(best, dt)
+        results[label] = (best, pairs)
+        extra = f"  dropped_candidates={dropped[0]} over {dropped[1]} buckets" if dropped else ""
+        print(f"{label:>10}: {best:7.2f}s  pairs={pairs}{extra}", flush=True)
+    (t_u, p_u), (t_c, p_c) = results.values()
+    print(
+        f"recall={p_c / p_u:.4f}  speedup={t_u / t_c:.2f}x", flush=True
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "near":
+        main_near()
+    else:
+        main()
