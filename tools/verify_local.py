@@ -63,6 +63,62 @@ def table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
+# --------------------------------------------------------------- banded gates
+#
+# Sketch-based entries have no exact cross-engine oracle, but they DO
+# have a documented error bound — check it instead of settling for
+# rows-only (VERDICT r7 #5).
+
+_PA_ACCURACY = 10000  # Spark percentile_approx default
+
+
+def _check_quantile_approx(con, scols, srows):
+    """agg_quantile_approx: Spark's percentile_approx guarantees rank
+    error <= n/accuracy. Gate: each group's p50/p95 must lie within
+    the EXACT value band DuckDB computes at ranks q +/- 2/accuracy
+    (x2 absorbs the +/-1-rank discreteness at band edges; still a
+    ~0.02%-rank-wide band)."""
+    eps = 2.0 / _PA_ACCURACY
+    rows = con.sql(
+        f"""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, {0.5 - eps})  AS lo50,
+               quantile_disc(l_extendedprice, {0.5 + eps})  AS hi50,
+               quantile_disc(l_extendedprice, {0.95 - eps}) AS lo95,
+               quantile_disc(l_extendedprice, {0.95 + eps}) AS hi95
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    bands = {r[0]: r[1:] for r in rows}
+    problems = []
+    want_cols = {"l_returnflag", "p50", "p95"}
+    scols_l = [c.lower() for c in scols]
+    if set(scols_l) != want_cols:
+        problems.append(f"cols spark={scols_l} want={sorted(want_cols)}")
+        return problems, len(bands)
+    if len(srows) != len(bands):
+        problems.append(f"rowcount spark={len(srows)} bands={len(bands)}")
+    idx = {c: i for i, c in enumerate(scols_l)}
+    for r in srows:
+        g = r[idx["l_returnflag"]]
+        if g not in bands:
+            problems.append(f"unexpected group {g!r}")
+            continue
+        lo50, hi50, lo95, hi95 = bands[g]
+        for label, v, lo, hi in (
+            ("p50", r[idx["p50"]], lo50, hi50),
+            ("p95", r[idx["p95"]], lo95, hi95),
+        ):
+            if not (lo - 1e-9 <= v <= hi + 1e-9):
+                problems.append(
+                    f"{g}: {label}={v} outside exact band [{lo}, {hi}]"
+                )
+    return problems, len(bands)
+
+
+BANDED_CHECKS = {"agg_quantile_approx": _check_quantile_approx}
+
+
 def main(names, json_path=None):
     import __spark_entry__ as entrymod
     from analyst_spark.session import get_spark
@@ -102,6 +158,25 @@ def main(names, json_path=None):
             continue
         rec["spark_rows"] = len(srows)
         if name not in oracles:
+            if name in BANDED_CHECKS:
+                try:
+                    problems, n_bands = BANDED_CHECKS[name](con, scols, srows)
+                except Exception as e:  # noqa: BLE001
+                    problems, n_bands = [f"banded check error: {e}"], None
+                rec["oracle_rows"] = n_bands
+                rec["err"] = "banded_oracle"
+                if problems:
+                    failures.append(name)
+                    rec["rows_match"] = rec["schema_match"] = False
+                    rec["hash_match"] = False
+                    print(f"FAIL  {name}: {'; '.join(problems)} "
+                          f"[{time.time()-t0:.1f}s]")
+                else:
+                    rec["rows_match"] = rec["schema_match"] = True
+                    rec["hash_match"] = True
+                    print(f"ok    {name}: rows={len(srows)} "
+                          f"(banded-error oracle) [{time.time()-t0:.1f}s]")
+                continue
             rec["err"] = "no_oracle"
             print(f"ok*   {name}: rows={len(srows)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
