@@ -42,7 +42,14 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count(cents).alias("__nv"),  # valid measurements
-            F.sum(cents).cast("long").alias("__sc"),
+            # decimal(38,0) group sum: per-row cents reach 9e15, so a
+            # few thousand extreme in-domain rows could wrap an int64
+            # sum (and 200*sum wraps ~200x sooner) under Spark's
+            # non-ANSI arithmetic while DuckDB auto-promotes to
+            # HUGEINT — a silent cross-engine divergence (r7 advice).
+            # Decimal accumulates exactly; the DIV quotient is
+            # ~100*avg_cents <= 9e17, safely back in int64.
+            F.sum(cents.cast("decimal(28,0)")).alias("__sc"),
         )
         .select(
             "hour",
@@ -73,7 +80,7 @@ FROM (
            event_type,
            count(*)                AS n_events,
            count(cents)            AS nv,
-           CAST(sum(cents) AS BIGINT) AS sc
+           CAST(sum(cents) AS HUGEINT) AS sc
     FROM (SELECT ts, event_type, CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents FROM events)
     GROUP BY 1, 2
 )

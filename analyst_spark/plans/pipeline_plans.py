@@ -756,7 +756,17 @@ def _avg_micro6(s_col: str, n_col: str):
     engines when the true quotient sits on the decimal half-boundary
     (the r7 sf0.1 full gate caught exactly one such doc in each LM
     entry); this form cannot differ — both engines divide the same
-    integers. :func:`_avg_micro6_sql` is the DuckDB twin."""
+    integers. :func:`_avg_micro6_sql` is the DuckDB twin.
+
+    Domain (r7 advice): 2·s is computed in int64, so a group sum
+    |s| > ~4.6e18/2 would wrap on Spark while DuckDB promotes to
+    HUGEINT. Here s is a per-document sum of micro-log-probs (|micro|
+    ≤ ~3e7 per gram), so wrapping needs ~1.5e11 grams in ONE document
+    — beyond any real document by orders of magnitude, and the
+    pathological-text suite bounds documents far below it. Callers
+    aggregating across documents (not per-doc) must re-check the
+    bound or accumulate in decimal(38,0) (see
+    events_hourly_rollup)."""
     return (
         F.expr(
             f"CASE WHEN {s_col} >= 0 THEN (2*{s_col} + {n_col}) DIV (2*{n_col}) "

@@ -29,6 +29,21 @@ from analyst_spark.tables import load_tables
 _SINK = "streaming_hourly_rollup_gate"
 
 
+def _await_or_raise(q, timeout: int = 600) -> None:
+    """awaitTermination returns FALSE on timeout — silently
+    aggregating whatever partial micro-batches landed would read as a
+    data bug rather than a timeout (r7 advice). Stop the query and
+    raise instead."""
+    if not q.awaitTermination(timeout):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not finish its "
+                f"availableNow run within {timeout}s"
+            )
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     tmp = tempfile.mkdtemp(prefix="asp_stream_events_")
@@ -44,7 +59,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _SINK,
             output_mode="complete",
         )
-        q.awaitTermination(600)
+        _await_or_raise(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(_SINK)
@@ -121,7 +136,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             _SESS_SINK,
             output_mode="complete",
         )
-        q.awaitTermination(600)
+        _await_or_raise(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     from pyspark.sql import functions as F
@@ -192,7 +207,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _DEDUP_SINK,
             output_mode="append",
         )
-        q.awaitTermination(600)
+        _await_or_raise(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return (
@@ -248,7 +263,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             _TOTALS_SINK,
             output_mode="update",
         )
-        q.awaitTermination(600)
+        _await_or_raise(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return (
@@ -302,7 +317,7 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _JOIN_SINK,
             output_mode="append",
         )
-        q.awaitTermination(600)
+        _await_or_raise(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(_JOIN_SINK)
@@ -360,7 +375,7 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
         q = run_to_memory_sink(agg, _QF_SINK, output_mode="complete")
-        q.awaitTermination(600)
+        _await_or_raise(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(_QF_SINK)
@@ -440,7 +455,7 @@ def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_raise(q)
         landed = spark.read.schema(
             "doc_id long, lang string, keep boolean"
         ).parquet(out_dir)
@@ -559,7 +574,7 @@ def streaming_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(flag).cast("long").alias("n_anomalies"),
         )
         q = run_to_memory_sink(agg, _ANOM_SINK, output_mode="complete")
-        q.awaitTermination(600)
+        _await_or_raise(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(_ANOM_SINK)

@@ -102,12 +102,37 @@ def quote_literal(v) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+# Common reserved words that would break a bare identifier; anything
+# here still gets quoted even though it matches the bare-name shape.
+_RESERVED = frozenset(
+    """all and any array as asc between case cast check column create
+    cross current_date current_time default desc distinct else end
+    except false for foreign from full grant group having in inner
+    intersect into is join leading left like limit localtime natural
+    not null offset on only or order outer primary references right
+    select session_user some symmetric table then to trailing true
+    union unique user using when where window with""".split()
+)
+
+_BARE_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+
+
 def quote_ident(name: str) -> str:
-    """Double-quoted SQL identifier with embedded-quote doubling;
-    dotted names are quoted per segment (schema.table)."""
-    return ".".join(
-        '"' + part.replace('"', '""') + '"' for part in str(name).split(".")
-    )
+    """SQL identifier, quoted ONLY when needed (r7 advice): any name
+    that is a legal bare identifier is emitted VERBATIM so it
+    case-folds exactly the way the reference's DefaultInserter does
+    (sql_inserter.go Statement() emits identifiers unquoted —
+    ``TABLE = 'MyTable'`` matches a lowercase-stored table). Names
+    that cannot stand bare (spaces, punctuation, leading digits,
+    reserved words) get double-quoted with embedded-quote doubling;
+    dotted names are handled per segment (schema.table)."""
+
+    def seg(part: str) -> str:
+        if _BARE_IDENT.match(part) and part.lower() not in _RESERVED:
+            return part
+        return '"' + part.replace('"', '""') + '"'
+
+    return ".".join(seg(p) for p in str(name).split("."))
 
 
 def copy_text_value(v) -> str:

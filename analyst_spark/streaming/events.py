@@ -65,7 +65,10 @@ def hourly_rollup_stream(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count(cents).alias("__nv"),  # valid measurements
-            F.sum(cents).cast("long").alias("__sc"),
+            # decimal group sum: see events_plans.events_hourly_rollup
+            # (int64 would wrap on extreme in-domain cents; DuckDB
+            # promotes to HUGEINT - silent divergence otherwise)
+            F.sum(cents.cast("decimal(28,0)")).alias("__sc"),
         )
         .select(
             F.col("win.start").alias("hour"),

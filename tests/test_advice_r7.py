@@ -45,10 +45,19 @@ def test_quote_literal_rejects_nul_clearly():
 # ---- 2. identifier quoting --------------------------------------------------
 
 def test_quote_ident_forms():
-    assert quote_ident("MixedCase") == '"MixedCase"'
-    assert quote_ident("order") == '"order"'  # reserved word ok
+    # r8 (r7 advice follow-up): bare-legal names are emitted VERBATIM
+    # so they case-fold like the reference's DefaultInserter
+    # (sql_inserter.go Statement() emits identifiers unquoted) —
+    # TABLE='MyTable' must keep matching a lowercase-stored table.
+    assert quote_ident("MixedCase") == "MixedCase"
+    assert quote_ident("simple") == "simple"
+    assert quote_ident("public.Out") == "public.Out"
+    # names that cannot stand bare still get quoted
+    assert quote_ident("order") == '"order"'  # reserved word
     assert quote_ident('we"ird') == '"we""ird"'
-    assert quote_ident("public.Out") == '"public"."Out"'
+    assert quote_ident("has space") == '"has space"'
+    assert quote_ident("1starts_digit") == '"1starts_digit"'
+    assert quote_ident('public."quoted"') == 'public."""quoted"""'
 
 
 def test_copy_text_value_encoding():

@@ -290,7 +290,9 @@ def test_pg_write_bulk_routes_copy_small_stays_insert(spark, pg_sockdir):
         [(10 + k, f"r{k}") for k in range(23)], "i INT, t STRING"
     )
     pgc.write(df_big, {"TABLE": "strat", "ROWS_PER_BATCH": 5})
-    assert len(copied) == 1 and copied[0].startswith('COPY "strat"')
+    # r8: bare-legal identifiers are emitted VERBATIM (reference's
+    # DefaultInserter case-folding semantics) — no quotes on 'strat'
+    assert len(copied) == 1 and copied[0].startswith("COPY strat")
     cur.execute("SELECT count(*), min(i), max(i) FROM strat")
     assert cur.fetchone() == (25, 1, 32)
     pgc.conn.close()

@@ -65,7 +65,7 @@ def test_hourly_rollup_stream(spark, events_dir):
     stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
     assert stream.isStreaming
     q = run_to_memory_sink(hourly_rollup_stream(stream), "rollup_test")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     out = {
         (r.hour.hour, r.event_type): (r.n_events, r.avg_value)
         for r in spark.sql("SELECT * FROM rollup_test").collect()
@@ -78,7 +78,7 @@ def test_hourly_rollup_stream(spark, events_dir):
 def test_sessionize_stream(spark, events_dir):
     stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
     q = run_to_memory_sink(sessionize_stream(stream, gap_minutes=30), "sess_test")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM sess_test").collect()
     by_user = {}
     for r in rows:
@@ -105,7 +105,7 @@ def test_dedup_stream(spark, tmp_path):
     ])
     stream = read_events_stream(spark, str(p), max_files_per_trigger=1)
     q = run_to_memory_sink(dedup_stream(stream), "dedup_test")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     ids = sorted(
         r.event_id for r in spark.sql("SELECT * FROM dedup_test").collect()
     )
@@ -128,7 +128,7 @@ def test_dedup_stream_by_content(spark, tmp_path):
         dedup_stream_by_content(stream, ["user_id", "event_type", "value", "ts"]),
         "dedup_content_test",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM dedup_content_test").collect()
     assert len(rows) == 2
     assert sorted(r.value for r in rows) == [1.0, 2.0]
@@ -161,7 +161,7 @@ def test_stream_stream_attribution_join(spark, events_dir):
         view_click_attribution_stream(views, clicks, max_gap="90 minutes"),
         "attr_test",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     pairs = {
         (r.view_id, r.click_id)
         for r in spark.sql("SELECT * FROM attr_test").collect()
@@ -180,7 +180,7 @@ def test_stream_to_partitioned_lake_foreachbatch(spark, events_dir, tmp_path):
     q = stream_to_partitioned_lake(
         stream, out, ckpt, partition_by=["event_type"]
     ).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     back = spark.read.parquet(out)
     assert back.count() == 6  # 5 events + flush
     # both micro-batches landed under distinct batch dirs
