@@ -94,6 +94,9 @@ _register("events_range_join", ev.events_range_join, ev.EVENTS_RANGE_JOIN_ORACLE
 _register("events_rollup", ev.events_rollup, ev.EVENTS_ROLLUP_ORACLE)
 _register("events_pivot", ev.events_pivot, ev.EVENTS_PIVOT_ORACLE)
 _register("events_distinct_users", ev.events_distinct_users, ev.EVENTS_DISTINCT_ORACLE)
+# HLL sketch variant: no exact oracle; banded-error gate in
+# tools/verify_local.py (_check_distinct_hll) + pytest bound twin
+_register("events_distinct_users_hll", ev.events_distinct_users_hll, None)
 _register("events_salted_rollup", ev.events_salted_rollup, ev.EVENTS_SALTED_ORACLE)
 
 # --- window / cohort / set-op analytics, corpus splits --------------

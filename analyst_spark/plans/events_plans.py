@@ -327,6 +327,29 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HyperLogLog++
+    (approx_count_distinct, rsd=0.01) — the 100 TB form of
+    events_distinct_users: the sketch is FIXED-SIZE and mergeable, so
+    the aggregation is one map-side-combined pass with a
+    sketch-per-group shuffle instead of the exact form's shuffle of
+    every distinct (group, user) pair. At a billion users per type the
+    exact expand ships the world; the sketch ships ~kilobytes per
+    group. Correctness gate: relative error is bounded by the
+    requested rsd — verify_local checks every group against DuckDB's
+    exact count at a 5-sigma band (tools/verify_local.py
+    _check_distinct_hll); tests/test_advice_r8.py pins the bound in
+    pytest too."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+HLL_RSD = 0.01
+
+
 EVENTS_DISTINCT_ORACLE = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -1,0 +1,73 @@
+"""Round-8 additions: HLL distinct sketch entry.
+
+events_distinct_users_hll is the 100 TB form of exact distinct —
+fixed-size mergeable sketches instead of an expand over every
+(group, user) pair. Its correctness story is a BOUND, not equality:
+these tests pin the documented rsd at sf0.01 and the plan shape
+(single aggregate, no expand)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analyst_spark.plans.events_plans import (
+    HLL_RSD,
+    events_distinct_users,
+    events_distinct_users_hll,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_within_5_sigma_of_exact(spark):
+    exact = {
+        r.event_type: (r.n_users, r.n_events)
+        for r in events_distinct_users(spark, SF).collect()
+    }
+    approx = {
+        r.event_type: (r.n_users_approx, r.n_events)
+        for r in events_distinct_users_hll(spark, SF).collect()
+    }
+    assert set(exact) == set(approx)
+    for g, (n_users, n_events) in exact.items():
+        a_users, a_events = approx[g]
+        assert a_events == n_events, f"{g}: n_events must be exact"
+        assert abs(a_users - n_users) <= 5 * HLL_RSD * n_users + 1, (
+            f"{g}: approx={a_users} exact={n_users} outside 5*rsd"
+        )
+
+
+def test_hll_plan_has_single_group_shuffle(spark):
+    """The exact form's distinct rewrite shuffles every distinct
+    (event_type, user_id) pair — an Exchange keyed on user_id and a
+    4-phase aggregate. The sketch form must plan exactly ONE exchange,
+    keyed on the group alone, with no user_id in any partitioning —
+    that per-user shuffle is exactly the scale cost the sketch
+    removes."""
+    exact_plan = events_distinct_users(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    hll_plan = events_distinct_users_hll(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(event_type" in exact_plan
+    assert any(
+        "user_id" in line
+        for line in exact_plan.splitlines()
+        if "Exchange" in line
+    ), "exact distinct should shuffle (group, user) pairs"
+    hll_exchanges = [l for l in hll_plan.splitlines() if "Exchange" in l]
+    assert len(hll_exchanges) == 1, hll_plan
+    assert "user_id" not in hll_exchanges[0]
+
+
+def test_hll_exact_on_tiny_cardinalities(spark):
+    """HLL++ is exact at small cardinalities (sparse mode) — a
+    deterministic pin, not a band."""
+    df = spark.createDataFrame(
+        [("a", i % 3) for i in range(50)] + [("b", 7)],
+        "event_type STRING, user_id INT",
+    )
+    got = {
+        r.event_type: r.n
+        for r in df.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("n"))
+        .collect()
+    }
+    assert got == {"a": 3, "b": 1}

@@ -67,6 +67,7 @@ EVENT_ENTRIES = [
     "events_anomaly_zscore", "events_rollup", "events_pivot",
     "events_distinct_users", "events_salted_rollup",
     "events_sessions_chunked",
+    "events_distinct_users_hll",
 ]
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",

@@ -17,6 +17,7 @@ def test_contract_shapes():
         "events_approx_distinct",  # HLL estimates are impl-specific
         "docs_stratified_sample",  # seeded sampler is engine-specific
         "agg_quantile_approx",     # sketch estimates are impl-specific
+        "events_distinct_users_hll",  # HLL sketch; banded gate in verify_local
         "ann_ivf_trained",         # k-means centroids are engine-specific
         "dedup_semantic_trained",  # k-means clustering; twin-pinned in test_similarity
         "embeddings_pca",          # eigendecomposition; twin-pinned in test_pca

@@ -43,6 +43,7 @@ EVENT_ENTRIES = [
     "events_distinct_users", "events_salted_rollup", "events_json_props",
     "events_asof_view_click", "events_range_join", "events_session_window",
     "events_sessions_chunked",
+    "events_distinct_users_hll",
 ]
 
 

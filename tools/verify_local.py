@@ -116,7 +116,49 @@ def _check_quantile_approx(con, scols, srows):
     return problems, len(bands)
 
 
-BANDED_CHECKS = {"agg_quantile_approx": _check_quantile_approx}
+def _check_distinct_hll(con, scols, srows):
+    """events_distinct_users_hll: HLL++ at rsd=0.01 — every group's
+    approximate count must lie within 5*rsd of DuckDB's exact
+    distinct count (5-sigma on the sketch's standard error; a false
+    failure is ~1e-6 per group), and n_events must be EXACT."""
+    rsd = 0.01
+    rows = con.sql(
+        "SELECT event_type, count(DISTINCT user_id), count(*) "
+        "FROM events GROUP BY event_type"
+    ).fetchall()
+    exact = {r[0]: (r[1], r[2]) for r in rows}
+    problems = []
+    want_cols = {"event_type", "n_users_approx", "n_events"}
+    scols_l = [c.lower() for c in scols]
+    if set(scols_l) != want_cols:
+        problems.append(f"cols spark={scols_l} want={sorted(want_cols)}")
+        return problems, len(exact)
+    if len(srows) != len(exact):
+        problems.append(f"rowcount spark={len(srows)} exact={len(exact)}")
+    idx = {c: i for i, c in enumerate(scols_l)}
+    for r in srows:
+        g = r[idx["event_type"]]
+        if g not in exact:
+            problems.append(f"unexpected group {g!r}")
+            continue
+        n_users, n_events = exact[g]
+        approx = r[idx["n_users_approx"]]
+        if r[idx["n_events"]] != n_events:
+            problems.append(
+                f"{g}: n_events={r[idx['n_events']]} exact={n_events}"
+            )
+        if abs(approx - n_users) > 5 * rsd * n_users + 1:
+            problems.append(
+                f"{g}: approx={approx} exact={n_users} "
+                f"outside 5*rsd band (+/-{5 * rsd * n_users + 1:.0f})"
+            )
+    return problems, len(exact)
+
+
+BANDED_CHECKS = {
+    "agg_quantile_approx": _check_quantile_approx,
+    "events_distinct_users_hll": _check_distinct_hll,
+}
 
 
 def main(names, json_path=None):
