@@ -96,6 +96,12 @@ def email_sink(
         msg["to"] = to
         msg["from"] = frm
         if template:
+            # template NAME travels with the message so API transports
+            # (Mandrill) can delegate rendering to the service, exactly
+            # as the reference does (MessagesSendTemplate,
+            # mandrill_destination.go:73,:87); the local rendering stays
+            # for SMTP/file transports.
+            msg["template"] = template
             msg["body"] = render_template(template, msg["content"])
         send_fn(msg)
     return len(messages)
@@ -144,6 +150,89 @@ def smtp_transport(
             )
         finally:
             client.quit()
+
+    return send
+
+
+def mandrill_ping(api_key: str, base_url: str) -> str:
+    """POST /users/ping.json — the reference's Ping()
+    (mandrill_destination.go:32-36, keighl/mandrill ClientWithKey +
+    Ping). Returns the service's reply string ("PONG!" on success)."""
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/users/ping.json",
+        data=json.dumps({"key": api_key}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read().decode())
+
+
+def mandrill_transport(
+    api_key: str,
+    base_url: str = "https://mandrillapp.com/api/1.0",
+) -> Callable[[dict], None]:
+    """A send_fn speaking the Mandrill HTTP API over stdlib urllib —
+    the transport the reference uses through keighl/mandrill
+    (mandrill_destination.go:73,:87 MessagesSendTemplate). Payload
+    shape mirrors that client exactly:
+
+      POST {base}/messages/send-template.json
+      {"key": ..., "template_name": ..., "template_content": [],
+       "message": {subject, from_email, from_name,
+                   to: [{email, name, type: "to"}],
+                   global_merge_vars: [{name, content}, ...]}}
+
+    Rendered row content becomes ``global_merge_vars`` (one var per
+    column; the all-rows form sends the row list under the single var
+    ``rows``, which is how a list renders in a Mandrill template
+    loop). ``base_url`` exists so tests (and on-prem proxies) can
+    point the transport at a local endpoint; the default is the
+    public API. Raises on HTTP error or a non-"sent" per-recipient
+    status, matching the reference's fatalerr path."""
+    import json
+    import urllib.request
+
+    def send(msg: dict) -> None:
+        content = msg["content"]
+        if isinstance(content, list):
+            merge_vars = [{"name": "rows", "content": content}]
+        else:
+            merge_vars = [
+                {"name": str(k), "content": v} for k, v in content.items()
+            ]
+        message = {
+            "subject": msg.get("subject") or None,
+            "to": [
+                {"email": e, "name": n, "type": "to"} for n, e in msg["to"]
+            ],
+            "global_merge_vars": merge_vars,
+        }
+        if msg.get("from"):
+            frm_name, frm_addr = msg["from"]
+            message["from_email"] = frm_addr
+            message["from_name"] = frm_name
+        payload = {
+            "key": api_key,
+            "template_name": msg.get("template") or "",
+            "template_content": [],
+            "message": message,
+        }
+        req = urllib.request.Request(
+            base_url.rstrip("/") + "/messages/send-template.json",
+            data=json.dumps(payload, default=str).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            statuses = json.loads(resp.read().decode())
+        bad = [
+            s for s in statuses
+            if s.get("status") not in ("sent", "queued", "scheduled")
+        ]
+        if bad:
+            raise RuntimeError(f"mandrill rejected {len(bad)} recipient(s): {bad}")
 
     return send
 
