@@ -364,7 +364,114 @@ def bulk_load_payload(
     return out
 
 
+def parse_bulk_load(payload: bytes) -> tuple[list[tuple[str, str]], list[list]]:
+    """Server-side decode of a BulkLoadBCP body (COLMETADATA + ROW* +
+    DONE) → (columns, rows). Inverse of :func:`bulk_load_payload`;
+    the in-process TDS server uses it to land bulk-copied rows."""
+    if payload[0] != TOK_COLMETADATA:
+        raise ValueError("bulk stream must start with COLMETADATA")
+    (count,) = struct.unpack_from("<H", payload, 1)
+    pos = 3
+    columns: list[tuple[str, str]] = []
+    for _ in range(count):
+        pos += 6  # usertype(4) + flags(2)
+        tok = payload[pos]
+        pos += 1
+        if tok == TYPE_INTN:
+            if payload[pos] != 4:
+                raise ValueError("only 4-byte INTN supported")
+            pos += 1
+            sqlty = "int"
+        elif tok == TYPE_BIGVARCHAR:
+            (n,) = struct.unpack_from("<H", payload, pos)
+            pos += 2 + len(_RAW_COLLATION)
+            sqlty = f"varchar({n})"
+        else:
+            raise ValueError(f"unsupported bulk type token 0x{tok:02x}")
+        name, pos = _read_b_varchar(payload, pos)
+        columns.append((name, sqlty))
+    rows: list[list] = []
+    while pos < len(payload):
+        tok = payload[pos]
+        pos += 1
+        if tok == TOK_ROW:
+            vals = []
+            for _name, sqlty in columns:
+                if sqlty == "int":
+                    ln = payload[pos]
+                    pos += 1
+                    if ln == 0:
+                        vals.append(None)
+                    else:
+                        (v,) = struct.unpack_from("<i", payload, pos)
+                        pos += ln
+                        vals.append(v)
+                else:
+                    (ln,) = struct.unpack_from("<H", payload, pos)
+                    pos += 2
+                    if ln == 0xFFFF:
+                        vals.append(None)
+                    else:
+                        vals.append(payload[pos : pos + ln].decode("latin-1"))
+                        pos += ln
+            rows.append(vals)
+        elif tok == TOK_DONE:
+            status, _curcmd, declared = struct.unpack_from("<HHQ", payload, pos)
+            pos += 12
+            if status & 0x0010 and declared != len(rows):
+                raise ValueError(
+                    f"bulk DONE declares {declared} rows, stream has {len(rows)}"
+                )
+        else:
+            raise ValueError(f"unexpected bulk token 0x{tok:02x}")
+    return columns, rows
+
+
 # ---------------------------------------------------------------- responses
+
+
+def loginack_token(
+    prog_name: str = "asp-tds-server", tds_version: int = 0x74000004
+) -> bytes:
+    """LOGINACK ([MS-TDS] 2.2.7.13): interface 1 (SQL_TSQL), TDS
+    version big-endian, b_varchar program name, 4-byte prog version."""
+    name = prog_name.encode("utf-16-le")
+    body = (
+        bytes([1])
+        + struct.pack(">I", tds_version)
+        + bytes([len(name) // 2])
+        + name
+        + bytes([0, 0, 0, 1])
+    )
+    return bytes([TOK_LOGINACK]) + struct.pack("<H", len(body)) + body
+
+
+def error_token(number: int, message: str, severity: int = 16) -> bytes:
+    """ERROR ([MS-TDS] 2.2.7.9): number, state, class, us_varchar
+    message, b_varchar server/proc names, 4-byte line number."""
+    msg = message.encode("utf-16-le")
+    body = (
+        struct.pack("<IBB", number, 1, severity)
+        + struct.pack("<H", len(msg) // 2)
+        + msg
+        + bytes([0])  # server name
+        + bytes([0])  # proc name
+        + struct.pack("<I", 1)  # line
+    )
+    return bytes([TOK_ERROR]) + struct.pack("<H", len(body)) + body
+
+
+def envchange_token(etype: int, new: str, old: str = "") -> bytes:
+    """ENVCHANGE ([MS-TDS] 2.2.7.8), b_varchar old/new form (types
+    1 database, 2 language, 4 packet size)."""
+    n = new.encode("utf-16-le")
+    o = old.encode("utf-16-le")
+    body = (
+        bytes([etype])
+        + bytes([len(n) // 2]) + n
+        + bytes([len(o) // 2]) + o
+    )
+    return bytes([TOK_ENVCHANGE]) + struct.pack("<H", len(body)) + body
 
 
 def _read_us_varchar(data: bytes, pos: int) -> tuple[str, int]:
