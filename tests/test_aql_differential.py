@@ -13,8 +13,13 @@ exact, not approximate):
 
 * every double is a quarter (m/4) -> sums/avgs/quantile interpolation
   are exact in binary regardless of summation order;
-* LOOKUP tables carry UNIQUE keys -> the reference's last-row-wins
-  dedup is a no-op and both engines agree without an ordering column;
+* LOOKUP tables carry unique keys about half the time; the other
+  half generates DUPLICATE keys on purpose, engaging the engine's
+  deterministic stand-in for the reference's last-row-wins dedup
+  (greatest projected-column tuple wins, operators/lookup.py) —
+  mirrored in the oracle as a row_number() OVER (PARTITION BY keys
+  ORDER BY kept-cols DESC) = 1 subquery. Duplicate-key rows are
+  non-NULL so tuple comparison is total on both engines;
 * aggregate outputs are normalized (3.0 == 3) before comparison, so
   reducer double-casting differences are absorbed.
 
@@ -39,7 +44,7 @@ VOCAB = ["alpha", "beta", "gamma", "delta", "omega"]
 
 # column kinds: 'int' | 'float' | 'str'
 SRC_COLS = [("k", "int"), ("k2", "int"), ("v", "float"), ("s", "str")]
-LKP_COLS = [("k", "int"), ("lv", "float"), ("ls", "str")]
+LKP_COLS = [("k", "int"), ("k2", "int"), ("lv", "float"), ("ls", "str")]
 
 
 def _quarter(rng: random.Random) -> float:
@@ -59,8 +64,22 @@ def gen_src_rows(rng: random.Random) -> list[list]:
 
 
 def gen_lkp_rows(rng: random.Random) -> list[list]:
-    keys = rng.sample(range(0, 5), rng.randint(1, 4))  # unique, partial
-    return [[k, _quarter(rng), rng.choice(VOCAB)] for k in sorted(keys)]
+    keys = rng.sample(range(0, 5), rng.randint(1, 4))  # partial coverage
+    rows = [
+        [k, rng.randint(0, 2), _quarter(rng), rng.choice(VOCAB)]
+        for k in sorted(keys)
+    ]
+    if rng.random() < 0.5:
+        # duplicate keys: single-key lookups MUST dedup (the r8
+        # fuzz extension); values stay non-NULL so the greatest-tuple
+        # winner is total on both engines
+        for _ in range(rng.randint(1, 3)):
+            donor = rng.choice(rows)
+            rows.append(
+                [donor[0], donor[1] if rng.random() < 0.5 else rng.randint(0, 2),
+                 _quarter(rng), rng.choice(VOCAB)]
+            )
+    return rows
 
 
 def _duck_ty(kind: str) -> str:
@@ -155,10 +174,17 @@ def gen_agg(rng: random.Random, prev: str, name: str, cols):
 
 
 def gen_lookup(rng: random.Random, prev: str, name: str, cols):
-    if "k" not in [n for n, _ in cols]:
+    names = [n for n, _ in cols]
+    if "k" not in names:
         return None
+    # multi-key join when the base still carries k2 (r8 extension)
+    join_keys = ["k"]
+    if "k2" in names and rng.random() < 0.4:
+        join_keys = ["k", "k2"]
     how = rng.choice(["INNER", "OUTER"])
-    base_keep = [n for n, _ in cols if rng.random() < 0.8 or n == "k"]
+    base_keep = [
+        n for n, _ in cols if rng.random() < 0.8 or n in join_keys
+    ]
     lkp_cols = [("lv", "float"), ("ls", "str")]
     lkp_keep = [c for c in lkp_cols if rng.random() < 0.8] or [lkp_cols[0]]
     # stage-qualified aliases so chained LOOKUPs never project two
@@ -166,19 +192,30 @@ def gen_lookup(rng: random.Random, prev: str, name: str, cols):
     proj_aql = [f"{prev}.{c}" for c in base_keep] + [
         f"Lkp.{n} AS {n}_{name.lower()}" for n, _ in lkp_keep
     ]
+    on_aql = " AND ".join(f"{prev}.{k} = Lkp.{k}" for k in join_keys)
     aql = (
         f"TRANSFORM '{name}' FROM BLOCK {prev}, BLOCK Lkp (\n"
         f"    LOOKUP {', '.join(proj_aql)}\n"
-        f"    FROM {prev} {how} JOIN Lkp ON {prev}.k = Lkp.k\n)"
+        f"    FROM {prev} {how} JOIN Lkp ON {on_aql}\n)"
     )
     join = {"INNER": "JOIN", "OUTER": "LEFT JOIN"}[how]
+    # the engine collapses duplicate lookup keys to ONE row per key —
+    # greatest tuple of the PROJECTED columns wins (operators/
+    # lookup.py greatest-whole-row dedup); mirror it exactly
+    kept = ", ".join(n for n, _ in lkp_keep)
+    order = ", ".join(f"{n} DESC" for n, _ in lkp_keep)
+    part = ", ".join(join_keys)
+    dedup = (
+        f"(SELECT {part}, {kept} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {part} ORDER BY {order}) AS __rn FROM lkp) "
+        f"WHERE __rn = 1)"
+    )
     sel = ", ".join(
         [f"p.{c}" for c in base_keep]
         + [f"l.{n} AS {n}_{name.lower()}" for n, _ in lkp_keep]
     )
-    sql = (
-        f"SELECT {sel} FROM {prev.lower()} p {join} lkp l ON p.k = l.k"
-    )
+    on_sql = " AND ".join(f"p.{k} = l.{k}" for k in join_keys)
+    sql = f"SELECT {sel} FROM {prev.lower()} p {join} {dedup} l ON {on_sql}"
     out_cols = [(n, dict(cols)[n]) for n in base_keep] + [
         (f"{n}_{name.lower()}", k) for n, k in lkp_keep
     ]
@@ -244,7 +281,7 @@ def gen_pipeline(seed: int):
         f"DATA 'Src' (\n    {json.dumps(src_rows)}\n)"
         f" WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'k,k2,v,s');",
         f"DATA 'Lkp' (\n    {json.dumps(lkp_rows)}\n)"
-        f" WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'k,lv,ls');",
+        f" WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'k,k2,lv,ls');",
     ]
     ctes = [
         f"src AS ({duck_table_sql(src_rows, SRC_COLS)})",
