@@ -59,6 +59,10 @@ FAMILIES = {
         "dedup_semantic_trained",
         "ann_ivf_topk",
         "ann_lsh_topk",
+        "ann_pca_ivf",
+        "ann_cosine_topk",
+        "embeddings_pca",
+        "embeddings_quantize_int8",
     ],
     "events": [
         "events_hourly_rollup",
