@@ -20,6 +20,10 @@ exact, not approximate):
   mirrored in the oracle as a row_number() OVER (PARTITION BY keys
   ORDER BY kept-cols DESC) = 1 subquery. Duplicate-key rows are
   non-NULL so tuple comparison is total on both engines;
+* source join/group KEYS go NULL ~8% of the time (r8): a NULL key
+  never matches a LOOKUP and forms its own GROUP BY group — SQL
+  semantics on both engines; lookup-side keys stay non-NULL so the
+  last-wins dedup partition is well-defined;
 * aggregate outputs are normalized (3.0 == 3) before comparison, so
   reducer double-casting differences are absorbed.
 
@@ -59,7 +63,12 @@ def gen_src_rows(rng: random.Random) -> list[list]:
     for i in range(n):
         v = None if (i > 0 and rng.random() < 0.15) else _quarter(rng)
         s = None if rng.random() < 0.1 else rng.choice(VOCAB)
-        rows.append([rng.randint(0, 4), rng.randint(0, 2), v, s])
+        # NULL join/group keys (r8): a NULL key must never match a
+        # LOOKUP (SQL equi-join semantics on both engines) and must
+        # form its own GROUP BY group; keep row 0 non-NULL so the
+        # engine's JSON schema inference always sees an int
+        k = None if (i > 0 and rng.random() < 0.08) else rng.randint(0, 4)
+        rows.append([k, rng.randint(0, 2), v, s])
     return rows
 
 
