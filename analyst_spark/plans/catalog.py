@@ -181,3 +181,6 @@ _register("streaming_sessionize", st.streaming_sessionize, st.STREAMING_SESSIONI
 _register("streaming_dedup", st.streaming_dedup, st.STREAMING_DEDUP_ORACLE)
 _register("streaming_running_totals", st.streaming_running_totals, st.STREAMING_TOTALS_ORACLE)
 _register("streaming_view_click_join", st.streaming_view_click_join, st.STREAMING_JOIN_ORACLE)
+# HLL sketch in the stream: banded-error gate in tools/verify_local.py
+# (_check_streaming_distinct_hll) + exact batch≡stream pin in pytest
+_register("streaming_distinct_users_hll", st.streaming_distinct_users_hll, None)

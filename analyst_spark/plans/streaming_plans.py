@@ -604,3 +604,54 @@ SELECT c.event_type,
 FROM c LEFT JOIN st USING (event_type)
 GROUP BY c.event_type
 """
+
+
+_HLL_SINK = "streaming_distinct_hll_gate"
+
+
+def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed approximate-distinct on the real streaming path:
+    file source → 1 h watermark → hourly window × event_type →
+    ``approx_count_distinct`` (HLL++, rsd 1 %) → memory sink.
+
+    This is the streaming half of events_distinct_users_hll, and the
+    pair demonstrates batch/stream sketch unification: HLL register
+    merge is a per-register max — associative, commutative,
+    order-independent — so the streaming run over arbitrary
+    micro-batch boundaries produces BIT-IDENTICAL estimates to the
+    one-pass batch aggregation. tests/test_advice_r8.py pins that
+    equality exactly; tools/verify_local.py bands every group against
+    DuckDB's exact distinct count (5·rsd).
+
+    At 100 TB: exact streaming distinct needs per-key state
+    proportional to the number of distinct users inside the watermark
+    horizon — unbounded. The sketch caps state at ~kB per open
+    (window, type) group, and the same sketches roll up across hours
+    by merging, never recounting. ``hour`` is emitted as epoch-µs so
+    cross-engine checks never touch timezone rendering.
+    """
+    from pyspark.sql import functions as F
+
+    tmp = _stage_events_parquet(spark, sf_dir)
+    try:
+        src = _read_events_stream_parquet(spark, tmp)
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.01).alias(
+                    "n_users_approx"
+                ),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        q = run_to_memory_sink(agg, _HLL_SINK, output_mode="complete")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(_HLL_SINK).select(
+        F.unix_micros("w.start").alias("hour_us"),
+        "event_type",
+        "n_users_approx",
+        "n_events",
+    )

@@ -71,3 +71,35 @@ def test_hll_exact_on_tiny_cardinalities(spark):
         .collect()
     }
     assert got == {"a": 3, "b": 1}
+
+
+def test_streaming_hll_bitwise_equals_batch(spark):
+    """Batch/stream sketch unification: HLL register merge is a
+    per-register max (order-independent), so the streaming run over
+    arbitrary micro-batch boundaries must produce BIT-IDENTICAL
+    estimates to the one-pass batch aggregation — an exact pin, not
+    a band."""
+    from analyst_spark.plans.streaming_plans import (
+        streaming_distinct_users_hll,
+    )
+    from analyst_spark.tables import load_tables
+
+    stream = streaming_distinct_users_hll(spark, SF)
+    ev = load_tables(spark, SF)["events"]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias(
+                "n_users_approx"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("hour_us"),
+            "event_type",
+            "n_users_approx",
+            "n_events",
+        )
+    )
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0

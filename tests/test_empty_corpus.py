@@ -68,6 +68,7 @@ EVENT_ENTRIES = [
     "events_distinct_users", "events_salted_rollup",
     "events_sessions_chunked",
     "events_distinct_users_hll",
+    "streaming_distinct_users_hll",
 ]
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",

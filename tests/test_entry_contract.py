@@ -18,6 +18,7 @@ def test_contract_shapes():
         "docs_stratified_sample",  # seeded sampler is engine-specific
         "agg_quantile_approx",     # sketch estimates are impl-specific
         "events_distinct_users_hll",  # HLL sketch; banded gate in verify_local
+        "streaming_distinct_users_hll",  # streaming HLL; banded gate + batch pin
         "ann_ivf_trained",         # k-means centroids are engine-specific
         "dedup_semantic_trained",  # k-means clustering; twin-pinned in test_similarity
         "embeddings_pca",          # eigendecomposition; twin-pinned in test_pca

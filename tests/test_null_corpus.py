@@ -44,6 +44,7 @@ EVENT_ENTRIES = [
     "events_asof_view_click", "events_range_join", "events_session_window",
     "events_sessions_chunked",
     "events_distinct_users_hll",
+    "streaming_distinct_users_hll",
 ]
 
 

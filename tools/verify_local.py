@@ -155,9 +155,47 @@ def _check_distinct_hll(con, scols, srows):
     return problems, len(exact)
 
 
+def _check_streaming_distinct_hll(con, scols, srows):
+    """streaming_distinct_users_hll: hourly-window HLL++ (rsd 1%) —
+    every (hour, type) group within 5*rsd of DuckDB's exact distinct;
+    n_events exact; hour compared in epoch-µs."""
+    rsd = 0.01
+    rows = con.sql(
+        "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT), event_type, "
+        "count(DISTINCT user_id), count(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    exact = {(r[0], r[1]): (r[2], r[3]) for r in rows}
+    problems = []
+    want_cols = {"hour_us", "event_type", "n_users_approx", "n_events"}
+    scols_l = [c.lower() for c in scols]
+    if set(scols_l) != want_cols:
+        problems.append(f"cols spark={scols_l} want={sorted(want_cols)}")
+        return problems, len(exact)
+    if len(srows) != len(exact):
+        problems.append(f"rowcount spark={len(srows)} exact={len(exact)}")
+    idx = {c: i for i, c in enumerate(scols_l)}
+    for r in srows:
+        g = (r[idx["hour_us"]], r[idx["event_type"]])
+        if g not in exact:
+            problems.append(f"unexpected group {g!r}")
+            continue
+        n_users, n_events = exact[g]
+        if r[idx["n_events"]] != n_events:
+            problems.append(
+                f"{g}: n_events={r[idx['n_events']]} exact={n_events}"
+            )
+        approx = r[idx["n_users_approx"]]
+        if abs(approx - n_users) > 5 * rsd * n_users + 1:
+            problems.append(
+                f"{g}: approx={approx} exact={n_users} outside 5*rsd band"
+            )
+    return problems, len(exact)
+
+
 BANDED_CHECKS = {
     "agg_quantile_approx": _check_quantile_approx,
     "events_distinct_users_hll": _check_distinct_hll,
+    "streaming_distinct_users_hll": _check_streaming_distinct_hll,
 }
 
 
