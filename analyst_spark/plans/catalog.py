@@ -124,6 +124,10 @@ _register("text_pii_scan", pp.text_pii_scan, pp.TEXT_PII_ORACLE)
 _register("docs_pii_scrub", pp.docs_pii_scrub, pp.DOCS_PII_SCRUB_ORACLE)
 _register("text_repetition", pp.text_repetition, pp.TEXT_REPETITION_ORACLE)
 _register("text_top_tokens", pp.text_top_tokens, pp.TEXT_TOP_TOKENS_ORACLE)
+# CMS estimates aren't SQL-expressible: banded gate in
+# tools/verify_local.py (_check_heavy_hitters_cms) + bit-exact JVM
+# parity in tests/test_cms.py
+_register("text_heavy_hitters_cms", pp.text_heavy_hitters_cms, None)
 _register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACLE)
 _register("docs_chunk_windows", pp.docs_chunk_windows, pp.DOCS_CHUNK_ORACLE)
 _register("docs_token_budget_mix", pp.docs_token_budget_mix, pp.TOKEN_BUDGET_MIX_ORACLE)

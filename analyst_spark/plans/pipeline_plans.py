@@ -324,6 +324,68 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_EPS = 1e-4     # width = 2/eps = 20000 counters/row
+_CMS_CONF = 0.99    # depth = ceil(-ln .01 / ln 2) = 7 rows
+_CMS_SEED = 42
+_HH_TOP_K = 25
+
+
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a Count-Min Sketch frequency check — the
+    third sketch in the family (HLL distinct, KLL quantile, CMS
+    frequency). Two passes over the token stream: the exact
+    vocabulary count (hash-aggregate with map-side combine — the
+    oracle-able side) picks the global top-25, and one
+    `count_min_sketch` aggregation builds a FIXED-SIZE (depth 7 ×
+    width 20k ≈ 1.1 MB) frequency table that
+    functions/cms.py probes driver-side, straight off Spark's public
+    sketch serialization — no JVM round-trip per query.
+
+    At 100 TB the exact count is only viable because token
+    vocabulary is bounded; for unbounded key domains (URLs, user
+    ids, n-grams) the CMS path is the product: the aggregation
+    buffer IS the ~MB table, merge is element-wise addition
+    (commutative — estimates are deterministic for a dataset
+    regardless of partitioning, pinned in tests/test_cms.py), the
+    shuffle carries one table per partition instead of one row per
+    distinct key, and the driver holds one blob serving any number
+    of point queries at eps·N accuracy.
+
+    Correctness: rows-only for the driver (est_cms is not
+    SQL-expressible); tools/verify_local.py re-derives the exact
+    top-25 in DuckDB and asserts token/cnt/rnk equality plus the CMS
+    guarantee cnt <= est <= cnt + eps·N per row; tests/test_cms.py
+    proves the Python bucket math bit-identical to the JVM's.
+    """
+    from analyst_spark.functions.cms import cms_estimate, cms_parse
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_HH_TOP_K)
+    )
+    schema = "rnk long, token string, cnt long, est_cms long"
+    head = top.collect()  # bounded: _HH_TOP_K rows
+    if not head:
+        return spark.createDataFrame([], schema)
+    blob = toks.agg(
+        F.count_min_sketch(
+            "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("cms")
+    ).collect()[0].cms  # bounded: one ~1.1 MB sketch
+    cms = cms_parse(bytes(blob))
+    rows = [
+        (i + 1, r.token, r.cnt, cms_estimate(cms, r.token))
+        for i, r in enumerate(head)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 TEXT_TOP_TOKENS_ORACLE = f"""
 WITH counts AS (
     SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt

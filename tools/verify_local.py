@@ -192,10 +192,54 @@ def _check_streaming_distinct_hll(con, scols, srows):
     return problems, len(exact)
 
 
+def _check_heavy_hitters_cms(con, scols, srows):
+    """text_heavy_hitters_cms: token/cnt/rnk must EQUAL DuckDB's
+    exact top-25 (count desc, token asc); est_cms must satisfy the
+    CMS guarantee cnt <= est <= cnt + eps*N (eps=1e-4, N = total
+    non-empty tokens)."""
+    eps = 1e-4
+    exact = con.sql(
+        "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents)"
+        " WHERE token <> '' GROUP BY token"
+        " ORDER BY cnt DESC, token ASC LIMIT 25"
+    ).fetchall()
+    (n_total,) = con.sql(
+        "SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) AS t"
+        " FROM documents) WHERE t <> ''"
+    ).fetchone()
+    problems = []
+    want_cols = {"rnk", "token", "cnt", "est_cms"}
+    scols_l = [c.lower() for c in scols]
+    if set(scols_l) != want_cols:
+        problems.append(f"cols spark={scols_l} want={sorted(want_cols)}")
+        return problems, len(exact)
+    if len(srows) != len(exact):
+        problems.append(f"rowcount spark={len(srows)} exact={len(exact)}")
+        return problems, len(exact)
+    idx = {c: i for i, c in enumerate(scols_l)}
+    srows = sorted(srows, key=lambda r: r[idx["rnk"]])
+    for i, ((token, cnt), r) in enumerate(zip(exact, srows)):
+        if (r[idx["token"]], r[idx["cnt"]], r[idx["rnk"]]) != (token, cnt, i + 1):
+            problems.append(
+                f"rank {i+1}: spark=({r[idx['token']]},{r[idx['cnt']]}) "
+                f"exact=({token},{cnt})"
+            )
+            continue
+        est = r[idx["est_cms"]]
+        if not (cnt <= est <= cnt + eps * n_total):
+            problems.append(
+                f"{token}: est={est} outside [cnt={cnt}, "
+                f"cnt+eps*N={cnt + eps * n_total:.0f}]"
+            )
+    return problems, len(exact)
+
+
 BANDED_CHECKS = {
     "agg_quantile_approx": _check_quantile_approx,
     "events_distinct_users_hll": _check_distinct_hll,
     "streaming_distinct_users_hll": _check_streaming_distinct_hll,
+    "text_heavy_hitters_cms": _check_heavy_hitters_cms,
 }
 
 
