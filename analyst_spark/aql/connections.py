@@ -274,8 +274,14 @@ class PgConnection:
         (engine/sql_inserter.go:16-29): writes that fit in one batch
         use the default multi-row INSERT; anything larger switches to
         ``COPY ... FROM STDIN`` — the PostgresInserter strategy
-        (sql_inserter.go:145-171, pq.CopyIn). Table/column names are
-        identifier-quoted (mixed case / reserved words are legal)."""
+        (sql_inserter.go:145-171, pq.CopyIn). Identifier semantics
+        follow the reference's DefaultInserter (r7 advice): bare-legal
+        names are emitted VERBATIM and case-fold server-side (a
+        'MyTable' option matches a lowercase-stored table); only
+        names that cannot stand bare — reserved words, spaces,
+        punctuation, leading digits — get double-quoted, so a
+        quoted-mixed-case target column must be named exactly
+        (including a non-bare character) to reach the quoted path."""
         from analyst_spark.aql.parser import truthy
         from analyst_spark.sources.pgwire import (
             copy_text_value,

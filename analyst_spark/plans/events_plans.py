@@ -327,6 +327,12 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One constant governs the sketch precision AND every 5*rsd error
+# band derived from it (streaming twin, verify_local gates, pytest
+# twins) — hard-coding 0.01 at a use site desynchronizes the gates
+HLL_RSD = 0.01
+
+
 def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++
     (approx_count_distinct, rsd=0.01) — the 100 TB form of
@@ -342,12 +348,9 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest too."""
     ev = load_tables(spark, sf_dir)["events"]
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("n_users_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
-
-
-HLL_RSD = 0.01
 
 
 EVENTS_DISTINCT_ORACLE = """

@@ -360,24 +360,32 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analyst_spark.functions.cms import cms_estimate, cms_parse
 
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    top = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(_HH_TOP_K)
+    # both jobs (exact head + sketch) consume the same exploded token
+    # stream — persist it so the corpus is read and split ONCE (the
+    # _funnel_token_base lesson applied at birth)
+    toks = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .persist()
     )
-    schema = "rnk long, token string, cnt long, est_cms long"
-    head = top.collect()  # bounded: _HH_TOP_K rows
-    if not head:
-        return spark.createDataFrame([], schema)
-    blob = toks.agg(
-        F.count_min_sketch(
-            "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
-        ).alias("cms")
-    ).collect()[0].cms  # bounded: one ~1.1 MB sketch
+    try:
+        top = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(_HH_TOP_K)
+        )
+        schema = "rnk long, token string, cnt long, est_cms long"
+        head = top.collect()  # bounded: _HH_TOP_K rows
+        if not head:
+            return spark.createDataFrame([], schema)
+        blob = toks.agg(
+            F.count_min_sketch(
+                "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+            ).alias("cms")
+        ).collect()[0].cms  # bounded: one ~1.1 MB sketch
+    finally:
+        toks.unpersist()
     cms = cms_parse(bytes(blob))
     rows = [
         (i + 1, r.token, r.cnt, cms_estimate(cms, r.token))

@@ -632,6 +632,8 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from analyst_spark.plans.events_plans import HLL_RSD
+
     tmp = _stage_events_parquet(spark, sf_dir)
     try:
         src = _read_events_stream_parquet(spark, tmp)
@@ -639,7 +641,7 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             src.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
-                F.approx_count_distinct("user_id", rsd=0.01).alias(
+                F.approx_count_distinct("user_id", rsd=HLL_RSD).alias(
                     "n_users_approx"
                 ),
                 F.count(F.lit(1)).alias("n_events"),

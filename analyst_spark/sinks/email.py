@@ -196,6 +196,14 @@ def mandrill_transport(
     import urllib.request
 
     def send(msg: dict) -> None:
+        if not msg.get("template"):
+            # fail fast client-side: the API endpoint is
+            # send-template.json, and an empty template_name comes
+            # back as an opaque Unknown_Template validation error
+            raise ValueError(
+                "mandrill transport requires WITH (TEMPLATE = ...) — "
+                "the service renders the named template server-side"
+            )
         content = msg["content"]
         if isinstance(content, list):
             merge_vars = [{"name": "rows", "content": content}]
@@ -216,7 +224,7 @@ def mandrill_transport(
             message["from_name"] = frm_name
         payload = {
             "key": api_key,
-            "template_name": msg.get("template") or "",
+            "template_name": msg["template"],
             "template_content": [],
             "message": message,
         }

@@ -102,16 +102,26 @@ def quote_literal(v) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-# Common reserved words that would break a bare identifier; anything
-# here still gets quoted even though it matches the bare-name shape.
+# PostgreSQL's COMPLETE reserved set — the RESERVED_KEYWORD and
+# TYPE_FUNC_NAME_KEYWORD categories of src/include/parser/kwlist.h
+# (PG 15; docs Appendix C "reserved"): neither category may stand as
+# a bare column/table name, so both still get quoted even though they
+# match the bare-name shape. Partial lists here caused real syntax
+# errors (a column named `do` or `current_user` went out bare).
 _RESERVED = frozenset(
-    """all and any array as asc between case cast check column create
-    cross current_date current_time default desc distinct else end
-    except false for foreign from full grant group having in inner
-    intersect into is join leading left like limit localtime natural
-    not null offset on only or order outer primary references right
+    """all analyse analyze and any array as asc asymmetric both case
+    cast check collate column constraint create current_catalog
+    current_date current_role current_time current_timestamp
+    current_user default deferrable desc distinct do else end except
+    false fetch for foreign from grant group having in initially
+    intersect into lateral leading limit localtime localtimestamp not
+    null offset on only or order placing primary references returning
     select session_user some symmetric table then to trailing true
-    union unique user using when where window with""".split()
+    union unique user using variadic when where window with
+    authorization binary collation concurrently cross current_schema
+    freeze full ilike inner is isnull join left like natural notnull
+    outer overlaps right similar tablesample verbose
+    between""".split()
 )
 
 _BARE_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")

@@ -94,6 +94,13 @@ def decode_packets(data: bytes) -> tuple[int, bytes]:
         out.append(data[pos + HEADER_LEN : pos + length])
         pos += length
         if status & STATUS_EOM:
+            if pos != len(data):
+                # a codec test should never skip bytes silently: a
+                # second message (or garbage) after EOM is a capture
+                # bug, not something to drop
+                raise ValueError(
+                    f"{len(data) - pos} trailing byte(s) after EOM"
+                )
             break
     if ptype is None:
         raise ValueError("empty TDS stream")
@@ -199,9 +206,8 @@ def login7_payload(lg: Login7) -> bytes:
         lg.appname.encode("utf-16-le"),
         lg.servername.encode("utf-16-le"),
         b"",  # unused / extension
-        b"asp-tds",  # CltIntName — ASCII subset, still UCS-2 below
+        "asp-tds".encode("utf-16-le"),  # CltIntName (UCS-2 like all fields)
     ]
-    var_fields[6] = "asp-tds".encode("utf-16-le")
     var_fields += [
         b"",  # language
         lg.database.encode("utf-16-le"),

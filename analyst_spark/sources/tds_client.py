@@ -42,8 +42,14 @@ class TdsClient:
     ):
         self.packet_size = packet_size
         self.sock = socket.create_connection((host, port), timeout=timeout)
-        self._prelogin()
-        self._login(username, password, database, appname)
+        try:
+            self._prelogin()
+            self._login(username, password, database, appname)
+        except BaseException:
+            # a failed handshake must not leak the connected socket
+            # (every rejected login would otherwise hold an fd until GC)
+            self.sock.close()
+            raise
 
     # ------------------------------------------------------------ transport
 

@@ -121,7 +121,7 @@ def _check_distinct_hll(con, scols, srows):
     approximate count must lie within 5*rsd of DuckDB's exact
     distinct count (5-sigma on the sketch's standard error; a false
     failure is ~1e-6 per group), and n_events must be EXACT."""
-    rsd = 0.01
+    from analyst_spark.plans.events_plans import HLL_RSD as rsd
     rows = con.sql(
         "SELECT event_type, count(DISTINCT user_id), count(*) "
         "FROM events GROUP BY event_type"
@@ -159,7 +159,7 @@ def _check_streaming_distinct_hll(con, scols, srows):
     """streaming_distinct_users_hll: hourly-window HLL++ (rsd 1%) —
     every (hour, type) group within 5*rsd of DuckDB's exact distinct;
     n_events exact; hour compared in epoch-µs."""
-    rsd = 0.01
+    from analyst_spark.plans.events_plans import HLL_RSD as rsd
     rows = con.sql(
         "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT), event_type, "
         "count(DISTINCT user_id), count(*) FROM events GROUP BY 1, 2"
@@ -194,9 +194,14 @@ def _check_streaming_distinct_hll(con, scols, srows):
 
 def _check_heavy_hitters_cms(con, scols, srows):
     """text_heavy_hitters_cms: token/cnt/rnk must EQUAL DuckDB's
-    exact top-25 (count desc, token asc); est_cms must satisfy the
-    CMS guarantee cnt <= est <= cnt + eps*N (eps=1e-4, N = total
-    non-empty tokens)."""
+    exact top-25 (count desc, token asc); est_cms must never
+    underestimate (deterministic CMS guarantee) and must stay under
+    cnt + 3*eps*N. The 1x-eps overestimate bound is only
+    probabilistic — P(row > cnt + k*eps*N) <= (1/2k)^depth by
+    Markov, so k=1 over 25 probes risks ~18% a-priori false failure
+    on a fresh corpus; k=3 at depth 7 puts the gate at ~1e-4 like
+    the 5-sigma HLL bands (still deterministic for fixed data+seed;
+    the current corpus passes k=1 with huge margin)."""
     eps = 1e-4
     exact = con.sql(
         "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ("
@@ -227,10 +232,10 @@ def _check_heavy_hitters_cms(con, scols, srows):
             )
             continue
         est = r[idx["est_cms"]]
-        if not (cnt <= est <= cnt + eps * n_total):
+        if not (cnt <= est <= cnt + 3 * eps * n_total):
             problems.append(
                 f"{token}: est={est} outside [cnt={cnt}, "
-                f"cnt+eps*N={cnt + eps * n_total:.0f}]"
+                f"cnt+3*eps*N={cnt + 3 * eps * n_total:.0f}]"
             )
     return problems, len(exact)
 
