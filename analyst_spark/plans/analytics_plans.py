@@ -526,3 +526,54 @@ WHERE st.lo <> st.hi  -- exact zero-variance guard, overflow-free
                  - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)))
       > {_ZSCORE_THRESHOLD}
 """
+
+
+def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for lineitems of URGENT orders, with
+    the fact side pruned by a Bloom filter BEFORE the semi-join
+    shuffle (functions/bloom.py).
+
+    The scale shape: at 100 TB the urgent-order key set is far past
+    broadcast-set size, so a plain semi-join shuffles every lineitem
+    row on l_orderkey. Here the keys collapse into a fixed-size
+    word table (2^19 bits = 64 KiB) via one map-side-combined
+    bit_or aggregation; two broadcast probes drop ~99% of
+    non-matching fact rows map-side, and only candidates reach the
+    exact join — which makes the result EQUAL to the plain semi-join
+    (hash-gated against that oracle). ~17 bits/key at sf0.1 ⇒ ~1.2%
+    false positives; size n_bits ∝ keys at larger SF.
+
+    Reference parity: LOOKUP with an INNER semi shape caches the
+    whole build side per process (transforms/lookup.go:50); this is
+    the form of that join that survives a build side larger than
+    memory. Pruning + plan shape pinned in tests/test_bloom.py.
+    """
+    from analyst_spark.functions.bloom import bloom_semi_join
+
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    li = bloom_semi_join(
+        t["lineitem"].select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+        urgent.select("o_orderkey"),
+        "o_orderkey",
+        n_bits=1 << 19,
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+LINEITEM_BLOOM_SEMIJOIN_ORACLE = """
+SELECT l_returnflag,
+       count(*)                                          AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""

@@ -110,6 +110,11 @@ _register("events_funnel", an.events_funnel, an.EVENTS_FUNNEL_ORACLE)
 _register("events_anomaly_zscore", an.events_anomaly_zscore, an.EVENTS_ANOMALY_ORACLE)
 _register("orders_merge_upsert", an.orders_merge_upsert, an.ORDERS_UPSERT_ORACLE)
 _register("bucketed_colocated_join", an.bucketed_colocated_join, an.BUCKETED_JOIN_ORACLE)
+# Bloom-pruned exact semi-join: result equals the plain semi-join, so
+# fully hash-gated; pruning + plan shape pinned in tests/test_bloom.py
+_register(
+    "lineitem_bloom_semijoin", an.lineitem_bloom_semijoin, an.LINEITEM_BLOOM_SEMIJOIN_ORACLE
+)
 _register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific
 _register("docs_stratified_sample", an.docs_stratified_sample, None)  # seeded sampler
 
