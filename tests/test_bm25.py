@@ -1,0 +1,99 @@
+"""BM25 retrieval (docs_bm25_topk): the Spark integer-micro scoring
+must (a) EXACTLY equal a pure-Python replica of the integer
+algorithm, and (b) approximate true float BM25 (k1=1.2, b=0.75,
+idf=ln((N+1)/(df+0.5))) within the micro-rounding error bound — the
+cross-engine hash gate alone can't catch a bug both engines share."""
+
+import math
+import os
+
+import pytest
+
+from analyst_spark.plans.catalog import QUERIES
+from analyst_spark.plans.pipeline_plans import _BM25_QUERY, _BM25_TOP_K
+
+
+CORPUS = [
+    (0, "spark merge dup spark spark"),
+    (1, "merge merge merge join scan filter"),
+    (2, "dup line"),
+    (3, "spark join"),
+    (4, "nothing relevant here at all"),
+    (5, "dup dup dup dup spark merge"),
+    (6, ""),  # tokenless doc: excluded from N and the ranking
+]
+
+
+def _tokens(text):
+    return [w for w in text.split(" ") if w]
+
+
+def _python_model():
+    """Integer-micro replica + float reference, both from CORPUS."""
+    lens = {d: len(_tokens(t)) for d, t in CORPUS if _tokens(t)}
+    n_docs = len(lens)
+    t_tokens = sum(lens.values())
+    posting = {}
+    for d, t in CORPUS:
+        for w in _tokens(t):
+            if w in _BM25_QUERY:
+                posting[(d, w)] = posting.get((d, w), 0) + 1
+    dfs = {}
+    for (d, w) in posting:
+        dfs[w] = dfs.get(w, 0) + 1
+    micro, ref = {}, {}
+    for (d, w), tf in posting.items():
+        df = dfs[w]
+        idf_micro = round(math.log((2 * n_docs + 2) / (2.0 * df + 1)) * 1e6)
+        num = idf_micro * tf * 22 * t_tokens
+        den = 10 * t_tokens * tf + 3 * t_tokens + 9 * lens[d] * n_docs
+        micro[d] = micro.get(d, 0) + (2 * num + den) // (2 * den)
+        idf = math.log((n_docs + 1) / (df + 0.5))
+        k1, b = 1.2, 0.75
+        ref[d] = ref.get(d, 0.0) + idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * lens[d] * n_docs / t_tokens)
+        )
+    order = sorted(micro, key=lambda d: (-micro[d], d))[:_BM25_TOP_K]
+    return [(d, micro[d]) for d in order], ref
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("bm25_sf"))
+    docs = spark.createDataFrame(
+        [(d, t, "en", "web", len(t)) for d, t in CORPUS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(td, "documents.parquet"))
+    return td
+
+
+def test_integer_scoring_matches_python_replica(spark, tiny_sf):
+    got = [
+        (r.doc_id, r.score_micro)
+        for r in QUERIES["docs_bm25_topk"](spark, tiny_sf).collect()
+    ]
+    want, _ = _python_model()
+    assert got == want
+
+
+def test_micro_score_approximates_true_bm25(spark, tiny_sf):
+    rows = QUERIES["docs_bm25_topk"](spark, tiny_sf).collect()
+    _, ref = _python_model()
+    for r in rows:
+        # idf micro-rounding: <=0.5e-6 relative per term, amplified by
+        # at most (k1+1)=2.2; plus 0.5e-6 from the final division
+        bound = 2.2 * 0.5e-6 * len(_BM25_QUERY) + 0.5e-6
+        assert abs(r.score - ref[r.doc_id]) <= bound + 1e-9, (
+            r.doc_id, r.score, ref[r.doc_id]
+        )
+
+
+def test_ranking_sanity(spark, tiny_sf):
+    """The rare term ('dup') must dominate: doc 5 (4x dup) outranks
+    doc 1 (3x common 'merge'); the no-match doc never appears."""
+    rows = QUERIES["docs_bm25_topk"](spark, tiny_sf).collect()
+    ids = [r.doc_id for r in rows]
+    assert 4 not in ids and 6 not in ids
+    assert ids.index(5) < ids.index(1)
+    assert all(a.score_micro >= b.score_micro for a, b in zip(rows, rows[1:]))
