@@ -196,3 +196,6 @@ _register("streaming_view_click_join", st.streaming_view_click_join, st.STREAMIN
 # HLL sketch in the stream: banded-error gate in tools/verify_local.py
 # (_check_streaming_distinct_hll) + exact batch≡stream pin in pytest
 _register("streaming_distinct_users_hll", st.streaming_distinct_users_hll, None)
+# streaming CMS twin: same banded contract as text_heavy_hitters_cms;
+# stream blob pinned bit-equal to the batch blob in pytest
+_register("streaming_heavy_hitters_cms", st.streaming_heavy_hitters_cms, None)

@@ -657,3 +657,96 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_approx",
         "n_events",
     )
+
+
+_CMS_HH_SINK = "streaming_hh_exact_gate"
+_CMS_BLOB_SINK = "streaming_hh_cms_gate"
+
+
+def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the CMS half of batch/stream sketch
+    unification (the pair of text_heavy_hitters_cms, the way
+    streaming_distinct_users_hll pairs events_distinct_users_hll).
+
+    Documents arrive as a file stream; two availableNow queries run
+    over it — an exact complete-mode token count (the oracle-able
+    head) and one global ``count_min_sketch`` aggregation whose
+    state IS the fixed-size sketch table. CMS merge is element-wise
+    counter ADDITION — associative, commutative — so the streaming
+    blob is BIT-IDENTICAL to the batch aggregation's regardless of
+    micro-batch boundaries (pinned exactly in tests/test_advice_r8.py
+    alongside the HLL pin). The returned frame has the batch entry's
+    schema and passes the same verify_local band
+    (cnt ≤ est ≤ cnt + 3·eps·N).
+
+    At 100 TB: exact streaming token counts hold one state row per
+    distinct token inside the horizon — unbounded vocabulary,
+    unbounded state. The sketch caps state at the ~1.1 MB table no
+    matter how many tokens stream through, and sketches from
+    separate streams/hours roll up by addition without recounting.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.cms import cms_estimate, cms_parse
+    from analyst_spark.plans.pipeline_plans import (
+        _CMS_CONF,
+        _CMS_EPS,
+        _CMS_SEED,
+        _HH_TOP_K,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tmp = tempfile.mkdtemp(prefix="asp_stream_docs_")
+    try:
+        docs.select("doc_id", "text").coalesce(8).write.mode("overwrite").json(tmp)
+
+        def _tokens():
+            # 8 staged files / 2 per trigger = 4 real micro-batches,
+            # so the blob equality below is exercised across genuine
+            # state-store merges, not one degenerate batch
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "2")
+                .json(tmp)
+            )
+            return stream.select(
+                F.explode(F.split(F.col("text"), " ")).alias("token")
+            ).filter(F.col("token") != "")
+
+        q1 = run_to_memory_sink(
+            _tokens()
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+            _CMS_HH_SINK,
+            output_mode="complete",
+        )
+        q2 = run_to_memory_sink(
+            _tokens().agg(
+                F.count_min_sketch(
+                    "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+                ).alias("cms")
+            ),
+            _CMS_BLOB_SINK,
+            output_mode="complete",
+        )
+        _await_or_raise(q1)
+        _await_or_raise(q2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    head = (
+        spark.table(_CMS_HH_SINK)
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_HH_TOP_K)
+        .collect()  # bounded: _HH_TOP_K rows
+    )
+    schema = "rnk long, token string, cnt long, est_cms long"
+    if not head:
+        return spark.createDataFrame([], schema)
+    blob = spark.table(_CMS_BLOB_SINK).collect()[0].cms  # one ~1.1 MB sketch
+    cms = cms_parse(bytes(blob))
+    rows = [
+        (i + 1, r.token, r.cnt, cms_estimate(cms, r.token))
+        for i, r in enumerate(head)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -103,3 +103,69 @@ def test_streaming_hll_bitwise_equals_batch(spark):
     )
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_streaming_cms_blob_bitwise_equals_batch(spark):
+    """CMS merge is element-wise counter addition (commutative,
+    associative), so the sketch built across arbitrary micro-batch
+    boundaries must be BYTE-IDENTICAL to the one built by the batch
+    aggregation — and hence every estimate the entries emit matches
+    exactly, not just within the band."""
+    import shutil
+    import tempfile
+
+    from analyst_spark.plans.pipeline_plans import (
+        _CMS_CONF,
+        _CMS_EPS,
+        _CMS_SEED,
+    )
+    from analyst_spark.plans.streaming_plans import (
+        _await_or_raise,
+        run_to_memory_sink,
+    )
+    from analyst_spark.tables import load_tables
+
+    docs = load_tables(spark, SF)["documents"]
+
+    def sketch_agg(df):
+        return df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        ).filter(F.col("token") != "").agg(
+            F.count_min_sketch(
+                "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+            ).alias("cms")
+        )
+
+    batch_blob = bytes(sketch_agg(docs.select("text")).collect()[0].cms)
+
+    tmp = tempfile.mkdtemp(prefix="asp_cms_pin_")
+    try:
+        # 8 files at 2/trigger => 4 micro-batch boundaries under
+        # availableNow (maxFilesPerTrigger is honored as the batch
+        # size hint)
+        docs.select("doc_id", "text").coalesce(8).write.mode("overwrite").json(tmp)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .json(tmp)
+        )
+        q = run_to_memory_sink(
+            sketch_agg(stream), "cms_pin_sink", output_mode="complete"
+        )
+        _await_or_raise(q)
+        stream_blob = bytes(spark.table("cms_pin_sink").collect()[0].cms)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert stream_blob == batch_blob
+
+
+def test_streaming_heavy_hitters_matches_batch_entry(spark):
+    """The full streaming entry (exact head + stream-built sketch)
+    must equal the batch entry row-for-row at the same SF."""
+    from analyst_spark.plans.pipeline_plans import text_heavy_hitters_cms
+    from analyst_spark.plans.streaming_plans import streaming_heavy_hitters_cms
+
+    got = sorted(map(tuple, streaming_heavy_hitters_cms(spark, SF).collect()))
+    want = sorted(map(tuple, text_heavy_hitters_cms(spark, SF).collect()))
+    assert got == want

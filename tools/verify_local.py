@@ -245,6 +245,9 @@ BANDED_CHECKS = {
     "events_distinct_users_hll": _check_distinct_hll,
     "streaming_distinct_users_hll": _check_streaming_distinct_hll,
     "text_heavy_hitters_cms": _check_heavy_hitters_cms,
+    # identical contract: stream-built sketch + exact head (the blob
+    # itself is pinned bit-equal to batch in tests/test_advice_r8.py)
+    "streaming_heavy_hitters_cms": _check_heavy_hitters_cms,
 }
 
 
