@@ -86,7 +86,7 @@ def _calibration_probe(spark):
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 7
+HEADLINE_VERSION = 8
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "knn_label_propagation",
     "orders_merge_upsert",
     "aql_lookup_aggregate_pipeline",
+    # r8 additions: bloom-pruned semi-join, BM25 ranking, CMS head
+    "lineitem_bloom_semijoin",
+    "docs_bm25_topk",
+    "text_heavy_hitters_cms",
 ]
 
 
