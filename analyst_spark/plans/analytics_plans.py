@@ -540,8 +540,10 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_or aggregation; two broadcast probes drop ~99% of
     non-matching fact rows map-side, and only candidates reach the
     exact join — which makes the result EQUAL to the plain semi-join
-    (hash-gated against that oracle). ~17 bits/key at sf0.1 ⇒ ~1.2%
-    false positives; size n_bits ∝ keys at larger SF.
+    (hash-gated against that oracle, for ANY filter size). The
+    filter is auto-sized at ~16 bits/key from a dim-side count
+    (fixed sizes saturate as keys grow — measured in SCALE.md);
+    at sf0.1 that lands on 2^19 bits ⇒ ~1.1% false positives.
 
     Reference parity: LOOKUP with an INNER semi shape caches the
     whole build side per process (transforms/lookup.go:50); this is
@@ -556,8 +558,7 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"].select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
         "l_orderkey",
         urgent.select("o_orderkey"),
-        "o_orderkey",
-        n_bits=1 << 19,
+        "o_orderkey",  # n_bits auto-sized from the urgent key count
     )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -124,3 +124,21 @@ def test_high_bit_position_round_trip(spark):
     dim = spark.createDataFrame([(vals[0].k,)], "k long")
     got = bloom_semi_join(keys, "k", dim, "k", n_bits=256)
     assert [r.k for r in got.collect()] == [vals[0].k]
+
+
+def test_auto_sizing(spark, tables):
+    from analyst_spark.functions.bloom import sized_bits
+
+    assert sized_bits(0) == 1 << 16
+    assert sized_bits(30_000) == 1 << 19  # 480k -> next pow2
+    assert sized_bits(300_000) == 1 << 23
+    li, urgent = tables
+    got = bloom_semi_join(
+        li.select("l_orderkey"), "l_orderkey",
+        urgent.select("o_orderkey"), "o_orderkey",  # n_bits=None
+    )
+    want = li.select("l_orderkey").join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey", "left_semi",
+    )
+    assert got.count() == want.count()
