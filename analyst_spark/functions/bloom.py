@@ -132,11 +132,25 @@ def bloom_prune(
     return out
 
 
+# Ceiling on auto-sizing: 2^26 bits = 8 MiB of words — the same cap
+# Spark's runtime bloom-filter injection uses (sql/catalyst
+# InjectRuntimeFilter, spark.sql.optimizer.runtime.bloomFilter.
+# maxNumBits default 67108864). Past ~4M keys the FP rate rises as
+# keys/capacity instead of the table growing: the filter must stay
+# collect/broadcast-cheap or its probes cost more than the shuffle
+# they save. Callers with billions of keys should expect partial
+# pruning and size bits_per_key DOWN consciously via explicit n_bits.
+MAX_AUTO_BITS = 1 << 26
+
+
 def sized_bits(n_keys: int, bits_per_key: int = 16) -> int:
     """Power-of-two filter size at ~``bits_per_key`` (k=2 probes at
-    16 bits/key ⇒ ~1% false positives). Floor 2^16 (8 KiB) so tiny
-    dims don't degenerate to a handful of words."""
-    n = max(1 << 16, n_keys * bits_per_key)
+    16 bits/key ⇒ ~1% false positives), floored at 2^16 (8 KiB) so
+    tiny dims don't degenerate to a handful of words and capped at
+    :data:`MAX_AUTO_BITS` so huge dims keep the word table
+    broadcastable (the FP rate then degrades gracefully instead of
+    the plan blowing up)."""
+    n = max(1 << 16, min(n_keys * bits_per_key, MAX_AUTO_BITS))
     return 1 << (n - 1).bit_length()
 
 

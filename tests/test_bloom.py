@@ -132,6 +132,9 @@ def test_auto_sizing(spark, tables):
     assert sized_bits(0) == 1 << 16
     assert sized_bits(30_000) == 1 << 19  # 480k -> next pow2
     assert sized_bits(300_000) == 1 << 23
+    # cap: billions of keys must not size an uncollectable table
+    from analyst_spark.functions.bloom import MAX_AUTO_BITS
+    assert sized_bits(10_000_000_000) == MAX_AUTO_BITS
     li, urgent = tables
     got = bloom_semi_join(
         li.select("l_orderkey"), "l_orderkey",
