@@ -729,8 +729,18 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             _CMS_BLOB_SINK,
             output_mode="complete",
         )
-        _await_or_raise(q1)
-        _await_or_raise(q2)
+        try:
+            _await_or_raise(q1)
+            _await_or_raise(q2)
+        except BaseException:
+            # the sibling query must not keep streaming from a tmp
+            # dir the finally below is about to delete
+            for q in (q1, q2):
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
