@@ -560,21 +560,49 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         urgent.select("o_orderkey"),
         "o_orderkey",  # n_bits auto-sized from the urgent key count
     )
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+    # revenue is exact at 1e-4 dollars: price and discount are
+    # 2-decimal, so cents(ep) * (100 - cents(d)) is an integer —
+    # summed in decimal(28,0) and rounded to 2dp in INTEGER
+    # arithmetic (engines' float round() diverges on decimal halves,
+    # and a double sum is merge-order-dependent; r7 gate lesson)
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(28,0)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(e4).alias("__s"),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            (
+                F.expr(
+                    "CASE WHEN __s >= 0 THEN (2*__s + 100) DIV 200 "
+                    "ELSE -((-2*__s + 100) DIV 200) END"
+                )
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
     )
 
 
 LINEITEM_BLOOM_SEMIJOIN_ORACLE = """
-SELECT l_returnflag,
-       count(*)                                          AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-WHERE l_orderkey IN (
-    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+SELECT l_returnflag, n_items,
+       (CASE WHEN s >= 0 THEN (2*s + 100) // 200
+             ELSE -((-2*s + 100) // 200) END) / 100.0 AS revenue
+FROM (
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS HUGEINT) AS s
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
 )
-GROUP BY l_returnflag
 """

@@ -330,6 +330,28 @@ _CMS_SEED = 42
 _HH_TOP_K = 25
 
 
+HH_SCHEMA = "rnk long, token string, cnt long, est_cms long"
+
+
+def hh_head_frame(spark: SparkSession, head, blob_fn) -> DataFrame:
+    """Shared tail of the batch/streaming heavy-hitters twins:
+    assemble (rnk, token, cnt, est_cms) from the exact head rows and
+    a lazily-built CMS blob (``blob_fn`` only runs when the head is
+    non-empty, so an empty corpus skips the sketch job). One
+    definition keeps the schema and rank assignment from drifting
+    between the twins verify_local gates under one contract."""
+    from analyst_spark.functions.cms import cms_estimate, cms_parse
+
+    if not head:
+        return spark.createDataFrame([], HH_SCHEMA)
+    cms = cms_parse(bytes(blob_fn()))
+    rows = [
+        (i + 1, r.token, r.cnt, cms_estimate(cms, r.token))
+        for i, r in enumerate(head)
+    ]
+    return spark.createDataFrame(rows, HH_SCHEMA)
+
+
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters with a Count-Min Sketch frequency check — the
     third sketch in the family (HLL distinct, KLL quantile, CMS
@@ -357,8 +379,6 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee cnt <= est <= cnt + eps·N per row; tests/test_cms.py
     proves the Python bucket math bit-identical to the JVM's.
     """
-    from analyst_spark.functions.cms import cms_estimate, cms_parse
-
     docs = load_tables(spark, sf_dir)["documents"]
     # both jobs (exact head + sketch) consume the same exploded token
     # stream — persist it so the corpus is read and split ONCE (the
@@ -369,29 +389,24 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        top = (
+        head = (
             toks.groupBy("token")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("token").asc())
             .limit(_HH_TOP_K)
+            .collect()  # bounded: _HH_TOP_K rows
         )
-        schema = "rnk long, token string, cnt long, est_cms long"
-        head = top.collect()  # bounded: _HH_TOP_K rows
-        if not head:
-            return spark.createDataFrame([], schema)
-        blob = toks.agg(
-            F.count_min_sketch(
-                "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
-            ).alias("cms")
-        ).collect()[0].cms  # bounded: one ~1.1 MB sketch
+        return hh_head_frame(
+            spark,
+            head,
+            lambda: toks.agg(
+                F.count_min_sketch(
+                    "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+                ).alias("cms")
+            ).collect()[0].cms,  # bounded: one ~1.1 MB sketch
+        )
     finally:
         toks.unpersist()
-    cms = cms_parse(bytes(blob))
-    rows = [
-        (i + 1, r.token, r.cnt, cms_estimate(cms, r.token))
-        for i, r in enumerate(head)
-    ]
-    return spark.createDataFrame(rows, schema)
 
 
 TEXT_TOP_TOKENS_ORACLE = f"""

@@ -687,12 +687,12 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from analyst_spark.functions.cms import cms_estimate, cms_parse
     from analyst_spark.plans.pipeline_plans import (
         _CMS_CONF,
         _CMS_EPS,
         _CMS_SEED,
         _HH_TOP_K,
+        hh_head_frame,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -713,29 +713,39 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.explode(F.split(F.col("text"), " ")).alias("token")
             ).filter(F.col("token") != "")
 
-        q1 = run_to_memory_sink(
-            _tokens()
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
-            _CMS_HH_SINK,
-            output_mode="complete",
-        )
-        q2 = run_to_memory_sink(
-            _tokens().agg(
-                F.count_min_sketch(
-                    "token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
-                ).alias("cms")
-            ),
-            _CMS_BLOB_SINK,
-            output_mode="complete",
-        )
+        queries = []
         try:
-            _await_or_raise(q1)
-            _await_or_raise(q2)
+            # anything that raises from first start through the
+            # awaits — including starting q2, or an interrupt — must
+            # stop every live query before the finally deletes the
+            # tmp dir they stream from
+            queries.append(
+                run_to_memory_sink(
+                    _tokens()
+                    .groupBy("token")
+                    .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+                    _CMS_HH_SINK,
+                    output_mode="complete",
+                )
+            )
+            queries.append(
+                run_to_memory_sink(
+                    _tokens().agg(
+                        F.count_min_sketch(
+                            "token",
+                            F.lit(_CMS_EPS),
+                            F.lit(_CMS_CONF),
+                            F.lit(_CMS_SEED),
+                        ).alias("cms")
+                    ),
+                    _CMS_BLOB_SINK,
+                    output_mode="complete",
+                )
+            )
+            for q in queries:
+                _await_or_raise(q)
         except BaseException:
-            # the sibling query must not keep streaming from a tmp
-            # dir the finally below is about to delete
-            for q in (q1, q2):
+            for q in queries:
                 try:
                     q.stop()
                 except Exception:
@@ -750,13 +760,9 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HH_TOP_K)
         .collect()  # bounded: _HH_TOP_K rows
     )
-    schema = "rnk long, token string, cnt long, est_cms long"
-    if not head:
-        return spark.createDataFrame([], schema)
-    blob = spark.table(_CMS_BLOB_SINK).collect()[0].cms  # one ~1.1 MB sketch
-    cms = cms_parse(bytes(blob))
-    rows = [
-        (i + 1, r.token, r.cnt, cms_estimate(cms, r.token))
-        for i, r in enumerate(head)
-    ]
-    return spark.createDataFrame(rows, schema)
+    return hh_head_frame(
+        spark,
+        head,
+        # one ~1.1 MB sketch; lazily read so an empty corpus skips it
+        lambda: spark.table(_CMS_BLOB_SINK).collect()[0].cms,
+    )

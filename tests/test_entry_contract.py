@@ -20,6 +20,7 @@ def test_contract_shapes():
         "events_distinct_users_hll",  # HLL sketch; banded gate in verify_local
         "streaming_distinct_users_hll",  # streaming HLL; banded gate + batch pin
         "text_heavy_hitters_cms",  # CMS estimates; banded gate + JVM parity pin
+        "streaming_heavy_hitters_cms",  # streaming CMS; banded gate + blob pin
         "ann_ivf_trained",         # k-means centroids are engine-specific
         "dedup_semantic_trained",  # k-means clustering; twin-pinned in test_similarity
         "embeddings_pca",          # eigendecomposition; twin-pinned in test_pca

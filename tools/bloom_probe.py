@@ -30,8 +30,12 @@ OFFSET = 100_000_000
 def build_big(spark, copies: int) -> str:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(BIG, "_DONE")):
+    marker = os.path.join(BIG, f"_DONE_{copies}")
+    if os.path.exists(marker):
         return BIG
+    import shutil
+
+    shutil.rmtree(BIG, ignore_errors=True)  # stale copy count
     os.makedirs(BIG, exist_ok=True)
     orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
     li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
@@ -52,7 +56,7 @@ def build_big(spark, copies: int) -> str:
         dst = os.path.join(BIG, f)
         if f.endswith(".parquet") and not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f), dst)
-    open(os.path.join(BIG, "_DONE"), "w").close()
+    open(marker, "w").close()
     return BIG
 
 
