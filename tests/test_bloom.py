@@ -145,3 +145,16 @@ def test_auto_sizing(spark, tables):
         "l_orderkey", "left_semi",
     )
     assert got.count() == want.count()
+
+
+def test_string_keys_round_trip(spark):
+    """xxhash64 hashes any type: the filter must work on string keys
+    (the doc-fingerprint / URL shape) end to end."""
+    dim = spark.createDataFrame(
+        [("alpha",), ("beta",), (None,)], "k string"
+    )
+    fact = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), (None,), ("delta",)], "k string"
+    )
+    got = bloom_semi_join(fact, "k", dim, "k", n_bits=64 * 8)
+    assert sorted(r.k for r in got.collect()) == ["alpha", "beta"]

@@ -21,6 +21,10 @@ CORPUS = [
     (4, "nothing relevant here at all"),
     (5, "dup dup dup dup spark merge"),
     (6, ""),  # tokenless doc: excluded from N and the ranking
+    # high-tf stress: drives the integer numerator idf*tf*22*T past
+    # 1e17 — the replica computes in Python bignum, so equality
+    # proves the Spark decimal(28,0) path loses no precision
+    (7, " ".join(["dup"] * 200_000)),
 ]
 
 
