@@ -1,0 +1,113 @@
+"""Relevance ranking over a document corpus — BM25 in an exact
+integer form.
+
+BM25 (Robertson/Sparck Jones; the Okapi formulation as published in
+TREC-3) scores a document d for a query q as
+
+    sum over t in q of  idf(t) * tf * (k1+1)
+                        / (tf + k1 * (1 - b + b * len(d)/avglen))
+
+with idf(t) = ln((N + 1) / (df(t) + 0.5)). With the standard
+parameters as exact rationals (k1 = 6/5, b = 3/4) and avglen = T/N
+(T total tokens, N docs), each term contribution equals
+
+    idf_micro * tf * 22 * T  /  (10*T*tf + 3*T + 9*len*N)
+
+where idf_micro = round(ln((2N+2)/(2df+1)) * 1e6) — every quantity
+an integer, so two engines that agree on ln() agree on the whole
+ranking bit-for-bit (the docs_lm_score micro-log device applied to
+retrieval). The numerator reaches ~22*idf_micro*tf*T ≈ 1e19+ on
+large corpora, past int64: it accumulates in decimal(38,0) here and
+HUGEINT in SQL oracles, and divides with the half-away-from-zero
+integer form (exact, no float round()).
+
+Scale shape: one tokenize pass over the corpus (persisted — callers
+release via ``release_cached``), postings filtered to the query's
+terms BEFORE any shuffle (|query| × df rows), document frequencies
+and the 1-row corpus scalars ride broadcasts, and the only
+corpus-sized shuffle is the per-doc length aggregation. Top-k is
+TakeOrderedAndProject — no global sort.
+
+No analog in the reference — its AGGREGATE grammar has no ranking
+primitives (docs/aggregate.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from analyst_spark.functions.dedup import _with_cached_deps
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for ``query_terms`` (whitespace
+    tokenization, matching the engine's text family). Returns
+    ``(id_col, score_micro bigint, score double)``, ordered by
+    score desc / id asc with a deterministic cut. Documents with no
+    tokens (or NULL text) are excluded from N and never score.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = (
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .persist()
+    )
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len")).persist()
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").cast("long").alias("t_tokens"),
+    )
+    posting = (
+        toks.filter(F.col("w").isin(*query_terms))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = posting.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        posting.join(lens, id_col)
+        .join(F.broadcast(dfs), "w")
+        # 1-row corpus scalars: broadcast nested-loop by construction
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_micro",
+            F.round(
+                F.log((2 * F.col("n_docs") + 2) / (2.0 * F.col("df") + 1))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "c_micro",
+            F.expr(
+                "CAST((2*(CAST(idf_micro AS DECIMAL(28,0))*tf*22*t_tokens)"
+                "      + (10*CAST(t_tokens AS DECIMAL(28,0))*tf"
+                "         + 3*t_tokens + 9*len*n_docs))"
+                "     DIV"
+                "     (2*(10*CAST(t_tokens AS DECIMAL(28,0))*tf"
+                "         + 3*t_tokens + 9*len*n_docs)) AS BIGINT)"
+            ),
+        )
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(F.sum("c_micro").cast("long").alias("score_micro"))
+        .select(
+            id_col,
+            "score_micro",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return _with_cached_deps(out, toks, lens)

@@ -2340,81 +2340,15 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance-ranking primitive of query-driven corpus curation
     (select training documents near a topic, score contamination
     against eval queries by ranking instead of exact n-gram hits).
-
-    Scale shape: one tokenize pass (persisted, the funnel lesson),
-    postings filtered to the query's terms BEFORE any shuffle (the
-    per-(doc,term) frame is |query| * df rows, microscopic next to
-    the corpus), doc-frequency and corpus scalars ride broadcasts,
-    and the only corpus-sized shuffle is the per-doc length
-    aggregation. Top-k is TakeOrderedAndProject (no global sort).
-
-    Cross-engine exactness: BM25 with rational k1/b has an exact
-    integer form. idf = ln((N+1)/(df+0.5)) = ln((2N+2)/(2df+1)) is
-    snapped to integer micros (the docs_lm_score device); each term's
-    tf*(k1+1)/(tf + k1*(1-b+b*len/avglen)) contribution equals
-    idf_micro*tf*22*T / (10*T*tf + 3*T + 9*len*N) with T = total
-    tokens, N = docs — integers on both engines, accumulated in
-    decimal(38,0)/HUGEINT (T grows with the corpus; int64 wraps at
-    the x1000 decade) and divided with the half-away-from-zero
-    integer form, so Spark and DuckDB produce bit-identical
-    score_micro. No analog in the reference — its AGGREGATE grammar
-    has no ranking primitives (docs/aggregate.md).
+    Thin wrapper over :func:`analyst_spark.functions.retrieval.
+    bm25_topk`, which documents the exact-integer scoring device and
+    the scale shape; the DuckDB twin below mirrors it term for term,
+    so the whole ranking hash-gates bit-for-bit.
     """
+    from analyst_spark.functions.retrieval import bm25_topk
+
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .persist()
-    )
-    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len")).persist()
-    corpus = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("len").cast("long").alias("t_tokens"),
-    )
-    posting = (
-        toks.filter(F.col("w").isin(*_BM25_QUERY))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    dfs = posting.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    scored = (
-        posting.join(lens, "doc_id")
-        .join(F.broadcast(dfs), "w")
-        # 1-row corpus scalars: broadcast nested-loop by construction
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "idf_micro",
-            F.round(
-                F.log((2 * F.col("n_docs") + 2) / (2.0 * F.col("df") + 1))
-                * F.lit(1000000.0)
-            ).cast("long"),
-        )
-        .withColumn(
-            "c_micro",
-            F.expr(
-                "CAST((2*(CAST(idf_micro AS DECIMAL(28,0))*tf*22*t_tokens)"
-                "      + (10*CAST(t_tokens AS DECIMAL(28,0))*tf"
-                "         + 3*t_tokens + 9*len*n_docs))"
-                "     DIV"
-                "     (2*(10*CAST(t_tokens AS DECIMAL(28,0))*tf"
-                "         + 3*t_tokens + 9*len*n_docs)) AS BIGINT)"
-            ),
-        )
-    )
-    out = (
-        scored.groupBy("doc_id")
-        .agg(F.sum("c_micro").cast("long").alias("score_micro"))
-        .select(
-            "doc_id",
-            "score_micro",
-            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
-        )
-        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-        .limit(_BM25_TOP_K)
-    )
-    return _with_cached_deps(out, toks, lens)
+    return bm25_topk(docs, _BM25_QUERY, k=_BM25_TOP_K)
 
 
 DOCS_BM25_ORACLE = f"""
