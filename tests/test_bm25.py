@@ -101,3 +101,21 @@ def test_ranking_sanity(spark, tiny_sf):
     assert 4 not in ids and 6 not in ids
     assert ids.index(5) < ids.index(1)
     assert all(a.score_micro >= b.score_micro for a, b in zip(rows, rows[1:]))
+
+
+def test_bm25_plan_shape(spark):
+    """Top-k must be TakeOrderedAndProject (no global sort) and the
+    whole pipeline stays JVM-side (no Python eval nodes)."""
+    import contextlib
+    import io
+
+    from analyst_spark.functions.dedup import release_cached
+
+    df = QUERIES["docs_bm25_topk"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    release_cached(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
