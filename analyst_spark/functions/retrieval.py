@@ -16,10 +16,26 @@ parameters as exact rationals (k1 = 6/5, b = 3/4) and avglen = T/N
 where idf_micro = round(ln((2N+2)/(2df+1)) * 1e6) — every quantity
 an integer, so two engines that agree on ln() agree on the whole
 ranking bit-for-bit (the docs_lm_score micro-log device applied to
-retrieval). The numerator reaches ~22*idf_micro*tf*T ≈ 1e19+ on
-large corpora, past int64: it accumulates in decimal(38,0) here and
-HUGEINT in SQL oracles, and divides with the half-away-from-zero
-integer form (exact, no float round()).
+retrieval).
+
+LN-PARITY ASSUMPTION (r8 advice): idf_micro is the ONE place a
+double is rounded, so the bit-exact gate rests on JVM Math.log and
+DuckDB's libm log agreeing to within the distance of
+ln((2N+2)/(2df+1))*1e6 from its nearest half-integer. libm
+disagreements are ~1 ulp (~1e-9 absolute at this magnitude); the
+gate only flakes if some (df, N) pair lands within that of a .5
+boundary. tests/test_bm25.py has a boundary-distance guard that
+scans every (df, N) pair arising from the benchmark query at all
+three SFs and asserts a >=1e-6 margin, so the assumption is checked
+against the actual corpora rather than trusted.
+
+The per-term numerator reaches ~2*22*idf_micro*tf*T ≈ 1e19+ on
+large corpora, past int64: the half-away-from-zero division runs on
+DECIMAL(28,0) intermediates here and HUGEINT in SQL oracles (28
+digits covers idf_micro(2e7)*tf(1e4)*22*T(1e13) ≈ 5e25 with room).
+Each per-term quotient c_micro is back in micro-units
+(≤ ~2.2*idf_micro ≈ 1e8), so the final per-doc accumulation is a
+plain BIGINT sum — |query| terms cannot overflow it.
 
 Scale shape: one tokenize pass over the corpus (persisted — callers
 release via ``release_cached``), postings filtered to the query's

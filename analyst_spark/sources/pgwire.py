@@ -135,14 +135,41 @@ def quote_ident(name: str) -> str:
     ``TABLE = 'MyTable'`` matches a lowercase-stored table). Names
     that cannot stand bare (spaces, punctuation, leading digits,
     reserved words) get double-quoted with embedded-quote doubling;
-    dotted names are handled per segment (schema.table)."""
+    dotted names are handled per segment (schema.table).
+
+    MIGRATION NOTE (r8 advice): before r8 every identifier was
+    quoted, so a pre-existing table CREATED with a quoted mixed-case
+    name (``CREATE TABLE "MyTable"``) was reachable via
+    ``TABLE = 'MyTable'``. Under verbatim emission that name now
+    case-folds to ``mytable`` server-side and misses the quoted
+    object. Escape hatch: pass the name WITH the quote characters —
+    ``TABLE = '"MyTable"'`` — and the pre-quoted segment is emitted
+    exactly as written (embedded ``""`` pairs preserved)."""
 
     def seg(part: str) -> str:
+        # Always-quote escape hatch: a segment the user already
+        # wrapped in double quotes is trusted verbatim.
+        if len(part) >= 2 and part.startswith('"') and part.endswith('"'):
+            return part
         if _BARE_IDENT.match(part) and part.lower() not in _RESERVED:
             return part
         return '"' + part.replace('"', '""') + '"'
 
-    return ".".join(seg(p) for p in str(name).split("."))
+    # Split on dots OUTSIDE double quotes so a pre-quoted segment may
+    # itself contain a dot ('"My.Table"' stays one segment).
+    s = str(name)
+    parts, buf, in_q = [], [], False
+    for ch in s:
+        if ch == '"':
+            in_q = not in_q
+            buf.append(ch)
+        elif ch == "." and not in_q:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return ".".join(seg(p) for p in parts)
 
 
 def copy_text_value(v) -> str:

@@ -338,7 +338,14 @@ def bulk_colmetadata(columns: list[tuple[str, str]]) -> bytes:
 
 def bulk_row(columns: list[tuple[str, str]], values: list) -> bytes:
     """One ROW token ([MS-TDS] 2.2.7.19) in the bulk stream; NULL is
-    length 0 (INTN) / 0xFFFF (BIGVARCHAR)."""
+    length 0 (INTN) / 0xFFFF (BIGVARCHAR).
+
+    Varchar limitation: BIGVARCHAR rides the hard-coded codepage-1252
+    collation (`_RAW_COLLATION`), so only Latin-1-encodable strings
+    are representable — the single-byte codec matches the collation's
+    code page. A value outside that repertoire raises a ValueError
+    naming the column (use NVARCHAR/UTF-16 column metadata to lift
+    this; not emitted by the current inserter)."""
     out = bytes([TOK_ROW])
     for (name, sqlty), v in zip(columns, values):
         ty = sqlty.lower()
@@ -348,7 +355,15 @@ def bulk_row(columns: list[tuple[str, str]], values: list) -> bytes:
             if v is None:
                 out += struct.pack("<H", 0xFFFF)
             else:
-                raw = str(v).encode("latin-1")
+                try:
+                    raw = str(v).encode("latin-1")
+                except UnicodeEncodeError as e:
+                    raise ValueError(
+                        f"bulk copy column {name!r}: value {str(v)!r} is not "
+                        "Latin-1-encodable; the BIGVARCHAR bulk path uses a "
+                        "codepage-1252 collation and cannot carry characters "
+                        f"outside Latin-1 ({e})"
+                    ) from None
                 out += struct.pack("<H", len(raw)) + raw
     return out
 

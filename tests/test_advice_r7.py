@@ -57,7 +57,10 @@ def test_quote_ident_forms():
     assert quote_ident('we"ird') == '"we""ird"'
     assert quote_ident("has space") == '"has space"'
     assert quote_ident("1starts_digit") == '"1starts_digit"'
-    assert quote_ident('public."quoted"') == 'public."""quoted"""'
+    # r9 (r8 advice): a segment the user pre-quoted is the
+    # always-quote escape hatch and passes through verbatim
+    # (test_advice_r9.py covers the full matrix).
+    assert quote_ident('public."quoted"') == 'public."quoted"'
 
 
 def test_copy_text_value_encoding():

@@ -119,3 +119,42 @@ def test_bm25_plan_shape(spark):
     release_cached(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_idf_micro_half_boundary_margin():
+    """LN-PARITY GUARD (r8 advice): idf_micro = round(ln(...)*1e6)
+    is the one double-rounding in the scoring; the cross-engine gate
+    assumes JVM Math.log and DuckDB libm log agree at that rounding.
+    libm disagreement is ~1 ulp (~1e-9 absolute here), so the gate
+    can only flake if some actual (df, N) pair puts ln(...)*1e6
+    within that of a half-integer. Scan every pair the benchmark
+    query produces at all three SFs and assert a >=1e-6 margin —
+    1000x the hazard radius."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+        rows = con.sql(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM read_parquet('{path}')
+            ), tok AS (SELECT * FROM toks WHERE w <> ''),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+            SELECT w, count(DISTINCT doc_id) AS df, (SELECT n_docs FROM n)
+            FROM tok WHERE w IN ({terms}) GROUP BY w
+            """
+        ).fetchall()
+        con.close()
+        assert rows, f"query terms select nothing at {sf}"
+        for w, df, n_docs in rows:
+            x = math.log((2 * n_docs + 2) / (2.0 * df + 1)) * 1e6
+            dist = abs((x - math.floor(x)) - 0.5)
+            assert dist >= 1e-6, (
+                f"{sf} term={w} df={df} N={n_docs}: ln*1e6={x!r} is "
+                f"{dist:.2e} from a rounding half-boundary"
+            )

@@ -202,7 +202,9 @@ def _check_heavy_hitters_cms(con, scols, srows):
     on a fresh corpus; k=3 at depth 7 puts the gate at ~1e-4 like
     the 5-sigma HLL bands (still deterministic for fixed data+seed;
     the current corpus passes k=1 with huge margin)."""
-    eps = 1e-4
+    # Import the entry's own sketch precision so the band cannot
+    # silently desynchronize if the plan's eps ever changes.
+    from analyst_spark.plans.pipeline_plans import _CMS_EPS as eps
     exact = con.sql(
         "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ("
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents)"
