@@ -127,3 +127,58 @@ def bm25_topk(
         .limit(k)
     )
     return _with_cached_deps(out, toks, lens)
+
+
+def rrf_fuse(
+    rankings: Sequence[tuple[str, DataFrame]],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of two or more candidate rankings — the standard hybrid-retrieval
+    combiner (lexical BM25 + semantic ANN) that needs no score
+    calibration because it consumes only RANKS.
+
+    Each input is ``(name, df)`` where ``df`` has ``(id_col, rank)``
+    with rank 1-based and the list already cut to its candidate
+    depth. Output: ``(id_col, <name>_rank ... , rrf_nano, rrf_score)``
+    ordered by fused score desc / id asc, cut to ``k``.
+
+    Exactness device: the reciprocal 1/(rrf_k + rank) is truncated to
+    integer NANO-units (``1e9 DIV (rrf_k + rank)``) before summation,
+    so the fused score is a sum of integers both engines reproduce
+    bit-for-bit — no float summation order in the gate. At rrf_k=60
+    and candidate depth <= 1000 each term is >= 9.4e5 nanos while the
+    truncation error is < 1 nano per term, so the induced ordering
+    differs from float RRF only where float scores tie within ~2e-9 —
+    exactly the ties RRF breaks arbitrarily anyway. ``rrf_score`` is
+    derived FROM the exact integer at the end.
+
+    Scale shape: candidate lists are bounded by their retrievers'
+    depth (k per source) regardless of corpus size, so the full-outer
+    fusion join moves O(sources * depth) rows — never corpus-scale.
+    (Full outer joins cannot broadcast in Spark; on bounded inputs
+    the shuffle is a few KB and irrelevant.)
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    fused = None
+    for name, df in rankings:
+        d = df.select(F.col(id_col), F.col("rank").alias(f"{name}_rank"))
+        fused = d if fused is None else fused.join(d, id_col, "full_outer")
+    score = None
+    for name, _ in rankings:
+        term = F.coalesce(
+            F.expr(
+                f"CAST(1000000000 DIV ({rrf_k} + {name}_rank) AS BIGINT)"
+            ),
+            F.lit(0).cast("long"),
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf_nano", score)
+        .withColumn("rrf_score", F.col("rrf_nano") / F.lit(1000000000.0))
+        .orderBy(F.col("rrf_nano").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

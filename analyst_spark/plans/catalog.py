@@ -136,6 +136,7 @@ _register("text_heavy_hitters_cms", pp.text_heavy_hitters_cms, None)
 # BM25 relevance ranking: exact integer-micro scoring (rational k1/b)
 # makes the whole ranking hash-gateable cross-engine
 _register("docs_bm25_topk", pp.docs_bm25_topk, pp.DOCS_BM25_ORACLE)
+_register("docs_rrf_hybrid", pp.docs_rrf_hybrid, pp.DOCS_RRF_ORACLE)
 _register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACLE)
 _register("docs_chunk_windows", pp.docs_chunk_windows, pp.DOCS_CHUNK_ORACLE)
 _register("docs_token_budget_mix", pp.docs_token_budget_mix, pp.TOKEN_BUDGET_MIX_ORACLE)

@@ -2389,3 +2389,125 @@ GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC
 LIMIT {_BM25_TOP_K}
 """
+
+
+# --------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_CAND = 50        # per-retriever candidate depth
+_RRF_FINAL_K = 20
+_RRF_KCONST = 60      # the SIGIR'09 paper's k
+_RRF_QUERY_VEC = 0    # the semantic query: embedding of doc 0
+
+
+def docs_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and exact cosine (semantic)
+    candidate lists fused with Reciprocal Rank Fusion — the standard
+    two-tower retrieval shape for query-driven corpus curation, where
+    neither score is calibrated against the other so only ranks fuse.
+    vec_id is 1:1 with doc_id in the testdata, mirroring a corpus
+    with one embedding per document.
+
+    Scale: each retriever bounds its own cost (BM25: postings
+    filtered to the query's terms; cosine: one broadcast query row
+    against a single corpus scan) and emits <= _RRF_CAND rows, so
+    the fusion join is O(depth) regardless of corpus size. See
+    :func:`analyst_spark.functions.retrieval.rrf_fuse` for the
+    integer-nano exactness device.
+    """
+    from analyst_spark.functions.retrieval import bm25_topk, rrf_fuse
+    from analyst_spark.functions.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    bm = bm25_topk(t["documents"], _BM25_QUERY, k=_RRF_CAND)
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    cos_ranked = cosine_topk(
+        t["embeddings"],
+        t["embeddings"].filter(F.col("vec_id") == _RRF_QUERY_VEC),
+        k=_RRF_CAND,
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(
+        [("bm25", bm_ranked), ("cos", cos_ranked)],
+        k=_RRF_FINAL_K,
+        rrf_k=_RRF_KCONST,
+    )
+    # bm's persisted token/length frames must outlive the projection
+    # (_asp_cached_deps does not survive .select()).
+    return _with_cached_deps(fused, *getattr(bm, "_asp_cached_deps", ()))
+
+
+DOCS_RRF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, token AS w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), lens AS (
+    SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+), corpus AS (
+    SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS t_tokens
+    FROM lens
+), posting AS (
+    SELECT doc_id, w, count(*) AS tf FROM toks
+    WHERE w IN ('spark', 'merge', 'dup') GROUP BY doc_id, w
+), dfs AS (
+    SELECT w, count(*) AS df FROM posting GROUP BY w
+), per_term AS (
+    SELECT p.doc_id,
+           (2*(CAST(CAST(round(ln((2*c.n_docs + 2) / (2.0*d.df + 1))
+                          * 1000000.0) AS BIGINT) AS HUGEINT)
+               * p.tf * 22 * c.t_tokens)
+            + (10*CAST(c.t_tokens AS HUGEINT)*p.tf
+               + 3*c.t_tokens + 9*l.len*c.n_docs))
+           // (2*(10*CAST(c.t_tokens AS HUGEINT)*p.tf
+                  + 3*c.t_tokens + 9*l.len*c.n_docs)) AS c_micro
+    FROM posting p
+    JOIN lens l USING (doc_id)
+    JOIN dfs d USING (w)
+    CROSS JOIN corpus c
+), bm_scores AS (
+    SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+    FROM per_term GROUP BY doc_id
+), bm_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+               AS rank
+    FROM bm_scores
+    QUALIFY rank <= {_RRF_CAND}
+), q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings
+    WHERE vec_id = {_RRF_QUERY_VEC}
+), cos_ranked AS (
+    SELECT doc_id, rank FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY round(list_dot_product(q.qv, c.cv)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                       c.vec_id ASC) AS rank
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+              WHERE vec_id <> {_RRF_QUERY_VEC}) c
+        CROSS JOIN q
+    ) WHERE rank <= {_RRF_CAND}
+), fused AS (
+    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           b.rank AS bm25_rank,
+           c.rank AS cos_rank,
+           coalesce(1000000000 // ({_RRF_KCONST} + b.rank), 0)
+             + coalesce(1000000000 // ({_RRF_KCONST} + c.rank), 0)
+               AS rrf_nano
+    FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON b.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST(bm25_rank AS INTEGER) AS bm25_rank,
+       CAST(cos_rank AS INTEGER) AS cos_rank,
+       CAST(rrf_nano AS BIGINT) AS rrf_nano,
+       CAST(rrf_nano AS BIGINT) / 1000000000.0 AS rrf_score
+FROM fused
+ORDER BY rrf_nano DESC, doc_id ASC
+LIMIT {_RRF_FINAL_K}
+"""
