@@ -88,6 +88,11 @@ _register("events_user_sessions", ev.events_user_sessions, ev.EVENTS_SESSIONS_OR
 _register(
     "events_sessions_chunked", ev.events_sessions_chunked, ev.EVENTS_SESSIONS_ORACLE
 )
+_register(
+    "events_gapfill_interpolate",
+    ev.events_gapfill_interpolate,
+    ev.EVENTS_GAPFILL_ORACLE,
+)
 _register("events_session_window", ev.events_session_window, ev.EVENTS_SESSION_WINDOW_ORACLE)
 _register("events_asof_view_click", ev.events_asof_view_click, ev.EVENTS_ASOF_ORACLE)
 _register("events_range_join", ev.events_range_join, ev.EVENTS_RANGE_JOIN_ORACLE)

@@ -8,7 +8,7 @@ the groupBy/window code is shared.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from analyst_spark.tables import cents_of, load_tables
@@ -428,4 +428,179 @@ SELECT user_id, min(ts) AS session_start,
        CAST(count(*) AS BIGINT) AS n_events
 FROM sess
 GROUP BY user_id, sid
+"""
+
+
+# ------------------------------------------ gap-fill + interpolation
+
+
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap fill with LOCF and linear interpolation — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf()`` +
+    ``interpolate()`` trio re-expressed in Spark: hourly buckets per
+    event_type, a generated dense hour spine filling the missing
+    buckets, carry-forward of the last known per-bucket mean, and
+    exact linear interpolation between the bracketing known buckets.
+
+    Exactness device: the interpolated series works in the hourly
+    rollup's 1e-4 avg units (``avg4`` — integer, half-away-from-zero,
+    bounded by the per-row cents cap so every DIV quotient fits
+    int64; the cross-term (next-prev)*(h-prev_h) can reach ~1.8e20 so
+    it is computed in DECIMAL(38,0) before the DIV). Bucket index is
+    integer hours since epoch. Floats (``interp_value``) derive from
+    the exact integers at the end. Edge buckets with no bracketing
+    value on one side interpolate to NULL; LOCF is NULL before the
+    first known bucket (Timescale semantics).
+
+    Scale: one corpus-scale aggregation (map-side combined) reduces
+    events to (type, hour) rows; everything after — spine generation,
+    the left join, the two windows — runs on time-bounded data
+    (series x hours, ~9k rows per series-year) regardless of event
+    volume. The window partitions by the series key, so state per
+    task is one series' hour count, never the raw event count.
+    """
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
+    cents = cents_of("value")
+    agg = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(cents).alias("__nv"),
+            F.sum(cents.cast("decimal(28,0)")).alias("__sc"),
+        )
+        .withColumn(
+            "avg4",
+            F.expr(
+                "CASE WHEN __nv = 0 THEN NULL "
+                "WHEN __sc >= 0 THEN (200*__sc + __nv) DIV (2*__nv) "
+                "ELSE -((-200*__sc + __nv) DIV (2*__nv)) END"
+            ),
+        )
+        .select("event_type", "bucket", "n_events", "avg4")
+    )
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("__mn", "__mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    full = (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0).cast("long")))
+        .withColumn("hidx", F.expr("CAST(bucket AS LONG) DIV 3600"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("avg4").isNotNull(), F.col("hidx"))
+    filled = (
+        full.withColumn("locf4", F.last("avg4", ignorenulls=True).over(wp))
+        .withColumn("__ph", F.last(known_h, ignorenulls=True).over(wp))
+        .withColumn("__nc", F.first("avg4", ignorenulls=True).over(wn))
+        .withColumn("__nh", F.first(known_h, ignorenulls=True).over(wn))
+        .withColumn(
+            "interp4",
+            F.expr(
+                "CASE WHEN avg4 IS NOT NULL THEN avg4 "
+                "WHEN locf4 IS NULL OR __nc IS NULL THEN NULL "
+                "WHEN __nc >= locf4 THEN locf4 + "
+                "  (2*CAST(__nc - locf4 AS DECIMAL(38,0))*(hidx - __ph)"
+                "   + (__nh - __ph)) DIV (2*(__nh - __ph)) "
+                "ELSE locf4 - "
+                "  (2*CAST(locf4 - __nc AS DECIMAL(38,0))*(hidx - __ph)"
+                "   + (__nh - __ph)) DIV (2*(__nh - __ph)) END"
+            ),
+        )
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "avg4",
+        "locf4",
+        "interp4",
+        (F.col("interp4") / F.lit(10000.0)).alias("interp_value"),
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH e AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CASE WHEN abs(value) <= 9e13
+                THEN CAST(round(value*100) AS BIGINT) END AS cents
+    FROM events WHERE ts IS NOT NULL
+), agg AS (
+    SELECT event_type, bucket, count(*) AS n_events,
+           count(cents) AS nv, CAST(sum(cents) AS HUGEINT) AS sc
+    FROM e GROUP BY 1, 2
+), a4 AS (
+    SELECT event_type, bucket, n_events,
+           CASE WHEN nv = 0 THEN NULL
+                WHEN sc >= 0 THEN (200*sc + nv) // (2*nv)
+                ELSE -((-200*sc + nv) // (2*nv)) END AS avg4
+    FROM agg
+), rng AS (
+    SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+    FROM a4 GROUP BY 1
+), spine AS (
+    SELECT event_type,
+           unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+    FROM rng
+), f AS (
+    SELECT s.event_type, s.bucket,
+           coalesce(a.n_events, 0) AS n_events, a.avg4,
+           CAST(epoch(s.bucket) AS BIGINT) // 3600 AS hidx
+    FROM spine s
+    LEFT JOIN a4 a ON s.event_type = a.event_type AND s.bucket = a.bucket
+), w AS (
+    SELECT *,
+        last_value(avg4 IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf4,
+        last_value(CASE WHEN avg4 IS NOT NULL THEN hidx END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(avg4 IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        first_value(CASE WHEN avg4 IS NOT NULL THEN hidx END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+    FROM f
+)
+SELECT event_type, bucket, n_events,
+       CAST(avg4 AS BIGINT) AS avg4,
+       CAST(locf4 AS BIGINT) AS locf4,
+       CAST(CASE WHEN avg4 IS NOT NULL THEN avg4
+                 WHEN locf4 IS NULL OR nc IS NULL THEN NULL
+                 WHEN nc >= locf4 THEN locf4 +
+                   (2*CAST(nc - locf4 AS HUGEINT)*(hidx - ph)
+                    + (nh - ph)) // (2*(nh - ph))
+                 ELSE locf4 -
+                   (2*CAST(locf4 - nc AS HUGEINT)*(hidx - ph)
+                    + (nh - ph)) // (2*(nh - ph)) END AS BIGINT)
+           AS interp4,
+       CAST(CASE WHEN avg4 IS NOT NULL THEN avg4
+                 WHEN locf4 IS NULL OR nc IS NULL THEN NULL
+                 WHEN nc >= locf4 THEN locf4 +
+                   (2*CAST(nc - locf4 AS HUGEINT)*(hidx - ph)
+                    + (nh - ph)) // (2*(nh - ph))
+                 ELSE locf4 -
+                   (2*CAST(locf4 - nc AS HUGEINT)*(hidx - ph)
+                    + (nh - ph)) // (2*(nh - ph)) END AS BIGINT)
+           / 10000.0 AS interp_value
+FROM w
 """

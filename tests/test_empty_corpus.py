@@ -68,6 +68,7 @@ EVENT_ENTRIES = [
     "events_anomaly_zscore", "events_rollup", "events_pivot",
     "events_distinct_users", "events_salted_rollup",
     "events_sessions_chunked",
+    "events_gapfill_interpolate",
     "events_distinct_users_hll",
     "streaming_distinct_users_hll",
 ]

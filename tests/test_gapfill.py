@@ -1,0 +1,103 @@
+"""events_gapfill_interpolate: Timescale gapfill/locf/interpolate
+semantics pinned on a hand-built series where every expected value is
+computable by eye — the cross-engine hash gate proves Spark==DuckDB,
+this proves both equal the DEFINITION."""
+
+import datetime
+import os
+
+import pytest
+
+from analyst_spark.plans.catalog import QUERIES
+
+
+H = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _h(i):
+    return H + datetime.timedelta(hours=i)
+
+
+@pytest.fixture(scope="module")
+def series_sf(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("gapfill_sf"))
+    rows = [
+        # type "a": values 10.00 at h0, gap h1-h3, 50.00 at h4 —
+        # interp at h1/h2/h3 = 20/30/40; two events at h4 avg 50.
+        (0, _h(0), 1, "a", 10.0, None),
+        (1, _h(4), 1, "a", 40.0, None),
+        (2, _h(4), 1, "a", 60.0, None),
+        # type "b": NULL-value bucket in the middle: h0=2.00,
+        # h1 has an event with NULL value (bucket present, avg NULL
+        # -> treated as a gap for the value series), h2=4.00.
+        (3, _h(0), 2, "b", 2.0, None),
+        (4, _h(1), 2, "b", None, None),
+        (5, _h(2), 2, "b", 4.0, None),
+        # type "c": single bucket — no gaps, no interp edges.
+        (6, _h(7), 3, "c", 7.5, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    return td
+
+
+def test_interpolation_and_locf_semantics(spark, series_sf):
+    out = {
+        (r.event_type, r.bucket.hour): r
+        for r in QUERIES["events_gapfill_interpolate"](
+            spark, series_sf
+        ).collect()
+    }
+    # type a: dense 5-bucket spine
+    assert {h for (t, h) in out if t == "a"} == {0, 1, 2, 3, 4}
+    a0, a1, a2, a3, a4 = (out[("a", i)] for i in range(5))
+    assert (a0.n_events, a0.avg4, a0.locf4, a0.interp4) == (1, 100000, 100000, 100000)
+    for r, want in ((a1, 200000), (a2, 300000), (a3, 400000)):
+        assert r.n_events == 0 and r.avg4 is None
+        assert r.locf4 == 100000  # carry-forward of h0
+        assert r.interp4 == want
+        assert r.interp_value == want / 10000.0
+    assert (a4.n_events, a4.avg4) == (2, 500000)  # mean of 40 and 60
+
+    # type b: the NULL-value bucket interpolates between neighbors
+    b1 = out[("b", 1)]
+    assert b1.n_events == 1 and b1.avg4 is None
+    assert b1.locf4 == 20000 and b1.interp4 == 30000  # midpoint of 2.00/4.00
+
+    # type c: single bucket, trivially known
+    c = out[("c", 7)]
+    assert (c.n_events, c.avg4, c.locf4, c.interp4) == (1, 75000, 75000, 75000)
+
+
+def test_edges_are_null(spark, tmp_path_factory):
+    # Leading gap: no prev -> locf/interp NULL; known row unaffected.
+    td = str(tmp_path_factory.mktemp("gapfill_edge"))
+    rows = [
+        (0, _h(0), 1, "x", None, None),  # h0 known-bucket, NULL value
+        (1, _h(2), 1, "x", 5.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    out = {
+        r.bucket.hour: r
+        for r in QUERIES["events_gapfill_interpolate"](spark, td).collect()
+    }
+    assert out[0].locf4 is None and out[0].interp4 is None
+    assert out[1].locf4 is None and out[1].interp4 is None  # gap, no prev
+    assert out[2].interp4 == 50000
+
+
+def test_empty_events(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("gapfill_empty"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    assert QUERIES["events_gapfill_interpolate"](spark, td).collect() == []
