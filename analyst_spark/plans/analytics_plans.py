@@ -738,3 +738,158 @@ FROM lineitem"""
 
 
 LINEITEM_PROFILE_ORACLE = _profile_oracle()
+
+
+# ------------------------------------------------- z-order layout
+
+_Z_BITS = 8            # per-dimension rank resolution (2^8 buckets)
+_Z_FILES = 64          # target files per layout
+
+
+def _morton_expr(px: str, sy: str, bits: int) -> str:
+    """Bit-interleave two ``bits``-wide integer columns into a Morton
+    (Z-order) code using pure integer arithmetic — portable to any
+    SQL engine (no shift builtins; Spark's shiftleft takes only
+    literal counts anyway)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({px} DIV {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({sy} DIV {1 << b}) % 2) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering vs linear sort — the data-layout
+    decision behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: which file
+    layout lets a 100 TB scan prune files for predicates on EITHER of
+    two dimensions?
+
+    Both layouts assign each row a file id deterministically: the
+    linear layout buckets by l_partkey rank alone; the z-order layout
+    buckets by the Morton interleave of the (l_partkey, l_suppkey)
+    rank pair. The result is one row per layout with the average
+    per-file span of each dimension in exact ppm of its full range —
+    the min/max file skipping statistics a lakehouse reader prunes
+    with. Z-order shows BOTH spans small (~sqrt decomposition);
+    linear shows l_partkey tiny but l_suppkey at ~100% (no pruning on
+    the second dimension).
+
+    All arithmetic is integer (rank = (v - min) * 2^bits DIV
+    (range + 1), interleave by DIV/%/*, spans in ppm by integer DIV),
+    so the whole comparison hash-gates. The 1-row min/max frame rides
+    a broadcast; per-file stats are one map-side-combined aggregation
+    each. To APPLY the layout at scale: repartitionByRange(morton) +
+    sortWithinPartitions(morton) before the write — the computation
+    here is exactly the clustering key that write would use.
+    """
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+    )
+    rng = li.agg(
+        F.min("l_partkey").alias("mn_pk"),
+        F.max("l_partkey").alias("mx_pk"),
+        F.min("l_suppkey").alias("mn_sk"),
+        F.max("l_suppkey").alias("mx_sk"),
+    )
+    n_ranks = 1 << _Z_BITS
+    coded = (
+        li.join(F.broadcast(rng))  # 1-row scalars: broadcast by construction
+        .withColumn(
+            "px",
+            F.expr(
+                f"((l_partkey - mn_pk) * {n_ranks})"
+                " DIV (mx_pk - mn_pk + 1)"
+            ),
+        )
+        .withColumn(
+            "sy",
+            F.expr(
+                f"((l_suppkey - mn_sk) * {n_ranks})"
+                " DIV (mx_sk - mn_sk + 1)"
+            ),
+        )
+        .withColumn(
+            "file_z",
+            F.expr(
+                f"({_morton_expr('px', 'sy', _Z_BITS)})"
+                f" DIV {(n_ranks * n_ranks) // _Z_FILES}"
+            ),
+        )
+        .withColumn("file_lin", F.expr(f"px DIV {n_ranks // _Z_FILES}"))
+    )
+
+    def _layout(df: DataFrame, file_col: str, label: str) -> DataFrame:
+        per_file = df.groupBy(file_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("f_mn_pk"),
+            F.max("l_partkey").alias("f_mx_pk"),
+            F.min("l_suppkey").alias("f_mn_sk"),
+            F.max("l_suppkey").alias("f_mx_sk"),
+        )
+        return per_file.agg(
+            F.lit(label).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.expr(
+                "CAST(sum(f_mx_pk - f_mn_pk + 1) * 1000000 AS BIGINT)"
+                " DIV (count(*) * (max(f_mx_pk) - min(f_mn_pk) + 1))"
+            ).alias("avg_pk_span_ppm"),
+            F.expr(
+                "CAST(sum(f_mx_sk - f_mn_sk + 1) * 1000000 AS BIGINT)"
+                " DIV (count(*) * (max(f_mx_sk) - min(f_mn_sk) + 1))"
+            ).alias("avg_sk_span_ppm"),
+        )
+
+    return _layout(coded, "file_z", "zorder").unionByName(
+        _layout(coded, "file_lin", "linear_pk")
+    )
+
+
+def _zorder_oracle() -> str:
+    n_ranks = 1 << _Z_BITS
+    morton = _morton_expr("px", "sy", _Z_BITS).replace("DIV", "//")
+    base = f"""
+WITH li AS (
+    SELECT l_partkey, l_suppkey FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+), rng AS (
+    SELECT min(l_partkey) mn_pk, max(l_partkey) mx_pk,
+           min(l_suppkey) mn_sk, max(l_suppkey) mx_sk
+    FROM li
+), coded AS (
+    SELECT l_partkey, l_suppkey,
+           ((l_partkey - mn_pk) * {n_ranks}) // (mx_pk - mn_pk + 1) AS px,
+           ((l_suppkey - mn_sk) * {n_ranks}) // (mx_sk - mn_sk + 1) AS sy
+    FROM li CROSS JOIN rng
+), filed AS (
+    SELECT l_partkey, l_suppkey,
+           ({morton}) // {(n_ranks * n_ranks) // _Z_FILES} AS file_z,
+           px // {n_ranks // _Z_FILES} AS file_lin
+    FROM coded
+)"""
+    layouts = []
+    for file_col, label in (("file_z", "zorder"), ("file_lin", "linear_pk")):
+        layouts.append(f"""
+SELECT '{label}' AS layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(s_pk) * 1000000 AS BIGINT)
+           // (count(*) * (max(f_mx_pk) - min(f_mn_pk) + 1))
+           AS avg_pk_span_ppm,
+       CAST(sum(s_sk) * 1000000 AS BIGINT)
+           // (count(*) * (max(f_mx_sk) - min(f_mn_sk) + 1))
+           AS avg_sk_span_ppm
+FROM (
+    SELECT {file_col}, count(*) AS n,
+           min(l_partkey) f_mn_pk, max(l_partkey) f_mx_pk,
+           min(l_suppkey) f_mn_sk, max(l_suppkey) f_mx_sk,
+           max(l_partkey) - min(l_partkey) + 1 AS s_pk,
+           max(l_suppkey) - min(l_suppkey) + 1 AS s_sk
+    FROM filed GROUP BY {file_col}
+)""")
+    return base + "\nUNION ALL\n".join(layouts)
+
+
+LINEITEM_ZORDER_ORACLE = _zorder_oracle()

@@ -121,6 +121,9 @@ _register(
     "lineitem_bloom_semijoin", an.lineitem_bloom_semijoin, an.LINEITEM_BLOOM_SEMIJOIN_ORACLE
 )
 _register("lineitem_profile", an.lineitem_profile, an.LINEITEM_PROFILE_ORACLE)
+_register(
+    "lineitem_zorder_layout", an.lineitem_zorder_layout, an.LINEITEM_ZORDER_ORACLE
+)
 _register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific
 _register("docs_stratified_sample", an.docs_stratified_sample, None)  # seeded sampler
 
