@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from analyst_spark.tables import cents_of, load_tables
+from analyst_spark.tables import cents_of, load_tables, spread
 
 
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +667,11 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lineitem_profile(
     spark: SparkSession, sf_dir: str, approx: bool
 ) -> DataFrame:
-    li = load_tables(spark, sf_dir)["lineitem"]
+    # spread(): the testdata ships one unsplittable row group, so the
+    # Expand x12 multi-distinct aggregation would otherwise run on a
+    # single core (21s -> ~2s at sf0.1). At 100 TB the scan arrives
+    # well-partitioned and this is a cheap balance step.
+    li = spread(load_tables(spark, sf_dir)["lineitem"])
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs.append(F.count(c).alias(f"__nn_{c}"))

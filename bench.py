@@ -86,7 +86,7 @@ def _calibration_probe(spark):
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 8
+HEADLINE_VERSION = 9
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -136,6 +136,12 @@ BENCH_QUERIES = [
     "lineitem_bloom_semijoin",
     "docs_bm25_topk",
     "text_heavy_hitters_cms",
+    # r9 additions: hybrid RRF retrieval, gap-fill interpolation,
+    # single-pass profiling, z-order layout comparison
+    "docs_rrf_hybrid",
+    "events_gapfill_interpolate",
+    "lineitem_profile",
+    "lineitem_zorder_layout",
 ]
 
 
