@@ -610,11 +610,10 @@ FROM (
 
 # ------------------------------------------------- data profiling
 
-# One spec drives BOTH the Spark plan and the generated DuckDB oracle
-# (repo convention: shared parameters cannot drift). Render kinds:
-# ints/strings cast verbatim, doubles through the exact integer-cents
-# device, timestamps through an explicit format string — every
-# min/max representation is engine-exact, no float-to-string.
+# Column specs drive BOTH the Spark plan and the generated DuckDB
+# oracle through analyst_spark.functions.profile (shared parameters
+# cannot drift). See that module for kinds, exactness devices, and
+# the exact-vs-HLL scale trade.
 _PROFILE_COLS = [
     ("l_orderkey", "int"),
     ("l_partkey", "int"),
@@ -629,119 +628,56 @@ _PROFILE_COLS = [
     ("l_shipdate", "timestamp"),
 ]
 
-
-def _profile_render_spark(col: str, kind: str, agg: str) -> str:
-    if kind == "int":
-        return f"CAST({agg}({col}) AS STRING)"
-    if kind == "cents":
-        return (
-            f"CAST(CAST(round({agg}({col}) * 100) AS BIGINT) AS STRING)"
-        )
-    if kind == "timestamp":
-        return f"date_format({agg}({col}), 'yyyy-MM-dd HH:mm:ss')"
-    return f"{agg}({col})"
+_DOCS_PROFILE_COLS = [
+    ("doc_id", "int"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "int"),
+]
 
 
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profiling (the Deequ/Great-Expectations
-    analyzer shape): per column — row count, null count, completeness
-    in exact ppm, exact distinct count, and engine-exact min/max
-    representations. The whole profile is ONE aggregation job over
-    one scan; the long-format result is a stack() of the wide row.
-
-    Scale: null counts / completeness / min / max are plain map-side-
-    combined aggregates — scan-bandwidth-bound at any size. The EXACT
-    distinct counts are the one expensive metric: Spark plans
-    multi-column count(distinct) via Expand (one duplicated row
-    stream per distinct column), which is the honest cost of
-    exactness and the right choice at gate scale. At 100 TB profile
-    with ``approx=True`` instead: approx_count_distinct keeps the
-    whole profile a single pass of mergeable fixed-size HLL sketches
-    with NO Expand (plan shape pinned in tests/test_profile.py; the
-    sketch-vs-exact band is the events_distinct_users_hll precedent,
-    rsd 5%% default).
-    """
+    analyzer shape) of the fact table — thin wrapper over
+    :func:`analyst_spark.functions.profile.profile_table`, which
+    documents the one-scan design, the engine-exact rendering
+    devices, and the exact-Expand vs approx-HLL distinct trade."""
     return _lineitem_profile(spark, sf_dir, approx=False)
 
 
 def _lineitem_profile(
     spark: SparkSession, sf_dir: str, approx: bool
 ) -> DataFrame:
+    from analyst_spark.functions.profile import profile_table
+
     # spread(): the testdata ships one unsplittable row group, so the
     # Expand x12 multi-distinct aggregation would otherwise run on a
-    # single core (21s -> ~2s at sf0.1). At 100 TB the scan arrives
+    # single core (21s -> ~4s at sf0.1). At 100 TB the scan arrives
     # well-partitioned and this is a cheap balance step.
     li = spread(load_tables(spark, sf_dir)["lineitem"])
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c, kind in _PROFILE_COLS:
-        aggs.append(F.count(c).alias(f"__nn_{c}"))
-        if approx:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
-        else:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(
-            F.expr(_profile_render_spark(c, kind, "min")).alias(f"__mn_{c}")
-        )
-        aggs.append(
-            F.expr(_profile_render_spark(c, kind, "max")).alias(f"__mx_{c}")
-        )
-    wide = li.agg(*aggs)
-    stack_args = []
-    for c, _ in _PROFILE_COLS:
-        stack_args.append(f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}")
-    long = wide.select(
-        "n_rows",
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
-            "(col_name, __nn, n_distinct, min_repr, max_repr)"
-        ),
-    )
-    return long.select(
-        "col_name",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        (F.col("n_rows") - F.col("__nn")).cast("long").alias("n_null"),
-        F.expr(
-            "CASE WHEN n_rows = 0 THEN NULL "
-            "ELSE (__nn * 1000000) DIV n_rows END"
-        ).alias("completeness_ppm"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_repr",
-        "max_repr",
+    return profile_table(li, _PROFILE_COLS, approx=approx)
+
+
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same profiler applied to the documents corpus — profiling
+    is table-generic (one spec list per table, same gate)."""
+    from analyst_spark.functions.profile import profile_table
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    return profile_table(docs, _DOCS_PROFILE_COLS, approx=False)
+
+
+def _profile_oracles():
+    from analyst_spark.functions.profile import profile_oracle
+
+    return (
+        profile_oracle(_PROFILE_COLS, "lineitem"),
+        profile_oracle(_DOCS_PROFILE_COLS, "documents"),
     )
 
 
-def _profile_render_duck(col: str, kind: str, agg: str) -> str:
-    if kind == "int":
-        return f"CAST({agg}({col}) AS VARCHAR)"
-    if kind == "cents":
-        return (
-            f"CAST(CAST(round({agg}({col}) * 100) AS BIGINT) AS VARCHAR)"
-        )
-    if kind == "timestamp":
-        return f"strftime({agg}({col}), '%Y-%m-%d %H:%M:%S')"
-    return f"{agg}({col})"
-
-
-def _profile_oracle() -> str:
-    parts = []
-    for c, kind in _PROFILE_COLS:
-        parts.append(
-            f"""
-SELECT '{c}' AS col_name,
-       count(*) AS n_rows,
-       count(*) - count({c}) AS n_null,
-       CASE WHEN count(*) = 0 THEN NULL
-            ELSE (count({c}) * 1000000) // count(*) END
-           AS completeness_ppm,
-       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       {_profile_render_duck(c, kind, "min")} AS min_repr,
-       {_profile_render_duck(c, kind, "max")} AS max_repr
-FROM lineitem"""
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-LINEITEM_PROFILE_ORACLE = _profile_oracle()
+LINEITEM_PROFILE_ORACLE, DOCUMENTS_PROFILE_ORACLE = _profile_oracles()
 
 
 # ------------------------------------------------- z-order layout

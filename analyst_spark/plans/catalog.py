@@ -121,6 +121,7 @@ _register(
     "lineitem_bloom_semijoin", an.lineitem_bloom_semijoin, an.LINEITEM_BLOOM_SEMIJOIN_ORACLE
 )
 _register("lineitem_profile", an.lineitem_profile, an.LINEITEM_PROFILE_ORACLE)
+_register("documents_profile", an.documents_profile, an.DOCUMENTS_PROFILE_ORACLE)
 _register(
     "lineitem_zorder_layout", an.lineitem_zorder_layout, an.LINEITEM_ZORDER_ORACLE
 )
