@@ -123,6 +123,9 @@ _register(
 _register("lineitem_profile", an.lineitem_profile, an.LINEITEM_PROFILE_ORACLE)
 _register("documents_profile", an.documents_profile, an.DOCUMENTS_PROFILE_ORACLE)
 _register(
+    "events_value_histogram", ev.events_value_histogram, ev.EVENTS_HISTOGRAM_ORACLE
+)
+_register(
     "lineitem_zorder_layout", an.lineitem_zorder_layout, an.LINEITEM_ZORDER_ORACLE
 )
 _register("events_approx_distinct", an.events_approx_distinct, None)  # HLL impl-specific

@@ -604,3 +604,69 @@ SELECT event_type, bucket, n_events,
            / 10000.0 AS interp_value
 FROM w
 """
+
+
+# ------------------------------------------------- value histogram
+
+_HIST_BINS = 20
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per event_type over GLOBAL
+    bin edges (shared edges make types comparable side by side) — the
+    numeric-distribution half of data profiling. Bin assignment is
+    exact integer arithmetic on cents: bin = ((c - mn) * B) DIV
+    (mx - mn + 1); the reported per-bin bounds are the min/max of the
+    bin's ACTUAL members (exact integers -> derived doubles), not
+    computed edge labels, so every output cell is engine-exact.
+
+    Scale: one 1-row min/max aggregate rides a broadcast; the
+    histogram itself is one map-side-combined groupBy over
+    (type, bin) — bounded output (types x B rows) at any corpus size.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select("event_type", cents_of("value").alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    rng = base.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    return (
+        base.join(F.broadcast(rng))  # 1-row scalars
+        .withColumn(
+            "bin",
+            F.expr(f"CAST(((c - mn) * {_HIST_BINS}) DIV (mx - mn + 1) AS INT)"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("__lo"),
+            F.max("c").alias("__hi"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            (F.col("__lo") / 100.0).alias("bin_min"),
+            (F.col("__hi") / 100.0).alias("bin_max"),
+        )
+    )
+
+
+EVENTS_HISTOGRAM_ORACLE = f"""
+WITH base AS (
+    SELECT event_type,
+           CASE WHEN abs(value) <= 9e13
+                THEN CAST(round(value*100) AS BIGINT) END AS c
+    FROM events
+), nn AS (
+    SELECT event_type, c FROM base WHERE c IS NOT NULL
+), rng AS (
+    SELECT min(c) AS mn, max(c) AS mx FROM nn
+)
+SELECT event_type,
+       CAST(((c - mn) * {_HIST_BINS}) // (mx - mn + 1) AS INTEGER) AS bin,
+       count(*) AS n,
+       min(c) / 100.0 AS bin_min,
+       max(c) / 100.0 AS bin_max
+FROM nn CROSS JOIN rng
+GROUP BY 1, 2
+"""

@@ -69,6 +69,7 @@ EVENT_ENTRIES = [
     "events_distinct_users", "events_salted_rollup",
     "events_sessions_chunked",
     "events_gapfill_interpolate",
+    "events_value_histogram",
     "events_distinct_users_hll",
     "streaming_distinct_users_hll",
 ]

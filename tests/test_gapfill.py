@@ -101,3 +101,35 @@ def test_empty_events(spark, tmp_path_factory):
         "value double, props string",
     ).write.parquet(os.path.join(td, "events.parquet"))
     assert QUERIES["events_gapfill_interpolate"](spark, td).collect() == []
+
+
+def test_value_histogram_semantics(spark, tmp_path_factory):
+    """events_value_histogram: exact bin assignment + member-exact
+    bounds on a hand-built value set."""
+    td = str(tmp_path_factory.mktemp("hist_sf"))
+    rows = [
+        # values 0.00 .. 10.00 -> cents 0..1000, 20 bins over range
+        # 1001 wide -> bin = (c*20)//1001
+        (i, _h(0), 1, "t", i / 10.0, None) for i in range(0, 101)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    out = {
+        r.bin: r
+        for r in QUERIES["events_value_histogram"](spark, td).collect()
+    }
+    import math
+
+    model = {}
+    for i in range(0, 101):
+        c = i * 10  # exact cents
+        b = (c * 20) // 1001
+        model.setdefault(b, []).append(c)
+    assert set(out) == set(model)
+    for b, cs in model.items():
+        assert out[b].n == len(cs)
+        assert out[b].bin_min == min(cs) / 100.0
+        assert out[b].bin_max == max(cs) / 100.0

@@ -45,6 +45,7 @@ EVENT_ENTRIES = [
     "events_asof_view_click", "events_range_join", "events_session_window",
     "events_sessions_chunked",
     "events_gapfill_interpolate",
+    "events_value_histogram",
     "events_distinct_users_hll",
     "streaming_distinct_users_hll",
 ]
@@ -135,7 +136,7 @@ def extreme_sf(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", [
     "events_hourly_rollup", "events_moving_avg", "events_anomaly_zscore",
-    "events_gapfill_interpolate",
+    "events_gapfill_interpolate", "events_value_histogram",
     "streaming_hourly_rollup", "streaming_anomaly_gate",
 ])
 def test_cents_entries_survive_extreme_values(spark, extreme_sf, name):
