@@ -125,6 +125,13 @@ _register("documents_profile", an.documents_profile, an.DOCUMENTS_PROFILE_ORACLE
 _register(
     "events_value_histogram", ev.events_value_histogram, ev.EVENTS_HISTOGRAM_ORACLE
 )
+# streaming twin: frozen batch edges + order-free integer aggregates
+# => stream result row-identical to batch, same hash oracle
+_register(
+    "streaming_value_histogram",
+    st.streaming_value_histogram,
+    ev.EVENTS_HISTOGRAM_ORACLE,
+)
 _register(
     "lineitem_zorder_layout", an.lineitem_zorder_layout, an.LINEITEM_ZORDER_ORACLE
 )

@@ -766,3 +766,76 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one ~1.1 MB sketch; lazily read so an empty corpus skips it
         lambda: spark.table(_CMS_BLOB_SINK).collect()[0].cms,
     )
+
+
+# ----------------------------------------- streaming value histogram
+
+_HIST_SINK = "streaming_value_histogram_sink"
+
+
+def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_value_histogram in the train-batch /
+    score-stream shape: the GLOBAL bin edges (1-row min/max of cents)
+    are computed once on the batch history and broadcast into the
+    stream; each arriving micro-batch assigns bins statelessly and a
+    complete-mode (type, bin) aggregation accumulates count/min/max.
+
+    Every aggregate is an order-free integer (count, min, max of
+    cents), so the stream-built histogram is ROW-IDENTICAL to the
+    batch entry across genuine micro-batch boundaries (8 staged files
+    at maxFilesPerTrigger=2; pinned in tests/test_gapfill.py) and
+    carries the SAME DuckDB hash oracle. At 100 TB this is the live
+    data-quality monitor: edges refresh on a batch cadence, the
+    stream pays one broadcast join per event, and state is bounded by
+    types x bins regardless of volume.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.plans.events_plans import _HIST_BINS
+    from analyst_spark.streaming.events import EVENT_SCHEMA
+    from analyst_spark.tables import cents_of
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base_b = ev.select("event_type", cents_of("value").alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    rng = base_b.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    tmp = _stage_events_parquet(spark, sf_dir)
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(tmp)
+        )
+        scored = (
+            stream.select("event_type", cents_of("value").alias("c"))
+            .filter(F.col("c").isNotNull())
+            .join(F.broadcast(rng))
+            .withColumn(
+                "bin",
+                F.expr(
+                    f"CAST(((c - mn) * {_HIST_BINS})"
+                    " DIV (mx - mn + 1) AS INT)"
+                ),
+            )
+        )
+        agg = (
+            scored.groupBy("event_type", "bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("c").alias("__lo"),
+                F.max("c").alias("__hi"),
+            )
+            .select(
+                "event_type",
+                "bin",
+                "n",
+                (F.col("__lo") / 100.0).alias("bin_min"),
+                (F.col("__hi") / 100.0).alias("bin_max"),
+            )
+        )
+        q = run_to_memory_sink(agg, _HIST_SINK, output_mode="complete")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(_HIST_SINK)

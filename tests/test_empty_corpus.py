@@ -72,6 +72,7 @@ EVENT_ENTRIES = [
     "events_value_histogram",
     "events_distinct_users_hll",
     "streaming_distinct_users_hll",
+    "streaming_value_histogram",
 ]
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",

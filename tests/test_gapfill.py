@@ -133,3 +133,19 @@ def test_value_histogram_semantics(spark, tmp_path_factory):
         assert out[b].n == len(cs)
         assert out[b].bin_min == min(cs) / 100.0
         assert out[b].bin_max == max(cs) / 100.0
+
+
+def test_streaming_histogram_equals_batch(spark):
+    """Order-free integer aggregates => the stream-built histogram is
+    ROW-IDENTICAL to the batch entry across real micro-batch
+    boundaries (8 staged files at maxFilesPerTrigger=2)."""
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.event_type, r.bin): (r.n, r.bin_min, r.bin_max)
+        for r in QUERIES["events_value_histogram"](spark, sf).collect()
+    }
+    stream = {
+        (r.event_type, r.bin): (r.n, r.bin_min, r.bin_max)
+        for r in QUERIES["streaming_value_histogram"](spark, sf).collect()
+    }
+    assert batch == stream and batch

@@ -48,6 +48,7 @@ EVENT_ENTRIES = [
     "events_value_histogram",
     "events_distinct_users_hll",
     "streaming_distinct_users_hll",
+    "streaming_value_histogram",
 ]
 
 
