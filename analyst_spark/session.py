@@ -52,11 +52,17 @@ def get_spark(app_name: str = "analyst_spark", cpus: str | None = None) -> Spark
         builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "32g")
         # Shuffle/spill files on tmpfs: the test host's disk has high
         # iowait variance; on a real cluster local dirs are NVMe and
-        # this override is skipped.
-        if os.path.isdir("/dev/shm"):
-            shm = "/dev/shm/spark-local"
-            os.makedirs(shm, exist_ok=True)
-            builder = builder.config("spark.local.dir", shm)
+        # this override is skipped. CAUTION: this host wipes
+        # /dev/shm/spark-local on an hourly cron — any single Spark
+        # job whose shuffle files must survive past the top of the
+        # hour should set SPARK_GRAFT_LOCAL_DIR=/tmp/spark-local
+        # (slower, durable); short gate/bench runs keep tmpfs speed.
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if not local_dir and os.path.isdir("/dev/shm"):
+            local_dir = "/dev/shm/spark-local"
+        if local_dir:
+            os.makedirs(local_dir, exist_ok=True)
+            builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # Runtime SQL confs the engine depends on, set here (not inside
