@@ -348,6 +348,105 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): every pair with shingle-Jaccard >= t is found, with NO
+    LSH recall loss, while never joining on a document's common
+    shingles.
+
+    Correctness (prefix-vs-prefix completeness): sort each document's
+    shingle set by the global order (corpus df asc, shingle asc) and
+    keep the first p = n - ceil(t*n) + 1 as its PREFIX. If
+    J(A,B) >= t then i = |A∩B| >= t*|A| (since i >= t(|A|+|B|-i) and
+    |B| >= i) and likewise >= t*|B|. Let x be the smallest shared
+    shingle in the global order: every element of A before x is not
+    shared, and the other i-1 shared elements all come after x, so
+    x's position in A is <= |A| - i + 1 <= p_A — x lies in BOTH
+    prefixes, so the prefix join finds the pair. Rarity-first
+    ordering makes those prefix shingles the LOW-df ones, which is
+    what bounds the join fan-out.
+
+    The threshold is a rational (threshold_num/threshold_den) so the
+    prefix length and the final test are exact integer arithmetic:
+    ceil(t*n) = (num*n + den - 1) DIV den; J >= t iff
+    (num+den)*i >= num*(na+nb).
+
+    Scale shape vs the plain shared-shingle join
+    (:func:`ngram_jaccard_pairs`): that join's fan-out is
+    sum over shingles of df^2 — dominated by COMMON shingles; the
+    prefix join's fan-out only sums df^2 over each document's
+    RAREST 1-t fraction. Per-doc prefix selection is a window
+    partitioned by document (state bounded by one document's shingle
+    count); no global rank is materialized — the (df, shingle) tuple
+    IS the order. Verification joins postings for candidate pairs
+    only, the lsh_verified_pairs discipline.
+    """
+    num, den = threshold_num, threshold_den
+    sh = shingles_exploded(df, text_col, id_col, n).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    wdoc = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, id_col)
+        .withColumn("__pos", F.row_number().over(wdoc))
+        .filter(
+            F.col("__pos")
+            <= F.col("n_sh")
+            - F.expr(f"({num}*n_sh + {den - 1}) DIV {den}")
+            + F.lit(1)
+        )
+        .select(id_col, "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    shb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return _with_cached_deps(
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (num + den) * F.col("inter") >= num * (F.col("na") + F.col("nb"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard"),
+        sh,
+    )
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     text_col: str = "text",

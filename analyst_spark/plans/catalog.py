@@ -182,6 +182,11 @@ _register("dedup_exact", tp.dedup_exact, tp.DEDUP_EXACT_ORACLE)
 _register("dedup_minhash", tp.dedup_minhash, tp.DEDUP_MINHASH_ORACLE)
 _register("dedup_simhash", tp.dedup_simhash, tp.DEDUP_SIMHASH_ORACLE)
 _register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE)
+# exact recall-1 prefix-filter join (AllPairs/PPJoin); oracle is brute
+# force, so hash equality IS the completeness check
+_register(
+    "dedup_jaccard_prefix", tp.dedup_jaccard_prefix, tp.DEDUP_JACCARD_PREFIX_ORACLE
+)
 _register("dedup_lsh_verified", tp.dedup_lsh_verified, tp.DEDUP_LSH_VERIFIED_ORACLE)
 _register("dedup_pipeline_e2e", tp.dedup_pipeline_e2e, tp.DEDUP_PIPELINE_E2E_ORACLE)
 _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
