@@ -137,11 +137,15 @@ BENCH_QUERIES = [
     "docs_bm25_topk",
     "text_heavy_hitters_cms",
     # r9 additions: hybrid RRF retrieval, gap-fill interpolation,
-    # single-pass profiling, z-order layout comparison
+    # single-pass profiling, z-order layout comparison, exact
+    # prefix-filter similarity join (recall-1 production path at
+    # high thresholds), value histogram
     "docs_rrf_hybrid",
     "events_gapfill_interpolate",
     "lineitem_profile",
     "lineitem_zorder_layout",
+    "dedup_jaccard_prefix",
+    "events_value_histogram",
 ]
 
 

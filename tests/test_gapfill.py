@@ -149,3 +149,80 @@ def test_streaming_histogram_equals_batch(spark):
         for r in QUERIES["streaming_value_histogram"](spark, sf).collect()
     }
     assert batch == stream and batch
+
+
+def test_gapfill_matches_python_model_randomized(spark, tmp_path_factory):
+    """Seeded randomized series vs a pure-Python gapfill model: the
+    hand-built cases pin the easy shapes; this sweeps irregular
+    gap/value patterns (including NULL-value buckets) the way the
+    differential AQL suite sweeps the engine."""
+    import random
+
+    rng = random.Random(20260815)
+    rows = []
+    series = {}
+    eid = 0
+    for t_i, typ in enumerate(["p", "q", "r"]):
+        hours = sorted(rng.sample(range(0, 48), rng.randint(3, 14)))
+        vals = {}
+        for h in hours:
+            n = rng.randint(1, 3)
+            cents_list = []
+            for _ in range(n):
+                if rng.random() < 0.15:
+                    v, c = None, None
+                else:
+                    c = rng.randint(0, 100000)
+                    v = c / 100.0
+                rows.append((eid, _h(h), t_i, typ, v, None))
+                eid += 1
+                if c is not None:
+                    cents_list.append(c)
+            vals[h] = cents_list
+        series[typ] = vals
+
+    td = str(tmp_path_factory.mktemp("gapfill_rand"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+
+    def avg4(cs):
+        if not cs:
+            return None
+        s, n = sum(cs), len(cs)
+        return (200 * s + n) // (2 * n) if s >= 0 else -((-200 * s + n) // (2 * n))
+
+    expect = {}
+    for typ, vals in series.items():
+        hs = sorted(vals)
+        lo, hi = hs[0], hs[-1]
+        known = {h: avg4(vals[h]) for h in hs}
+        for h in range(lo, hi + 1):
+            a4 = known.get(h)
+            prevs = [(x, known[x]) for x in range(lo, h + 1)
+                     if known.get(x) is not None]
+            nexts = [(x, known[x]) for x in range(h, hi + 1)
+                     if known.get(x) is not None]
+            locf = prevs[-1][1] if prevs else None
+            if a4 is not None:
+                interp = a4
+            elif not prevs or not nexts:
+                interp = None
+            else:
+                (hp, pv), (hn, nv) = prevs[-1], nexts[0]
+                num, den = (nv - pv) * (h - hp), hn - hp
+                q = (2 * abs(num) + den) // (2 * den)
+                interp = pv + q if num >= 0 else pv - q
+            n_events = len(vals.get(h, []))  # valid-measurement count only
+            expect[(typ, h)] = (a4, locf, interp)
+
+    out = QUERIES["events_gapfill_interpolate"](spark, td).collect()
+    got = {
+        (r.event_type, r.bucket.day * 24 + r.bucket.hour - 24): (
+            r.avg4, r.locf4, r.interp4,
+        )
+        for r in out
+    }
+    assert got == expect
