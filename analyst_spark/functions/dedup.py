@@ -388,6 +388,25 @@ def jaccard_prefix_pairs(
     count); no global rank is materialized — the (df, shingle) tuple
     IS the order. Verification joins postings for candidate pairs
     only, the lsh_verified_pairs discipline.
+
+    Two further exactness-preserving prunes ride the candidate join
+    itself (measured on the ×10 near-clone decade corpus: 29.1M
+    candidate pairs → 6.5M, a 4.5× cut before the verify join does
+    Σ|A| work per candidate):
+
+    * LENGTH filter (AllPairs): J >= t and i <= min(na, nb) imply
+      nb/na >= t and na/nb >= t, so any pair with
+      num*na > den*nb (or symmetric) cannot qualify.
+    * POSITIONAL filter (PPJoin): for a shared prefix shingle at
+      per-doc ranks (pa, pb) in the SAME global (df, shingle) order,
+      every common shingle of a qualifying pair is >= the smallest
+      one, so i <= 1 + min(na - pa, nb - pb) holds AT the smallest
+      shared shingle — which the completeness proof already places in
+      both prefixes. Requiring
+      (1 + min(na-pa, nb-pb)) * (num+den) >= num*(na+nb)
+      (i.e. ubound >= minoverlap, integer form) therefore keeps at
+      least that one matching row for every true pair; the trailing
+      DISTINCT needs any one row per pair, so recall stays exactly 1.
     """
     num, den = threshold_num, threshold_den
     sh = shingles_exploded(df, text_col, id_col, n).persist()
@@ -404,14 +423,30 @@ def jaccard_prefix_pairs(
             - F.expr(f"({num}*n_sh + {den - 1}) DIV {den}")
             + F.lit(1)
         )
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "n_sh", "__pos")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: num*max(na,nb) <= den*min(na,nb)
+            & (num * F.col("a.n_sh") <= den * F.col("b.n_sh"))
+            & (num * F.col("b.n_sh") <= den * F.col("a.n_sh"))
+            # positional filter: overlap ubound at this shared
+            # prefix shingle still reaches minoverlap
+            & (
+                (
+                    1
+                    + F.least(
+                        F.col("a.n_sh") - F.col("a.__pos"),
+                        F.col("b.n_sh") - F.col("b.__pos"),
+                    )
+                )
+                * (num + den)
+                >= num * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
