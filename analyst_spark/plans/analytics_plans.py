@@ -196,12 +196,10 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing one between splits (the invariant a 100 TB training
     corpus needs for eval hygiene)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    bucket = _md5_bucket_spark(F.col("doc_id"))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "lang", "n_chars")
+        docs.select(
+            split_of_spark(F.col("doc_id")).alias("split"), "lang", "n_chars"
+        )
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -210,24 +208,43 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
-_V4 = "+".join(
-    f"{_D.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
-)
+def md5_bucket_sql(expr: str) -> str:
+    """DuckDB twin of _md5_bucket_spark for any SQL expression —
+    single definition so Spark plans and their oracles can never
+    drift on the bucketing formula (the _CMS_EPS lesson)."""
+    d = (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({expr} AS VARCHAR)), {{i}}, 1)) - 1)"
+    )
+    v4 = " + ".join(
+        f"{d.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"({v4}) % 100"
+
+
+def split_of_spark(col):
+    """train/valid/test assignment as a pure function of the id —
+    computable anywhere the id is in hand, no join with the corpus."""
+    bucket = _md5_bucket_spark(col)
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+
+
+def split_case_sql(expr: str) -> str:
+    bucket = md5_bucket_sql(expr)
+    return (
+        f"CASE WHEN {bucket} < 80 THEN 'train' "
+        f"WHEN {bucket} < 90 THEN 'valid' ELSE 'test' END"
+    )
+
 
 DOCS_SPLIT_ORACLE = f"""
-WITH hashed AS (
-    SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
-), bucketed AS (
-    SELECT lang, n_chars, ({_V4}) % 100 AS bucket FROM hashed
-)
-SELECT CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'valid'
-            ELSE 'test' END AS split,
+SELECT {split_case_sql('doc_id')} AS split,
        lang,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM bucketed
+FROM documents
 GROUP BY 1, 2
 """
 

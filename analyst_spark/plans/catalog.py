@@ -187,6 +187,9 @@ _register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE
 _register(
     "dedup_jaccard_prefix", tp.dedup_jaccard_prefix, tp.DEDUP_JACCARD_PREFIX_ORACLE
 )
+# decontamination audit: recall-1 near-dup pairs crossing the
+# deterministic train/valid/test boundary
+_register("docs_split_leakage", tp.docs_split_leakage, tp._split_leakage_oracle())
 _register("dedup_lsh_verified", tp.dedup_lsh_verified, tp.DEDUP_LSH_VERIFIED_ORACLE)
 _register("dedup_pipeline_e2e", tp.dedup_pipeline_e2e, tp.DEDUP_PIPELINE_E2E_ORACLE)
 _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)

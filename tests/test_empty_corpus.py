@@ -25,6 +25,7 @@ DOC_ENTRIES = [
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup",
     "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_pipeline_e2e", "docs_chunk_windows",
+    "docs_split_leakage",
     "docs_train_test_split",
     "bpe_train_merges", "bpe_train_batched",
 ]

@@ -118,3 +118,45 @@ def test_empty_and_shingleless(spark, tmp_path_factory):
     df = QUERIES["dedup_jaccard_prefix"](spark, td)
     assert df.collect() == []
     release_cached(df)
+
+# ---------------------------------------------------------------- leakage
+
+def test_split_leakage_planted(spark, tmp_path_factory):
+    """docs_split_leakage = near-dup pairs crossing the deterministic
+    80/10/10 split. Ids chosen by computing the md5 bucket in pure
+    Python: 1,2,3 -> train; 5 -> valid; 8 -> test."""
+    import hashlib
+
+    def py_split(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    assert [py_split(i) for i in (1, 2, 3, 5, 8)] == [
+        "train", "train", "train", "valid", "test",
+    ]
+    base = "alpha beta gamma delta epsilon zeta eta"
+    corpus = [
+        (1, base + " theta"),   # train — near-dup of 5 and 8 (leaks)
+        (2, base + " theta"),   # train — exact dup of 1 (same split: NOT a leak)
+        (3, "one two three four five six seven eight nine"),  # train, unique
+        (5, base + " iota"),    # valid — near-dup of 1/2 (leaks)
+        (8, base + " theta"),   # test — exact dup of 1/2 (leaks)
+    ]
+    td = str(tmp_path_factory.mktemp("leakage"))
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(td, "documents.parquet"))
+
+    df = QUERIES["docs_split_leakage"](spark, td)
+    got = {(r.id_a, r.id_b): (r.split_a, r.split_b) for r in df.collect()}
+    release_cached(df)
+    assert got == {
+        (1, 5): ("train", "valid"),
+        (2, 5): ("train", "valid"),
+        (1, 8): ("train", "test"),
+        (2, 8): ("train", "test"),
+        (5, 8): ("valid", "test"),
+    }
+    # the within-split exact dup (1,2) is near-dup but NOT leakage
+    assert (1, 2) not in got
