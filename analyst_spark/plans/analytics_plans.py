@@ -545,6 +545,92 @@ WHERE st.lo <> st.hi  -- exact zero-variance guard, overflow-free
 """
 
 
+_MAD_Z_MILLI = 3500  # |modified z-score| > 3.5 (Iglewicz & Hoaglin 1993)
+
+
+def events_anomaly_mad(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    """Robust per-type outliers via the MEDIAN/MAD modified z-score —
+    the detector that still works when the outliers themselves drag
+    the mean/stddev (events_anomaly_zscore's known blind spot).
+
+        M = 0.6745 * (x - median) / MAD,  flag |M| > 3.5
+
+    Exactness device: everything stays integer. Medians of integer
+    cents are half-integers, so med2 = 2*median(cents) and
+    mad4 = 2*median(|2*cents - med2|) are exact BIGINTs in both
+    engines (interpolated percentile at 0.5 is (a+b)/2 — exact
+    binary for |cents| <= 9e13); with 0.6745 = 1349/2000 the flag
+    becomes the pure integer comparison 1349*dev2 > 3500*mad4 and the
+    reported score robust_z_milli = sign * (1349*dev2 DIV mad4). No
+    float crosses the gate.
+
+    Scale: exact medians buffer each group's values (the documented
+    agg_quantile boundary) and MAD is inherently two-pass — this
+    exact form is the oracle-gated twin. ``approx=True`` swaps both
+    percentiles for approx_percentile (mergeable GK sketch, map-side
+    combinable) — the 100 TB production path, banded against the
+    exact form in tests/test_anomaly_mad.py. Zero-MAD groups (a
+    majority of identical values) are unscorable by this detector and
+    excluded; the zscore twin covers them.
+    """
+    pctl = "approx_percentile" if approx else "percentile"
+    ev = load_tables(spark, sf_dir)["events"]
+    base = events_with_cents(ev)
+    med = base.groupBy("event_type").agg(
+        F.expr(f"CAST(round(2 * {pctl}(cents, 0.5)) AS BIGINT)").alias("med2")
+    )
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("sdev2", 2 * F.col("cents") - F.col("med2"))
+        .withColumn("dev2", F.abs("sdev2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(f"CAST(round(2 * {pctl}(dev2, 0.5)) AS BIGINT)").alias("mad4")
+    )
+    z = F.expr("1349 * dev2 DIV mad4")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad4") > 0)
+            & (1349 * F.col("dev2") > _MAD_Z_MILLI * F.col("mad4"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("sdev2") < 0, -z).otherwise(z).alias("robust_z_milli"),
+        )
+    )
+
+
+EVENTS_ANOMALY_MAD_ORACLE = f"""
+WITH c AS (
+    SELECT event_id, event_type, value,
+           CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents
+    FROM events
+), med AS (
+    SELECT event_type,
+           CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+    FROM c WHERE cents IS NOT NULL GROUP BY 1
+), d AS (
+    SELECT c.event_id, c.event_type, c.value,
+           2*c.cents - med2 AS sdev2, abs(2*c.cents - med2) AS dev2
+    FROM c JOIN med USING (event_type) WHERE c.cents IS NOT NULL
+), mad AS (
+    SELECT event_type,
+           CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+    FROM d GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value,
+       CAST(CASE WHEN sdev2 < 0 THEN -(1349 * dev2 // mad4)
+                 ELSE 1349 * dev2 // mad4 END AS BIGINT) AS robust_z_milli
+FROM d JOIN mad USING (event_type)
+WHERE mad4 > 0 AND 1349 * dev2 > {_MAD_Z_MILLI} * mad4
+"""
+
+
 def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by return flag for lineitems of URGENT orders, with
     the fact side pruned by a Bloom filter BEFORE the semi-join

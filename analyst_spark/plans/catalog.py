@@ -113,6 +113,10 @@ _register("orders_except_intersect", an.orders_except_intersect, an.ORDERS_EXCEP
 _register("docs_train_test_split", an.docs_train_test_split, an.DOCS_SPLIT_ORACLE)
 _register("events_funnel", an.events_funnel, an.EVENTS_FUNNEL_ORACLE)
 _register("events_anomaly_zscore", an.events_anomaly_zscore, an.EVENTS_ANOMALY_ORACLE)
+# robust (median/MAD) outlier twin — all-integer modified z-score
+_register(
+    "events_anomaly_mad", an.events_anomaly_mad, an.EVENTS_ANOMALY_MAD_ORACLE
+)
 _register("orders_merge_upsert", an.orders_merge_upsert, an.ORDERS_UPSERT_ORACLE)
 _register("bucketed_colocated_join", an.bucketed_colocated_join, an.BUCKETED_JOIN_ORACLE)
 # Bloom-pruned exact semi-join: result equals the plain semi-join, so
@@ -149,6 +153,11 @@ _register("text_pii_scan", pp.text_pii_scan, pp.TEXT_PII_ORACLE)
 _register("docs_pii_scrub", pp.docs_pii_scrub, pp.DOCS_PII_SCRUB_ORACLE)
 _register("text_repetition", pp.text_repetition, pp.TEXT_REPETITION_ORACLE)
 _register("text_top_tokens", pp.text_top_tokens, pp.TEXT_TOP_TOKENS_ORACLE)
+# collocation mining: exact integer LIFT (monotone with PMI), no
+# ln()-parity assumption in the gate
+_register(
+    "docs_collocations_pmi", pp.docs_collocations_pmi, pp.DOCS_COLLOCATIONS_ORACLE
+)
 # CMS estimates aren't SQL-expressible: banded gate in
 # tools/verify_local.py (_check_heavy_hitters_cms) + bit-exact JVM
 # parity in tests/test_cms.py

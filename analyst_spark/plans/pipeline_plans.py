@@ -324,6 +324,118 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_MIN_COUNT = 5   # support floor: rare pairs have unstable PMI
+_PMI_TOP_K = 50
+
+
+def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (phrase induction): the top-K adjacent token
+    pairs by pointwise mutual information — the classic signal for
+    pre-merging multiword units ("new york") before tokenizer
+    training (Church & Hanks 1990).
+
+    Exactness device: PMI = log p(ab)/(p(a)p(b)) needs no log to
+    RANK — log is monotone, so the entry reports the exact integer
+    association LIFT in micro-units instead:
+
+        lift_micro = (c_ab * N1^2 * 1e6) DIV (N2 * c_a * c_b)
+
+    (PMI = log2(lift_micro/1e6)). All factors are counts, the product
+    rides DECIMAL(28,0) intermediates (HUGEINT in the oracle) exactly
+    as the BM25 scorer does, and no ln()-parity assumption enters the
+    gate. Bound: the numerator fits 38 digits through ~1e11 corpus
+    tokens; past that, pre-scale N1 into the support floor.
+
+    Scale shape: both count tables are VOCABULARY-bounded (unigrams,
+    distinct bigrams) after map-side-combined aggregation — the
+    corpus-sized explode never shuffles raw tokens, only (pair,count)
+    rows. The two count joins are aggregate-derived (AQE broadcasts
+    them at runtime); the corpus scalars ride one 1-row broadcast.
+    Top-K is a TakeOrderedAndProject with the deterministic
+    (lift desc, w1, w2) order.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    )
+    uni_src = tok.select(F.explode("t").alias("w")).filter(F.col("w") != "")
+    uni = uni_src.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bi = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    corpus = uni.agg(F.sum("c1").alias("n1")).crossJoin(
+        bi.agg(F.sum("c2").alias("n2"))
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    return (
+        bi.filter(F.col("c2") >= _PMI_MIN_COUNT)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        # 1-row corpus scalars: broadcast nested-loop by construction
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "lift_micro",
+            F.expr(
+                "CAST(CAST(c2 AS DECIMAL(28,0)) * n1 * n1 * 1000000"
+                "     DIV (CAST(n2 AS DECIMAL(28,0)) * ca * cb) AS BIGINT)"
+            ),
+        )
+        .select("w1", "w2", F.col("c2").alias("pair_count"), "lift_micro")
+        .orderBy(F.col("lift_micro").desc(), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )
+
+
+DOCS_COLLOCATIONS_ORACLE = rf"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents WHERE text IS NOT NULL
+), uni AS (
+    SELECT unnest(t) AS w FROM toks
+), c1 AS (
+    SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY 1
+), n1t AS (
+    SELECT CAST(sum(c) AS HUGEINT) AS n1 FROM c1
+), bi AS (
+    SELECT unnest(CASE WHEN len(t) >= 2
+        THEN [struct_pack(w1 := t[i], w2 := t[i+1])
+              for i in range(1, len(t))]
+        ELSE [] END) AS g
+    FROM toks
+), c2 AS (
+    SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS c FROM bi GROUP BY 1, 2
+), n2t AS (
+    SELECT CAST(sum(c) AS HUGEINT) AS n2 FROM c2
+)
+SELECT c2.w1, c2.w2, CAST(c2.c AS BIGINT) AS pair_count,
+       CAST(CAST(c2.c AS HUGEINT) * n1 * n1 * 1000000
+            // (n2 * ca.c * cb.c) AS BIGINT) AS lift_micro
+FROM c2, n1t, n2t
+JOIN c1 ca ON ca.w = c2.w1
+JOIN c1 cb ON cb.w = c2.w2
+WHERE c2.c >= {_PMI_MIN_COUNT}
+ORDER BY lift_micro DESC, c2.w1, c2.w2
+LIMIT {_PMI_TOP_K}
+"""
+
+
 _CMS_EPS = 1e-4     # width = 2/eps = 20000 counters/row
 _CMS_CONF = 0.99    # depth = ceil(-ln .01 / ln 2) = 7 rows
 _CMS_SEED = 42

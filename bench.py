@@ -146,6 +146,14 @@ BENCH_QUERIES = [
     "lineitem_zorder_layout",
     "dedup_jaccard_prefix",
     "events_value_histogram",
+    # r9 late: eval-set decontamination audit (split-crossing
+    # near-dup pairs on the recall-1 prefix join); PMI collocation
+    # mining (exact integer lift). events_anomaly_mad stays
+    # catalog-only: exact per-group medians are the agg_quantile
+    # boundary the v3 note documents (approx=True is the at-scale
+    # form, banded in tests).
+    "docs_split_leakage",
+    "docs_collocations_pmi",
 ]
 
 

@@ -25,7 +25,7 @@ DOC_ENTRIES = [
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup",
     "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_pipeline_e2e", "docs_chunk_windows",
-    "docs_split_leakage",
+    "docs_split_leakage", "docs_collocations_pmi",
     "docs_train_test_split",
     "bpe_train_merges", "bpe_train_batched",
 ]
@@ -66,7 +66,7 @@ EVENT_ENTRIES = [
     "streaming_anomaly_gate",
     "events_hourly_rollup", "events_user_sessions", "events_moving_avg",
     "events_lag_delta", "events_cohort_retention", "events_funnel",
-    "events_anomaly_zscore", "events_rollup", "events_pivot",
+    "events_anomaly_zscore", "events_anomaly_mad", "events_rollup", "events_pivot",
     "events_distinct_users", "events_salted_rollup",
     "events_sessions_chunked",
     "events_gapfill_interpolate",

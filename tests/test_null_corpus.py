@@ -26,7 +26,7 @@ DOC_ENTRIES = [
     "docs_bm25_topk", "docs_rrf_hybrid", "documents_profile",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_lsh_verified",
     "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_pipeline_e2e", "docs_quality_classifier",
-    "docs_split_leakage",
+    "docs_split_leakage", "docs_collocations_pmi",
     "docs_chunk_windows", "docs_train_test_split", "docs_stratified_sample",
     "corpus_prep_pipeline",
 ]
@@ -40,7 +40,7 @@ EMB_ENTRIES = [
 
 EVENT_ENTRIES = [
     "events_hourly_rollup", "events_user_sessions", "events_funnel",
-    "events_anomaly_zscore", "events_moving_avg", "events_lag_delta",
+    "events_anomaly_zscore", "events_anomaly_mad", "events_moving_avg", "events_lag_delta",
     "events_cohort_retention", "events_rollup", "events_pivot",
     "events_distinct_users", "events_salted_rollup", "events_json_props",
     "events_asof_view_click", "events_range_join", "events_session_window",
