@@ -575,33 +575,46 @@ def events_anomaly_mad(
     majority of identical values) are unscorable by this detector and
     excluded; the zscore twin covers them.
     """
-    pctl = "approx_percentile" if approx else "percentile"
     ev = load_tables(spark, sf_dir)["events"]
     base = events_with_cents(ev)
-    med = base.groupBy("event_type").agg(
-        F.expr(f"CAST(round(2 * {pctl}(cents, 0.5)) AS BIGINT)").alias("med2")
-    )
-    dev = (
-        base.join(F.broadcast(med), "event_type")
-        .withColumn("sdev2", 2 * F.col("cents") - F.col("med2"))
-        .withColumn("dev2", F.abs("sdev2"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.expr(f"CAST(round(2 * {pctl}(dev2, 0.5)) AS BIGINT)").alias("mad4")
-    )
+    stats = mad_stats(base, approx=approx)
     z = F.expr("1349 * dev2 DIV mad4")
     return (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter(
-            (F.col("mad4") > 0)
-            & (1349 * F.col("dev2") > _MAD_Z_MILLI * F.col("mad4"))
-        )
+        base.join(F.broadcast(stats), "event_type")
+        .withColumn("sdev2", 2 * F.col("cents") - F.col("med2"))
+        .withColumn("dev2", F.abs("sdev2"))
+        .filter(mad_flag_expr())
         .select(
             "event_id",
             "event_type",
             "value",
             F.when(F.col("sdev2") < 0, -z).otherwise(z).alias("robust_z_milli"),
         )
+    )
+
+
+def mad_stats(base: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-type (med2, mad4) doubled-median stats over integer cents —
+    factored so the streaming gate scores micro-batches with the SAME
+    frozen stats the batch entry uses (the anomaly_stats discipline)."""
+    pctl = "approx_percentile" if approx else "percentile"
+    med = base.groupBy("event_type").agg(
+        F.expr(f"CAST(round(2 * {pctl}(cents, 0.5)) AS BIGINT)").alias("med2")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(f"CAST(round(2 * {pctl}(dev2, 0.5)) AS BIGINT)").alias("mad4")
+    )
+    return med.join(mad, "event_type")
+
+
+def mad_flag_expr() -> F.Column:
+    """Outlier test of a dev2 column against joined (med2, mad4)
+    stats: all-integer, zero-MAD groups unscorable by construction."""
+    return (F.col("mad4") > 0) & (
+        1349 * F.col("dev2") > _MAD_Z_MILLI * F.col("mad4")
     )
 
 

@@ -182,6 +182,10 @@ _register("docs_curation_funnel_v2", pp.docs_curation_funnel_v2, pp.DOCS_FUNNEL_
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
 _register("streaming_classifier_gate", st.streaming_classifier_gate, st.STREAMING_CLS_GATE_ORACLE)
 _register("streaming_anomaly_gate", st.streaming_anomaly_gate, st.STREAMING_ANOMALY_ORACLE)
+# robust twin: frozen integer med/MAD stats at the stream edge
+_register(
+    "streaming_anomaly_mad", st.streaming_anomaly_mad, st.STREAMING_ANOMALY_MAD_ORACLE
+)
 _register("bpe_train_merges", pp.bpe_train_merges, None)  # iterative; pinned vs python model
 _register("bpe_train_batched", pp.bpe_train_batched, None)  # iterative; pinned vs python model
 _register("docs_bpe_tokenize_pack", pp.docs_bpe_tokenize_pack, None)  # iterative merge table; stages parity-tested

@@ -606,6 +606,83 @@ GROUP BY c.event_type
 """
 
 
+_MAD_SINK = "streaming_anomaly_mad_sink"
+
+
+def streaming_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) twin of streaming_anomaly_gate: per-type
+    doubled-median stats (analytics_plans.mad_stats — exact BIGINTs)
+    are frozen from the batch history, broadcast into the stream, and
+    each arriving event is flagged by the all-integer comparison
+    1349*dev2 > 3500*mad4. Stateless scoring against frozen integer
+    stats + complete-mode integer counts ⇒ stream ≡ batch exactly, so
+    the entry carries a full DuckDB hash oracle. Zero-MAD and
+    stats-missing types count events, never anomalies."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.plans.analytics_plans import (
+        events_with_cents,
+        mad_flag_expr,
+        mad_stats,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    stats = mad_stats(events_with_cents(ev))
+    tmp = tempfile.mkdtemp(prefix="asp_stream_mad_")
+    try:
+        ev.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
+            8
+        ).write.mode("overwrite").json(tmp)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        ).json(tmp)
+        scored = (
+            events_with_cents(stream)
+            .join(F.broadcast(stats), "event_type", "left")
+            .withColumn("dev2", F.abs(2 * F.col("cents") - F.col("med2")))
+        )
+        flag = F.when(mad_flag_expr(), F.lit(1)).otherwise(F.lit(0))
+        agg = scored.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(flag).cast("long").alias("n_anomalies"),
+        )
+        q = run_to_memory_sink(agg, _MAD_SINK, output_mode="complete")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(_MAD_SINK)
+
+
+STREAMING_ANOMALY_MAD_ORACLE = """
+WITH c AS (
+    SELECT event_id, event_type, value,
+           CASE WHEN abs(value) <= 9e13 THEN CAST(round(value * 100) AS BIGINT) END AS cents
+    FROM events
+), med AS (
+    SELECT event_type,
+           CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+    FROM c WHERE cents IS NOT NULL GROUP BY 1
+), mad AS (
+    SELECT c.event_type,
+           CAST(round(2 * quantile_cont(abs(2*c.cents - med2), 0.5)) AS BIGINT) AS mad4
+    FROM c JOIN med USING (event_type) WHERE c.cents IS NOT NULL
+    GROUP BY 1
+), st AS (
+    SELECT med.event_type, med2, mad4 FROM med JOIN mad USING (event_type)
+)
+SELECT c.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (
+           st.event_type IS NOT NULL AND c.cents IS NOT NULL
+           AND mad4 > 0
+           AND 1349 * abs(2*c.cents - med2) > 3500 * mad4
+       ) AS BIGINT) AS n_anomalies
+FROM c LEFT JOIN st USING (event_type)
+GROUP BY c.event_type
+"""
+
+
 _HLL_SINK = "streaming_distinct_hll_gate"
 
 

@@ -107,3 +107,21 @@ def test_approx_path_matches_on_clear_outliers(spark, planted_sf):
         for r in events_anomaly_mad(spark, td, approx=True).collect()
     }
     assert {e for e, _ in exact} == {e for e, _ in approx}
+
+
+def test_streaming_twin_equals_batch(spark, planted_sf):
+    """The streaming gate scores with frozen integer stats, so its
+    per-type (n_events, n_anomalies) must equal the batch MAD count
+    exactly — including the zero-MAD type B (counted, never flagged)."""
+    td, rows = planted_sf
+    got = {
+        r.event_type: (r.n_events, r.n_anomalies)
+        for r in QUERIES["streaming_anomaly_mad"](spark, td).collect()
+    }
+    flagged = _model(rows)
+    by_type = {}
+    for eid, et, v in rows:
+        n, a = by_type.get(et, (0, 0))
+        by_type[et] = (n + 1, a + (1 if eid in flagged else 0))
+    assert got == by_type
+    assert got["B"] == (11, 0)  # zero-MAD group: counted, unscorable

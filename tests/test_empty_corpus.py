@@ -63,7 +63,7 @@ def test_entry_survives_empty_corpus(spark, empty_sf, name):
 
 
 EVENT_ENTRIES = [
-    "streaming_anomaly_gate",
+    "streaming_anomaly_gate", "streaming_anomaly_mad",
     "events_hourly_rollup", "events_user_sessions", "events_moving_avg",
     "events_lag_delta", "events_cohort_retention", "events_funnel",
     "events_anomaly_zscore", "events_anomaly_mad", "events_rollup", "events_pivot",

@@ -139,7 +139,7 @@ def extreme_sf(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", [
     "events_hourly_rollup", "events_moving_avg", "events_anomaly_zscore",
     "events_gapfill_interpolate", "events_value_histogram",
-    "streaming_hourly_rollup", "streaming_anomaly_gate",
+    "streaming_hourly_rollup", "streaming_anomaly_gate", "streaming_anomaly_mad",
 ])
 def test_cents_entries_survive_extreme_values(spark, extreme_sf, name):
     df = QUERIES[name](spark, extreme_sf)
