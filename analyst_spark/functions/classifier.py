@@ -197,11 +197,48 @@ def frozen_quality_margins_from_tokens(
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("wn")).alias("numer"))
     )
-    return tot.join(num, id_col, "left").select(
+    return frozen_quality_margin_ints_from_tokens(tok, id_col).select(
         F.col(id_col),
         (
-            F.coalesce(F.col("numer"), F.lit(0))
-            / (F.col("total") * F.lit(1e9))
+            F.col("numer") / (F.col("total") * F.lit(1e9))
             + F.lit(cf.BIAS_NANO) / F.lit(1e9)
         ).alias("margin"),
+    )
+
+
+def frozen_quality_margin_ints_from_tokens(
+    tok: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The frozen margin's EXACT INTEGER pair (id, numer, total):
+    margin = numer/(total*1e9) + BIAS_NANO/1e9. Consumers that only
+    need threshold comparisons (the prune-curve entry) stay in pure
+    integer arithmetic — margin >= k/1000 iff
+    1000*(numer + BIAS_NANO*total) >= k*total*1e9 — and never touch
+    a float at all."""
+    from analyst_spark.functions import classifier_frozen as cf
+
+    spark = tok.sparkSession
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % cf.N_BUCKETS
+    )
+    cnt = (
+        tok.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_df = spark.createDataFrame(
+        [(b, w) for b, w in enumerate(cf.WEIGHTS_NANO) if w],
+        "bucket long, wn long",
+    )
+    tot = cnt.groupBy(id_col).agg(F.sum("cnt").alias("total"))
+    num = (
+        cnt.join(F.broadcast(w_df), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("wn")).alias("numer"))
+    )
+    return tot.join(num, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("numer"), F.lit(0)).alias("numer"),
+        "total",
     )

@@ -179,6 +179,10 @@ _register("docs_dup_span", pp.docs_dup_span, pp.DOCS_DUP_SPAN_ORACLE)
 _register("docs_dedup_spans", pp.docs_dedup_spans, pp.DOCS_DEDUP_SPANS_ORACLE)
 _register("docs_curation_funnel", pp.docs_curation_funnel, pp.DOCS_FUNNEL_ORACLE)
 _register("docs_curation_funnel_v2", pp.docs_curation_funnel_v2, pp.DOCS_FUNNEL_V2_ORACLE)
+# survival-vs-threshold curve for the frozen classifier — all-integer
+_register(
+    "docs_quality_prune_curve", pp.docs_quality_prune_curve, pp.DOCS_PRUNE_CURVE_ORACLE
+)
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
 _register("streaming_classifier_gate", st.streaming_classifier_gate, st.STREAMING_CLS_GATE_ORACLE)
 _register("streaming_anomaly_gate", st.streaming_anomaly_gate, st.STREAMING_ANOMALY_ORACLE)

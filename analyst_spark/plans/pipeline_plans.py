@@ -1817,6 +1817,162 @@ SELECT 5, 'lm', CAST(count(*) FILTER (p4) AS BIGINT),
 DOCS_FUNNEL_V2_ORACLE = _funnel_v2_oracle()
 
 
+# --------------------------------------------- quality prune curve
+
+# classifier-margin milli cuts: coarse anchors plus fine steps across
+# the corpus's live margin band (sf0.01/sf0.1 margins span
+# ~[0.52, 0.60]; p25 ≈ 0.546 — the funnel's own threshold)
+_PRUNE_GRID = [
+    -200, 0, 250, 500,
+    520, 530, 540, 545, 550, 555, 560, 570, 580,
+    600, 750, 1000,
+]
+
+
+def docs_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-vs-threshold curve for the frozen quality classifier:
+    for each margin cut (milli-units, −0.2 … 1.0), how many documents
+    and tokens survive — the decision artifact that picks the pruning
+    threshold for a 100 TB curation run (and exactly how the funnel's
+    own _FUNNEL_QC_MARGIN_MIN was chosen, now as a first-class query).
+
+    All-integer device: margin >= k/1000 iff
+    numer + BIAS_NANO·total >= k·total·1e6 (the margin's defining
+    integers, functions/classifier.py
+    frozen_quality_margin_ints_from_tokens) — the curve never
+    materializes a float margin. Shares are exact ppm via integer
+    division with DECIMAL(28,0)/HUGEINT headroom.
+
+    Scale shape: one corpus tokenization feeds the margin integers;
+    the 13-threshold grid rides a broadcast crossJoin whose groupBy
+    map-side-combines to 13 rows, so the shuffle carries the grid,
+    not the corpus. The grid frame also ANCHORS the report: an empty
+    corpus still yields all 13 rows with zero counts (the funnel's
+    literal-anchor lesson). NULL-text documents count in the
+    denominator and never survive a cut.
+    """
+    from analyst_spark.functions.classifier import (
+        frozen_quality_margin_ints_from_tokens,
+    )
+    from analyst_spark.functions.classifier_frozen import BIAS_NANO
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = spread(docs).select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("toks"),
+    )
+    ints = frozen_quality_margin_ints_from_tokens(
+        base.select("doc_id", F.explode("t").alias("tok"))
+    )
+    scored = base.select("doc_id", "toks").join(ints, "doc_id", "left")
+    grid = spark.createDataFrame(
+        [(t,) for t in _PRUNE_GRID], "thr_milli long"
+    )
+    keep = F.coalesce(
+        F.col("numer") + F.lit(BIAS_NANO) * F.col("total")
+        >= F.col("thr_milli") * F.col("total") * F.lit(1_000_000),
+        F.lit(False),
+    )
+    per_thr = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr_milli")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("nd"),
+            F.sum(F.when(keep, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("nt"),
+        )
+    )
+    totals = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("all_docs"),
+        F.sum("toks").cast("long").alias("all_tokens"),
+    )
+    return (
+        grid.join(per_thr, "thr_milli", "left")
+        # 1-row corpus totals: broadcast nested-loop by construction
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "thr_milli",
+            F.coalesce("nd", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("nt", F.lit(0)).alias("n_tokens_kept"),
+            F.expr(
+                "CAST(CAST(coalesce(nd, 0) AS DECIMAL(28,0)) * 1000000"
+                "     DIV nullif(all_docs, 0) AS BIGINT)"
+            ).alias("docs_ppm"),
+            F.expr(
+                "CAST(CAST(coalesce(nt, 0) AS DECIMAL(28,0)) * 1000000"
+                "     DIV nullif(all_tokens, 0) AS BIGINT)"
+            ).alias("tokens_ppm"),
+        )
+    )
+
+
+def _prune_curve_oracle() -> str:
+    from analyst_spark.functions.classifier_frozen import BIAS_NANO, N_BUCKETS
+
+    grid_rows = ", ".join(f"({t})" for t in _PRUNE_GRID)
+    return rf"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN text IS NOT NULL
+                THEN CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           END AS toks
+    FROM documents
+),
+qtok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+),
+qcnt AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {N_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM qtok GROUP BY 1, 2
+),
+qtot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total FROM qcnt GROUP BY 1),
+qw(bucket, wn) AS (VALUES {_qc_frozen_values()}),
+qnum AS (
+    SELECT c.doc_id, CAST(sum(c.cnt * qw.wn) AS BIGINT) AS numer
+    FROM qcnt c JOIN qw USING (bucket) GROUP BY 1
+),
+scored AS (
+    SELECT b.doc_id, b.toks, COALESCE(qnum.numer, 0) AS numer, qtot.total
+    FROM base b
+    LEFT JOIN qtot USING (doc_id)
+    LEFT JOIN qnum USING (doc_id)
+),
+grid(thr_milli) AS (VALUES {grid_rows}),
+counts AS (
+    SELECT g.thr_milli,
+           CAST(sum(CASE WHEN COALESCE(
+                    s.numer + {BIAS_NANO} * s.total
+                        >= g.thr_milli * s.total * 1000000, FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(sum(CASE WHEN COALESCE(
+                    s.numer + {BIAS_NANO} * s.total
+                        >= g.thr_milli * s.total * 1000000, FALSE)
+                THEN s.toks ELSE 0 END) AS BIGINT) AS nt
+    FROM grid g CROSS JOIN scored s GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS all_docs,
+           CAST(sum(toks) AS BIGINT) AS all_tokens
+    FROM scored
+)
+SELECT g.thr_milli,
+       COALESCE(c.nd, 0) AS n_docs_kept,
+       COALESCE(c.nt, 0) AS n_tokens_kept,
+       CAST(CAST(COALESCE(c.nd, 0) AS HUGEINT) * 1000000 // nullif(all_docs, 0) AS BIGINT) AS docs_ppm,
+       CAST(CAST(COALESCE(c.nt, 0) AS HUGEINT) * 1000000 // nullif(all_tokens, 0) AS BIGINT) AS tokens_ppm
+FROM grid g LEFT JOIN counts c USING (thr_milli), tot
+"""
+
+
+DOCS_PRUNE_CURVE_ORACLE = _prune_curve_oracle()
+
+
 # ------------------------------------------------- PII scrub output
 
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

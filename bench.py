@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     # form, banded in tests).
     "docs_split_leakage",
     "docs_collocations_pmi",
+    "docs_quality_prune_curve",
 ]
 
 

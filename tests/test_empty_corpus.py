@@ -25,7 +25,7 @@ DOC_ENTRIES = [
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup",
     "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_pipeline_e2e", "docs_chunk_windows",
-    "docs_split_leakage", "docs_collocations_pmi",
+    "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_train_test_split",
     "bpe_train_merges", "bpe_train_batched",
 ]
@@ -58,6 +58,17 @@ def test_entry_survives_empty_corpus(spark, empty_sf, name):
         assert sorted(r.stage for r in rows) == [
             "exact", "final", "raw", "verified_pairs"]
         assert all(r.n == 0 for r in rows)
+    elif name == "docs_quality_prune_curve":
+        # grid-anchored report: all 16 cuts present, zero counts,
+        # NULL ppm shares (0/0)
+        from analyst_spark.plans.pipeline_plans import _PRUNE_GRID
+
+        assert sorted(r.thr_milli for r in rows) == sorted(_PRUNE_GRID)
+        assert all(
+            r.n_docs_kept == 0 and r.n_tokens_kept == 0
+            and r.docs_ppm is None and r.tokens_ppm is None
+            for r in rows
+        )
     else:
         assert rows == []
 
