@@ -289,6 +289,50 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOTTOMK_K = 20
+
+
+def docs_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k consistent sample per language (Broder-style min-hash
+    sampling): the k documents with the smallest md5(doc_id) in each
+    stratum. The sample is a pure function of the ids — re-running on
+    a grown corpus only swaps entries whose hash beats the current
+    tail, never reshuffles the rest — which is the stable-subset
+    primitive for corpus versioning, eval panels, and debugging
+    snapshots that must not churn as 100 TB of new data lands.
+
+    Scale shape: the rank-<=k window compiles to WindowGroupLimit
+    (Spark 3.5+), which keeps at most k rows per language INSIDE each
+    map task before the shuffle — the exchange carries ~k rows per
+    (lang, input partition), not the corpus (plan-shape pinned in
+    tests/test_consistent_sample.py). Deterministic total order:
+    (hash, doc_id)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        spread(docs)
+        .select("lang", "doc_id", "n_chars", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _BOTTOMK_K)
+        .select("lang", "rnk", "doc_id", "n_chars", "h")
+    )
+
+
+DOCS_CONSISTENT_SAMPLE_ORACLE = f"""
+WITH h AS (
+    SELECT lang, doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+), r AS (
+    SELECT lang, doc_id, n_chars, h,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                AS BIGINT) AS rnk
+    FROM h
+)
+SELECT lang, rnk, doc_id, n_chars, h FROM r WHERE rnk <= {_BOTTOMK_K}
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language (sampleBy, fixed seed) — the
     rebalancing primitive for skewed training corpora. Seeded and

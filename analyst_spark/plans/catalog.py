@@ -183,6 +183,10 @@ _register("docs_curation_funnel_v2", pp.docs_curation_funnel_v2, pp.DOCS_FUNNEL_
 _register(
     "docs_quality_prune_curve", pp.docs_quality_prune_curve, pp.DOCS_PRUNE_CURVE_ORACLE
 )
+# bottom-k consistent sample (stable subset under corpus growth)
+_register(
+    "docs_consistent_sample", an.docs_consistent_sample, an.DOCS_CONSISTENT_SAMPLE_ORACLE
+)
 _register("streaming_quality_filter", st.streaming_quality_filter, st.STREAMING_QF_ORACLE)
 _register("streaming_classifier_gate", st.streaming_classifier_gate, st.STREAMING_CLS_GATE_ORACLE)
 _register("streaming_anomaly_gate", st.streaming_anomaly_gate, st.STREAMING_ANOMALY_ORACLE)

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "docs_split_leakage",
     "docs_collocations_pmi",
     "docs_quality_prune_curve",
+    "docs_consistent_sample",
 ]
 
 
