@@ -208,6 +208,10 @@ _register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE
 _register(
     "dedup_jaccard_prefix", tp.dedup_jaccard_prefix, tp.DEDUP_JACCARD_PREFIX_ORACLE
 )
+# asymmetric containment dedup (A mostly inside B), recall-1
+_register(
+    "dedup_containment", tp.dedup_containment, tp.DEDUP_CONTAINMENT_ORACLE
+)
 # decontamination audit: recall-1 near-dup pairs crossing the
 # deterministic train/valid/test boundary
 _register("docs_split_leakage", tp.docs_split_leakage, tp._split_leakage_oracle())

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "docs_collocations_pmi",
     "docs_quality_prune_curve",
     "docs_consistent_sample",
+    "dedup_containment",
 ]
 
 
