@@ -234,3 +234,47 @@ def test_bottomk_random_id_sets(spark, tmp_path_factory, seed):
         for r in QUERIES["docs_consistent_sample"](spark, td).collect()
     }
     assert got == _bottomk_model(ids)
+
+
+# ---------------------------------------------------- containment
+
+def _containment_model(texts, n=3, num=4, den=5):
+    import itertools
+
+    def sh(t):
+        toks = [w for w in t.split() if w]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    sets = {i: sh(t) for i, t in enumerate(texts) if t is not None}
+    want = {}
+    for a, b in itertools.permutations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa:
+            continue
+        i = len(sa & sb)
+        if den * i >= num * len(sa):
+            want[(a, b)] = round(i / len(sa), 6)
+    return want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_containment_random_corpora(spark, tmp_path_factory, seed):
+    rng = random.Random(5000 + seed)
+    texts = []
+    for _ in range(rng.randint(10, 50)):
+        base = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(3, 15)))
+        texts.append(base)
+        if rng.random() < 0.4:  # plant containers: base wrapped in filler
+            wrap = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(4, 10)))
+            texts.append(f"{wrap} {base} {wrap}")
+        if rng.random() < 0.1:
+            texts.append(None)
+    td = str(tmp_path_factory.mktemp(f"cont{seed}"))
+    _write_docs(spark, td, texts)
+    got = {
+        (r.id_contained, r.id_container): r.containment
+        for r in QUERIES["dedup_containment"](spark, td).collect()
+    }
+    assert got == _containment_model(texts)
