@@ -174,29 +174,10 @@ def frozen_quality_margins_from_tokens(
     """:func:`frozen_quality_margins` over an already-exploded
     (id, tok) frame — the shared-tokenization form the fused curation
     funnel consumes so the corpus is split exactly once across all
-    funnel stages. Same exact-integer margin arithmetic."""
+    funnel stages. Same exact-integer margin arithmetic — the float
+    margin derives from the single integer-pair definition below."""
     from analyst_spark.functions import classifier_frozen as cf
 
-    spark = tok.sparkSession
-    bucket = (
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-        % cf.N_BUCKETS
-    )
-    cnt = (
-        tok.select(F.col(id_col), bucket.alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    w_df = spark.createDataFrame(
-        [(b, w) for b, w in enumerate(cf.WEIGHTS_NANO) if w],
-        "bucket long, wn long",
-    )
-    tot = cnt.groupBy(id_col).agg(F.sum("cnt").alias("total"))
-    num = (
-        cnt.join(F.broadcast(w_df), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("wn")).alias("numer"))
-    )
     return frozen_quality_margin_ints_from_tokens(tok, id_col).select(
         F.col(id_col),
         (

@@ -622,7 +622,9 @@ def events_anomaly_mad(
     ev = load_tables(spark, sf_dir)["events"]
     base = events_with_cents(ev)
     stats = mad_stats(base, approx=approx)
-    z = F.expr("1349 * dev2 DIV mad4")
+    z = F.expr(
+        "CAST(CAST(1349 AS DECIMAL(38,0)) * dev2 DIV mad4 AS BIGINT)"
+    )
     return (
         base.join(F.broadcast(stats), "event_type")
         .withColumn("sdev2", 2 * F.col("cents") - F.col("med2"))
@@ -656,9 +658,14 @@ def mad_stats(base: DataFrame, approx: bool = False) -> DataFrame:
 
 def mad_flag_expr() -> F.Column:
     """Outlier test of a dev2 column against joined (med2, mad4)
-    stats: all-integer, zero-MAD groups unscorable by construction."""
-    return (F.col("mad4") > 0) & (
-        1349 * F.col("dev2") > _MAD_Z_MILLI * F.col("mad4")
+    stats: all-integer, zero-MAD groups unscorable by construction.
+    The products ride DECIMAL(38,0): cents_of admits |cents| up to
+    9e15, so dev2 reaches 3.6e16 and 1349*dev2 (~4.9e19) overflows
+    int64 inside the admitted domain — the same headroom discipline
+    as the PMI lift (HUGEINT in the oracles)."""
+    return (F.col("mad4") > 0) & F.expr(
+        f"CAST(1349 AS DECIMAL(38,0)) * dev2"
+        f" > {_MAD_Z_MILLI} * CAST(mad4 AS DECIMAL(38,0))"
     )
 
 
@@ -681,10 +688,13 @@ WITH c AS (
     FROM d GROUP BY 1
 )
 SELECT d.event_id, d.event_type, d.value,
-       CAST(CASE WHEN sdev2 < 0 THEN -(1349 * dev2 // mad4)
-                 ELSE 1349 * dev2 // mad4 END AS BIGINT) AS robust_z_milli
+       CAST(CASE WHEN sdev2 < 0
+                 THEN -(CAST(1349 AS HUGEINT) * dev2 // mad4)
+                 ELSE CAST(1349 AS HUGEINT) * dev2 // mad4
+            END AS BIGINT) AS robust_z_milli
 FROM d JOIN mad USING (event_type)
-WHERE mad4 > 0 AND 1349 * dev2 > {_MAD_Z_MILLI} * mad4
+WHERE mad4 > 0
+  AND CAST(1349 AS HUGEINT) * dev2 > {_MAD_Z_MILLI} * CAST(mad4 AS HUGEINT)
 """
 
 

@@ -1844,10 +1844,10 @@ def docs_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     division with DECIMAL(28,0)/HUGEINT headroom.
 
     Scale shape: one corpus tokenization feeds the margin integers;
-    the 13-threshold grid rides a broadcast crossJoin whose groupBy
-    map-side-combines to 13 rows, so the shuffle carries the grid,
+    the 16-threshold grid rides a broadcast crossJoin whose groupBy
+    map-side-combines to 16 rows, so the shuffle carries the grid,
     not the corpus. The grid frame also ANCHORS the report: an empty
-    corpus still yields all 13 rows with zero counts (the funnel's
+    corpus still yields all 16 rows with zero counts (the funnel's
     literal-anchor lesson). NULL-text documents count in the
     denominator and never survive a cut.
     """
@@ -1858,9 +1858,12 @@ def docs_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     base = spread(docs).select(
-        "doc_id",
-        F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("toks"),
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).withColumn(
+        # lower() can't change whitespace, so the token count comes
+        # from the SAME split — one corpus tokenization, not two
+        "toks",
+        F.when(F.col("t").isNotNull(), F.size("t")).cast("long"),
     )
     ints = frozen_quality_margin_ints_from_tokens(
         base.select("doc_id", F.explode("t").alias("tok"))

@@ -676,7 +676,8 @@ SELECT c.event_type,
        CAST(count(*) FILTER (
            st.event_type IS NOT NULL AND c.cents IS NOT NULL
            AND mad4 > 0
-           AND 1349 * abs(2*c.cents - med2) > 3500 * mad4
+           AND CAST(1349 AS HUGEINT) * abs(2*c.cents - med2)
+               > 3500 * CAST(mad4 AS HUGEINT)
        ) AS BIGINT) AS n_anomalies
 FROM c LEFT JOIN st USING (event_type)
 GROUP BY c.event_type

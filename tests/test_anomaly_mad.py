@@ -125,3 +125,31 @@ def test_streaming_twin_equals_batch(spark, planted_sf):
         by_type[et] = (n + 1, a + (1 if eid in flagged else 0))
     assert got == by_type
     assert got["B"] == (11, 0)  # zero-MAD group: counted, unscorable
+
+
+def test_domain_edge_values_do_not_overflow(spark, tmp_path_factory):
+    """cents_of admits |value| <= 9e13 (cents to 9e15); 1349*dev2 then
+    exceeds int64 — the review-found overflow. The DECIMAL(38,0)/
+    HUGEINT headroom must score these exactly (python ints are the
+    unbounded reference)."""
+    import datetime
+
+    # tight cluster (small MAD) + extremes at the domain edge: dev2
+    # ~3.5e16, so the un-headroomed 1349*dev2 would wrap/crash int64
+    rows = [(i, "E", 10.0 + i * 0.01) for i in range(10)]
+    rows += [(10, "E", 8.9e13), (11, "E", -8.9e13), (12, "E", 11.0)]
+    td = str(tmp_path_factory.mktemp("made"))
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1, 0, i % 60), "u", et, v, None)
+            for (i, et, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    got = {
+        r.event_id: r.robust_z_milli
+        for r in QUERIES["events_anomaly_mad"](spark, td).collect()
+    }
+    assert got == _model(rows)
+    assert got  # the edge corpus actually produces flags
