@@ -47,6 +47,25 @@ def release_cached(df: DataFrame) -> None:
         dep.unpersist()
 
 
+def _fill_cache(frame: DataFrame, eager_stats: bool) -> DataFrame:
+    """Materialize a persisted frame NOW (one count job) so Catalyst
+    plans downstream joins on REAL statistics. An UNmaterialized
+    InMemoryRelation inherits its child's size estimate — explode
+    does not grow sizeInBytes — so a corpus whose pruned scan fits
+    the broadcast threshold gets its multi-GB postings statically
+    planned as a broadcast (driver OOM on a 600M-shingle probe
+    corpus, fixed in commit 1834765).
+
+    ``eager_stats=False`` (r9 advice) skips the job so SPECULATIVE
+    plan construction stays fully lazy; the caller accepts the
+    static mis-broadcast hazard and must either materialize the
+    frame before the first action or disable auto-broadcast for the
+    session. The frame is still persisted either way."""
+    if eager_stats:
+        frame.count()
+    return frame
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -318,6 +337,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    eager_stats: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1
     shingle. intersection via self-join-count, union = |A|+|B|-∩.
@@ -325,17 +345,14 @@ def ngram_jaccard_pairs(
     At 100 TB this runs AFTER LSH candidate generation (join the pair
     list), never on the raw corpus; the shared-shingle join here is
     the exact-verify step and is already linear in total postings.
+
+    ``eager_stats`` (default on) fills the postings cache at
+    construction time so the verify join plans on real sizes; pass
+    False for speculative lazy plan construction (see _fill_cache).
     """
-    sh = shingles_exploded(df, text_col, id_col, n).persist()
-    # Materialize the cache NOW: the postings frame feeds verify
-    # joins, and an UNmaterialized InMemoryRelation inherits the
-    # parquet scan's size estimate — explode does not grow Catalyst's
-    # sizeInBytes, so a corpus whose pruned scan fits the broadcast
-    # threshold gets its multi-GB postings statically planned as a
-    # broadcast (driver OOM on a 600M-shingle probe corpus). With the
-    # cache filled, the planner sees the ACTUAL size and broadcasts
-    # only when the postings genuinely fit.
-    sh.count()
+    sh = _fill_cache(
+        shingles_exploded(df, text_col, id_col, n).persist(), eager_stats
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -364,6 +381,7 @@ def jaccard_prefix_pairs(
     n: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 5,
+    eager_stats: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
@@ -418,20 +436,13 @@ def jaccard_prefix_pairs(
       DISTINCT needs any one row per pair, so recall stays exactly 1.
     """
     num, den = threshold_num, threshold_den
-    sh = shingles_exploded(df, text_col, id_col, n).persist()
-    # Materialize the cache NOW: the postings frame feeds verify
-    # joins, and an UNmaterialized InMemoryRelation inherits the
-    # parquet scan's size estimate — explode does not grow Catalyst's
-    # sizeInBytes, so a corpus whose pruned scan fits the broadcast
-    # threshold gets its multi-GB postings statically planned as a
-    # broadcast (driver OOM on a 600M-shingle probe corpus). With the
-    # cache filled, the planner sees the ACTUAL size and broadcasts
-    # only when the postings genuinely fit.
-    sh.count()
+    sh = _fill_cache(
+        shingles_exploded(df, text_col, id_col, n).persist(), eager_stats
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     wdoc = Window.partitionBy(id_col).orderBy("__df", "shingle")
-    prefix = (
+    prefix = _fill_cache(
         sh.join(dfreq, "shingle")
         .join(sizes, id_col)
         .withColumn("__pos", F.row_number().over(wdoc))
@@ -442,6 +453,12 @@ def jaccard_prefix_pairs(
             + F.lit(1)
         )
         .select(id_col, "shingle", "n_sh", "__pos")
+        # persist so the SELF-join below plans on real prefix sizes
+        # (r9 advice: the unpersisted frame re-derived the df-join +
+        # window pipeline once per join side AND planned on derived
+        # estimates; containment_pairs' ranked frame set the pattern)
+        .persist(),
+        eager_stats,
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -497,6 +514,7 @@ def jaccard_prefix_pairs(
         )
         .select("id_a", "id_b", "jaccard"),
         sh,
+        prefix,
     )
 
 
@@ -507,6 +525,8 @@ def containment_pairs(
     n: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    eager_stats: bool = True,
+    max_posting_df: int | None = None,
 ) -> DataFrame:
     """EXACT asymmetric near-dup join: pairs where document A's
     shingle set is mostly CONTAINED in document B's —
@@ -544,35 +564,64 @@ def containment_pairs(
       pair (the completeness proof already routes each pair through
       its smallest shared shingle), and the trailing DISTINCT needs
       any one row.
+
+    ``max_posting_df`` (opt-in, VERDICT r9 #5 — the
+    ``max_bucket_size`` discipline from :func:`lsh_verified_pairs`
+    ported to the exact join's storm mode): prefix shingles whose
+    corpus document-frequency exceeds the cap are EXCLUDED from the
+    candidate join, bounding the near-clone blowup (each A-prefix
+    shingle otherwise meets every posting of that shingle — df × |A|
+    candidate rows per hot shingle). Exactness becomes best-effort:
+    a pair is missed only if ALL of A's prefix shingles shared with
+    B are above the cap. Dropped work is reported on the result as
+    ``result._asp_dropped_postings`` — a DataFrame of
+    (shingle, df, dropped_rows = df·(df-1), i.e. the candidate rows
+    the cap removed) so the recall trade is measured, never silent.
+    Default None keeps the exact completeness proof and every hash
+    gate untouched.
+
+    ``eager_stats`` (default on) fills the postings/ranked caches at
+    construction time so joins plan on real sizes; pass False for
+    speculative lazy plan construction (see _fill_cache).
     """
     num, den = threshold_num, threshold_den
-    sh = shingles_exploded(df, text_col, id_col, n).persist()
-    # Materialize the cache NOW: the postings frame feeds verify
-    # joins, and an UNmaterialized InMemoryRelation inherits the
-    # parquet scan's size estimate — explode does not grow Catalyst's
-    # sizeInBytes, so a corpus whose pruned scan fits the broadcast
-    # threshold gets its multi-GB postings statically planned as a
-    # broadcast (driver OOM on a 600M-shingle probe corpus). With the
-    # cache filled, the planner sees the ACTUAL size and broadcasts
-    # only when the postings genuinely fit.
-    sh.count()
+    sh = _fill_cache(
+        shingles_exploded(df, text_col, id_col, n).persist(), eager_stats
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     wdoc = Window.partitionBy(id_col).orderBy("__df", "shingle")
-    ranked = (
+    ranked = _fill_cache(
         sh.join(dfreq, "shingle")
         .join(sizes, id_col)
         .withColumn("__pos", F.row_number().over(wdoc))
-        .select(id_col, "shingle", "n_sh", "__pos")
-        .persist()
+        .withColumn("__sdf", F.col("__df"))
+        .select(id_col, "shingle", "n_sh", "__pos", "__sdf")
+        .persist(),
+        eager_stats,
     )
-    ranked.count()  # real stats before the posting join plans (see sh)
+    dropped = None
+    if max_posting_df is not None:
+        dropped = (
+            dfreq.filter(F.col("__df") > max_posting_df)
+            .select(
+                "shingle",
+                F.col("__df").alias("df"),
+                (F.col("__df") * (F.col("__df") - 1)).alias("dropped_rows"),
+            )
+        )
     prefix = ranked.filter(
         F.col("__pos")
         <= F.col("n_sh")
         - F.expr(f"({num}*n_sh + {den - 1}) DIV {den}")
         + F.lit(1)
-    ).select(
+    )
+    if max_posting_df is not None:
+        # cap the candidate fan-out: hot prefix shingles (df above
+        # the cap) never enter the join — excluding them on the
+        # prefix side removes the shingle's candidates entirely
+        prefix = prefix.filter(F.col("__sdf") <= max_posting_df)
+    prefix = prefix.select(
         F.col(id_col).alias("id_a"),
         "shingle",
         F.col("n_sh").alias("na"),
@@ -605,7 +654,7 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    return _with_cached_deps(
+    out = _with_cached_deps(
         inter.join(na, "id_a")
         .filter(den * F.col("inter") >= num * F.col("na"))
         .select(
@@ -616,6 +665,9 @@ def containment_pairs(
         sh,
         ranked,
     )
+    if dropped is not None:
+        out._asp_dropped_postings = dropped  # type: ignore[attr-defined]
+    return out
 
 
 def lsh_verified_pairs(
@@ -683,7 +735,11 @@ def lsh_verified_pairs(
     postings statistics instead of the explode-blind scan estimate
     (a statically mis-broadcast postings table OOMed the driver on a
     600M-shingle probe corpus). Callers that must stay fully lazy
-    should compose the underlying functions directly.
+    should compose the underlying functions directly with
+    ``eager_stats=False`` (r9 advice: the pair builders are
+    themselves eager by default now; the parameter restores a lazy
+    composition path — see :func:`_fill_cache` for the hazard the
+    caller then owns).
 
     ``max_bucket_size`` (opt-in, VERDICT r7 #4) bounds the remaining
     storm mode the exact-collapse cannot absorb: NEAR-clone corpora,
@@ -785,16 +841,9 @@ def lsh_verified_pairs(
                 rep_pairs._asp_dropped_buckets
             )
         return out
-    sh = shingles_exploded(df, text_col, id_col, n).persist()
-    # Materialize the cache NOW: the postings frame feeds verify
-    # joins, and an UNmaterialized InMemoryRelation inherits the
-    # parquet scan's size estimate — explode does not grow Catalyst's
-    # sizeInBytes, so a corpus whose pruned scan fits the broadcast
-    # threshold gets its multi-GB postings statically planned as a
-    # broadcast (driver OOM on a 600M-shingle probe corpus). With the
-    # cache filled, the planner sees the ACTUAL size and broadcasts
-    # only when the postings genuinely fit.
-    sh.count()
+    sh = _fill_cache(
+        shingles_exploded(df, text_col, id_col, n).persist(), True
+    )
     cand_full = minhash_pairs(
         df, text_col, id_col, n, bands, rows_per_band, shingles=sh,
         max_bucket_size=max_bucket_size,

@@ -146,10 +146,32 @@ def quote_ident(name: str) -> str:
     ``TABLE = '"MyTable"'`` — and the pre-quoted segment is emitted
     exactly as written (embedded ``""`` pairs preserved)."""
 
+    def _is_valid_quoted(part: str) -> bool:
+        # A pre-quoted segment is accepted verbatim ONLY when it
+        # parses as ONE complete quoted identifier: wrapped in
+        # double quotes, non-empty body, every interior quote in a
+        # doubled pair, and the closing quote is the final char
+        # (r9 advice: '"a"; DROP TABLE t; --"' must NOT pass).
+        if len(part) < 3 or part[0] != '"' or part[-1] != '"':
+            return False
+        body = part[1:-1]
+        i = 0
+        while i < len(body):
+            if body[i] == '"':
+                if i + 1 >= len(body) or body[i + 1] != '"':
+                    return False  # lone interior quote
+                i += 2
+            else:
+                i += 1
+        return True
+
     def seg(part: str) -> str:
         # Always-quote escape hatch: a segment the user already
-        # wrapped in double quotes is trusted verbatim.
-        if len(part) >= 2 and part.startswith('"') and part.endswith('"'):
+        # wrapped in double quotes is emitted verbatim — but only
+        # after validating it is a single well-formed quoted
+        # identifier; anything malformed falls through to full
+        # quoting with embedded-quote doubling.
+        if _is_valid_quoted(part):
             return part
         if _BARE_IDENT.match(part) and part.lower() not in _RESERVED:
             return part
@@ -158,7 +180,7 @@ def quote_ident(name: str) -> str:
     # Split on dots OUTSIDE double quotes so a pre-quoted segment may
     # itself contain a dot ('"My.Table"' stays one segment).
     s = str(name)
-    parts, buf, in_q = [], [], False
+    parts, buf, in_q, dot_in_q = [], [], False, False
     for ch in s:
         if ch == '"':
             in_q = not in_q
@@ -167,7 +189,19 @@ def quote_ident(name: str) -> str:
             parts.append("".join(buf))
             buf = []
         else:
+            if ch == "." and in_q:
+                dot_in_q = True
             buf.append(ch)
+    if in_q and dot_in_q:
+        # r9 advice: an unterminated quote that swallowed a dot
+        # silently changed segmentation (pre-r9, 'a"b.c' split at
+        # the dot); fail loudly instead of guessing. A lone odd
+        # quote WITHOUT a dot ('we"ird') stays legal — it has only
+        # one possible segmentation and seg() safely doubles it.
+        raise ValueError(
+            "unterminated double quote swallowed a '.' separator in "
+            f"identifier: {s!r}; close the quote or double it"
+        )
     parts.append("".join(buf))
     return ".".join(seg(p) for p in parts)
 
