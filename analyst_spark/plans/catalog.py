@@ -220,6 +220,12 @@ _register("dedup_pipeline_e2e", tp.dedup_pipeline_e2e, tp.DEDUP_PIPELINE_E2E_ORA
 _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 _register("dedup_clusters", tp.dedup_clusters, tp.DEDUP_CLUSTERS_ORACLE)
 _register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE)
+# r10: batch-vs-history NEAR-dup probe against a signature index
+_register(
+    "dedup_incremental_neardup",
+    tp.dedup_incremental_neardup,
+    tp.DEDUP_INCREMENTAL_NEARDUP_ORACLE,
+)
 _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
 _register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only
