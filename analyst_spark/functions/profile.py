@@ -60,16 +60,21 @@ def _render_duck(col: str, kind: str, agg: str) -> str:
     return f"{agg}({col})"
 
 
-def profile_table(df: DataFrame, specs: Spec, approx: bool = False) -> DataFrame:
+def profile_table(
+    df: DataFrame, specs: Spec, approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
     """Profile ``df`` per ``specs`` in ONE aggregation job over one
     scan; the long-format result is a stack() of the wide row.
     Output: (col_name, n_rows, n_null, completeness_ppm, n_distinct,
-    min_repr, max_repr)."""
+    min_repr, max_repr). ``rsd`` is the HLL relative standard
+    deviation used when ``approx=True`` (Spark default 0.05; the
+    gate-checked catalog entry pins 0.01 so its 5-sigma band is
+    +/-5%)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in specs:
         aggs.append(F.count(c).alias(f"__nn_{c}"))
         if approx:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__nd_{c}"))
         else:
             aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
         aggs.append(F.expr(_render_spark(c, kind, "min")).alias(f"__mn_{c}"))

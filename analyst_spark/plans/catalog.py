@@ -125,6 +125,8 @@ _register(
     "lineitem_bloom_semijoin", an.lineitem_bloom_semijoin, an.LINEITEM_BLOOM_SEMIJOIN_ORACLE
 )
 _register("lineitem_profile", an.lineitem_profile, an.LINEITEM_PROFILE_ORACLE)
+# r10: the scale-safe HLL profile, banded-gated in verify_local
+_register("lineitem_profile_approx", an.lineitem_profile_approx, None)
 _register("documents_profile", an.documents_profile, an.DOCUMENTS_PROFILE_ORACLE)
 _register(
     "events_value_histogram", ev.events_value_histogram, ev.EVENTS_HISTOGRAM_ORACLE

@@ -242,8 +242,62 @@ def _check_heavy_hitters_cms(con, scols, srows):
     return problems, len(exact)
 
 
+def _check_lineitem_profile_approx(con, scols, srows):
+    """lineitem_profile_approx: every metric EXCEPT n_distinct must
+    EQUAL the exact-profile oracle row-for-row (n_rows, n_null,
+    completeness_ppm, min_repr, max_repr are plain aggregates — HLL
+    only replaces the distinct counter); n_distinct must lie within
+    5*rsd of DuckDB's exact distinct count (5-sigma on the HLL++
+    standard error at the entry's own pinned rsd)."""
+    from analyst_spark.plans.analytics_plans import (
+        LINEITEM_PROFILE_ORACLE,
+        PROFILE_HLL_RSD as rsd,
+    )
+
+    exact = {
+        r[0]: r[1:]
+        for r in con.sql(LINEITEM_PROFILE_ORACLE).fetchall()
+    }
+    problems = []
+    want_cols = [
+        "col_name", "n_rows", "n_null", "completeness_ppm",
+        "n_distinct", "min_repr", "max_repr",
+    ]
+    scols_l = [c.lower() for c in scols]
+    if sorted(scols_l) != sorted(want_cols):
+        problems.append(f"cols spark={scols_l} want={want_cols}")
+        return problems, len(exact)
+    if len(srows) != len(exact):
+        problems.append(f"rowcount spark={len(srows)} exact={len(exact)}")
+    idx = {c: i for i, c in enumerate(scols_l)}
+    for r in srows:
+        c = r[idx["col_name"]]
+        if c not in exact:
+            problems.append(f"unexpected column {c!r}")
+            continue
+        n_rows, n_null, ppm, nd_exact, mn, mx = exact[c]
+        for label, got, want in (
+            ("n_rows", r[idx["n_rows"]], n_rows),
+            ("n_null", r[idx["n_null"]], n_null),
+            ("completeness_ppm", r[idx["completeness_ppm"]], ppm),
+            ("min_repr", r[idx["min_repr"]], mn),
+            ("max_repr", r[idx["max_repr"]], mx),
+        ):
+            if got != want:
+                problems.append(f"{c}: {label}={got!r} exact={want!r}")
+        nd = r[idx["n_distinct"]]
+        tol = max(1, 5 * rsd * nd_exact)
+        if abs(nd - nd_exact) > tol:
+            problems.append(
+                f"{c}: n_distinct={nd} outside 5-sigma band "
+                f"[{nd_exact - tol:.0f}, {nd_exact + tol:.0f}]"
+            )
+    return problems, len(exact)
+
+
 BANDED_CHECKS = {
     "agg_quantile_approx": _check_quantile_approx,
+    "lineitem_profile_approx": _check_lineitem_profile_approx,
     "events_distinct_users_hll": _check_distinct_hll,
     "streaming_distinct_users_hll": _check_streaming_distinct_hll,
     "text_heavy_hitters_cms": _check_heavy_hitters_cms,
