@@ -414,6 +414,135 @@ def minhash_pairs(
     return out
 
 
+def neardup_route_probe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sample_docs: int = 512,
+) -> dict:
+    """Cheap, bounded df-skew probe behind the prefix-vs-LSH router
+    (VERDICT r9 #2). Samples ``sample_docs`` documents
+    deterministically (md5-ordered bottom-k — the consistent-sample
+    device, so reruns probe the same docs), shingles ONLY the sample,
+    and measures the shingle-df distribution:
+
+    - ``compression`` = postings / distinct shingles (mean df). The
+      economics of exact prefix filtering come from df skew — rare
+      prefixes joined against common postings. SCALE.md's boundary
+      corpus (a per-copy token interleaved between every original
+      token) makes nearly EVERY shingle distinct: compression 1.000,
+      and the prefix join's vocabulary-scale df-ranking pass
+      (groupBy shingle + join back over a corpus-sized string key
+      space) buys nothing and dominates everything. Measured on the
+      synthetic corpora: healthy documents 1.61–1.63, degenerate
+      1.000 — a wide, stable gap.
+    - ``hapax_fraction`` = distinct shingles with df == 1 / distinct
+      (1.0 in the degenerate corpus, ~0.57 healthy) and
+      ``top1pct_mass`` = posting mass of the top 1% of shingles by
+      df (≈ 1% degenerate, ~3.3% healthy) ride along as reported
+      diagnostics.
+
+    Cost: one bounded top-k (the sample), one shingle pass over
+    ~``sample_docs`` documents, two small aggregations — independent
+    of corpus size past the md5 scan.
+    """
+    s = (
+        spread(df, id_col)
+        .select(id_col, text_col)
+        .withColumn("__r", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__r")
+        .limit(sample_docs)
+        .drop("__r")
+    )
+    dfreq = (
+        shingles_exploded(s, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .persist()
+    )
+    stats = dfreq.agg(
+        F.sum("__df").alias("postings"),
+        F.count(F.lit(1)).alias("distinct"),
+        F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("hapax"),
+    ).first()
+    postings = stats["postings"] or 0
+    distinct = stats["distinct"] or 0
+    if distinct:
+        k = max(1, int(0.01 * distinct))
+        top_mass = (
+            dfreq.orderBy(F.desc("__df")).limit(k).agg(F.sum("__df")).first()[0]
+        )
+    else:
+        top_mass = 0
+    dfreq.unpersist()
+    return {
+        "sample_docs": sample_docs,
+        "postings": int(postings),
+        "distinct_shingles": int(distinct),
+        "hapax_fraction": (stats["hapax"] / distinct) if distinct else 0.0,
+        "top1pct_mass": (top_mass / postings) if postings else 0.0,
+        "compression": (postings / distinct) if distinct else 1.0,
+    }
+
+
+def neardup_pairs_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    compression_cutoff: float = 1.15,
+    sample_docs: int = 512,
+) -> DataFrame:
+    """Routed near-dup join: EXACT recall-1 prefix filtering
+    (:func:`jaccard_prefix_pairs`) when the sampled shingle-df
+    distribution shows the skew prefix filtering exploits, else the
+    vocabulary-independent LSH chain (:func:`lsh_verified_pairs`)
+    whose banding cost never touches a shingle-keyed shuffle.
+
+    The routing decision and the probe numbers it was made from are
+    reported on the result as ``result._asp_routing`` (strategy,
+    cutoff, and every :func:`neardup_route_probe` field) — the
+    decision is accounted, never silent. Cutoff 1.15 sits between
+    the measured healthy (1.61+) and degenerate (1.000) corpora with
+    margin on both sides; a corpus of fully unrelated documents also
+    routes to LSH, which is correct on cost (the df-ranking pass
+    buys nothing there either) and harmless on recall (the true pair
+    set is ~empty).
+
+    Both strategies emit (id_a, id_b, jaccard) at jaccard >=
+    threshold_num/threshold_den, so the router never changes the
+    result SCHEMA — only the recall contract (exact vs banding-OR),
+    which is what ``_asp_routing['strategy']`` records.
+    """
+    probe = neardup_route_probe(df, text_col, id_col, n, sample_docs)
+    use_prefix = probe["compression"] >= compression_cutoff
+    if use_prefix:
+        out = jaccard_prefix_pairs(
+            df, text_col, id_col, n, threshold_num, threshold_den
+        )
+    else:
+        out = lsh_verified_pairs(
+            df,
+            text_col,
+            id_col,
+            n,
+            bands,
+            rows_per_band,
+            threshold=threshold_num / threshold_den,
+        )
+    out._asp_routing = {  # type: ignore[attr-defined]
+        **probe,
+        "strategy": "prefix" if use_prefix else "lsh",
+        "compression_cutoff": compression_cutoff,
+    }
+    return out
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -210,6 +210,11 @@ _register("dedup_ngram_jaccard", tp.dedup_ngram_jaccard, tp.DEDUP_JACCARD_ORACLE
 _register(
     "dedup_jaccard_prefix", tp.dedup_jaccard_prefix, tp.DEDUP_JACCARD_PREFIX_ORACLE
 )
+# r10: df-skew-routed near-dup (documents corpus routes to prefix,
+# so the same brute-force oracle gates router + result)
+_register(
+    "dedup_neardup_routed", tp.dedup_neardup_routed, tp.DEDUP_JACCARD_PREFIX_ORACLE
+)
 # asymmetric containment dedup (A mostly inside B), recall-1
 _register(
     "dedup_containment", tp.dedup_containment, tp.DEDUP_CONTAINMENT_ORACLE
