@@ -139,6 +139,165 @@ def resize_images(
     return spread(df, id_col).mapInPandas(run, schema="doc_id long, image binary")
 
 
+# ------------------------------------------ perceptual image dedup
+
+DHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def image_dhash_bands(
+    df: DataFrame,
+    image_col: str = "image",
+    id_col: str = "doc_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """dHash perceptual signature of a binary image column (VERDICT
+    r9 #3): decode → luma grid → nearest-neighbor resample to 8×8 →
+    64 horizontal-gradient bits (bit y*8+x is
+    ``p[y][x] > p[y][(x+1) % 8]`` — the wraparound variant keeps a
+    full 64 bits on an 8×8 grid; classic dHash samples 9×8 for the
+    same reason) — returned as FOUR 16-bit band integers
+    (b0..b3, bits 0-15 / 16-31 / 32-47 / 48-63), never as one
+    64-bit value: the bands are the LSH join key, 16-bit ints hash
+    cleanly cross-engine, and no sign-bit arithmetic is needed.
+
+    Gradient signs survive re-encoding/brightness shifts that change
+    raw bytes — the property that makes dHash a NEAR-dup key where
+    md5(bytes) (multimodal_binary_dedup) is the exact-dup key.
+
+    Arrow-batched mapInPandas, numpy-vectorized across the batch
+    (one comparison matrix per batch, no per-pixel Python); `pil`
+    decoder is import-gated exactly like :func:`image_features`.
+    """
+    if decoder == "pil":  # pragma: no cover — codec not in container
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image decode requires Pillow, which is not "
+                "installed in this container; use decoder='fake' for "
+                "the pipeline plumbing"
+            ) from e
+
+    def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        # output pixel (y, x) of the 8x8 resample reads source index
+        # (y*h DIV 8)*w + (x*w DIV 8); comparison partner is x+1 mod 8
+        for pdf in batches:
+            ids, grids = [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[image_col]):
+                b = bytes(buf)
+                w, h, c, _ = _decode_fake(b)
+                px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=20)
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                grids.append(px[(sy[:, None] * w + sx[None, :]).ravel()])
+                ids.append(int(doc_id))
+            if not ids:
+                continue
+            g = np.stack(grids).astype(np.int32)  # (n, 64)
+            nbr = (np.arange(64) // 8) * 8 + ((np.arange(64) % 8) + 1) % 8
+            bits = (g > g[:, nbr]).astype(np.int64)  # (n, 64)
+            weights = 1 << (np.arange(64) % 16)
+            bands = [
+                (bits[:, k * 16 : (k + 1) * 16] * weights[: 16]).sum(axis=1)
+                for k in range(4)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "b0": bands[0],
+                    "b1": bands[1],
+                    "b2": bands[2],
+                    "b3": bands[3],
+                }
+            )
+
+    from analyst_spark.tables import spread
+
+    return spread(df, id_col).mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def perceptual_dedup_pairs(
+    df: DataFrame,
+    image_col: str = "image",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Perceptual image near-dup pairs via a banded Hamming join —
+    NEVER all-pairs (VERDICT r9 #3).
+
+    Completeness (pigeonhole, the prefix-family proof style): the
+    64-bit dHash is split into 4 disjoint 16-bit bands; a pair at
+    Hamming distance <= 3 has its differing bits in at most 3 bands,
+    so AT LEAST ONE band is bit-identical and the equi-join on
+    (band_idx, band_value) finds the pair — recall exactly 1 for
+    ``max_distance <= 3`` (more generally, distance < #bands).
+    Verification computes the exact distance with 4 xor+bit_count
+    JVM expressions per candidate — no Python, no image bytes.
+
+    Scale shape: the signature pass reads each image once
+    (Arrow-batched); candidates are bucket-join-bounded (a bucket =
+    images sharing one band value); verify cost is candidates × 4
+    integer ops. The signature frame is persisted and materialized
+    before the self-join plans (the _fill_cache discipline from
+    functions/dedup.py — same static mis-broadcast hazard class).
+
+    Output: (id_a, id_b, hamming), id_a < id_b,
+    hamming <= max_distance.
+    """
+    sigs = image_dhash_bands(df, image_col, id_col, decoder).persist()
+    sigs.count()  # real stats before the self-join plans
+    bands = sigs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"b{k}").alias("val")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(__a{k} ^ __b{k})") for k in range(4)
+    ).cast("long")
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+    out._asp_cached_deps = [sigs]  # type: ignore[attr-defined]
+    return out
+
+
 FAKE_AUDIO_MAGIC = b"FAKEAUD1"
 
 AUDIO_FEATURE_SCHEMA = (

@@ -253,6 +253,12 @@ _register("multimodal_resize", mm.multimodal_resize_features, mm.MULTIMODAL_RESI
 _register("multimodal_frame_sample", mm.multimodal_frame_sample, mm.MULTIMODAL_FRAMES_ORACLE)
 _register("multimodal_audio_features", mm.multimodal_audio_features, mm.MULTIMODAL_AUDIO_ORACLE)
 _register("multimodal_binary_dedup", mm.multimodal_binary_dedup, mm.MULTIMODAL_BDUP_ORACLE)
+# r10: dHash perceptual near-dup, banded Hamming join (recall-1 at d<=3)
+_register(
+    "multimodal_perceptual_dedup",
+    mm.multimodal_perceptual_dedup,
+    mm.MULTIMODAL_PDUP_ORACLE,
+)
 
 # --- structured streaming (real readStream → memory sink run) -------
 _register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HOURLY_ORACLE)

@@ -160,6 +160,103 @@ FROM documents
 """
 
 
+_PDUP_OFFSET = 20_000_000
+_PDUP_STEP = 7
+_PDUP_MAX_DIST = 3
+
+
+def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image NEAR-dup (VERDICT r9 #3): dHash signatures +
+    banded Hamming join (functions/multimodal.py
+    perceptual_dedup_pairs has the pigeonhole recall-1 proof) —
+    the near-dup complement of ``multimodal_binary_dedup``'s exact
+    md5-of-bytes pass.
+
+    Plant-and-recover: every doc_id % 7 == 0 image reappears under
+    doc_id + 20M with ONE pixel overwritten (pixel 0 := 255) — the
+    bytes differ (md5 dedup is blind to it) but at most 2 of the 64
+    gradient bits flip (the two comparisons pixel 0 participates
+    in), so every twin MUST surface at hamming <= 2. The fake-codec
+    arithmetic (pixel i of doc d = (d*31 + i*7) % 251, true content
+    key d % 251) makes the ENTIRE chain — decode, resample identity,
+    gradient bits, bands, Hamming — closed-form in SQL, so the
+    oracle is brute-force all-pairs over arithmetic-derived
+    signatures and hash equality checks the recall-1 claim, the
+    plant recovery, AND the byte-identical (d, d+251) generator
+    collisions nobody planted.
+    """
+    from analyst_spark.functions.multimodal import perceptual_dedup_pairs
+
+    fc = _fake_corpus(spark, sf_dir)
+
+    def perturb(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = []
+            for buf in pdf["image"]:
+                b = bytearray(bytes(buf))
+                b[20] = 255  # pixel 0 (20-byte header) := 255
+                imgs.append(bytes(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"] + _PDUP_OFFSET,
+                    "mime": pdf["mime"],
+                    "image": imgs,
+                }
+            )
+
+    twins = fc.filter(F.col("doc_id") % _PDUP_STEP == 0).mapInPandas(
+        perturb, "doc_id long, mime string, image binary"
+    )
+    corpus = fc.unionByName(twins)
+    return perceptual_dedup_pairs(corpus, max_distance=_PDUP_MAX_DIST)
+
+
+def _perceptual_oracle() -> str:
+    # pixel i: originals (src*31 + i*7) % 251; twins override i=0
+    # with 255. dHash bit b compares flat index b against its
+    # horizontal wraparound neighbor (b DIV 8)*8 + ((b%8)+1)%8.
+    px1 = (
+        "CASE WHEN d.pert AND g.b = 0 THEN 255 "
+        "ELSE (d.src * 31 + g.b * 7) % 251 END"
+    )
+    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
+    px2 = (
+        f"CASE WHEN d.pert AND {nbr} = 0 THEN 255 "
+        f"ELSE (d.src * 31 + {nbr} * 7) % 251 END"
+    )
+    band_cols = ", ".join(
+        f"CAST(max(CASE WHEN band = {k} THEN v END) AS INT) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    return f"""
+WITH all_docs AS (
+    SELECT doc_id, doc_id % 251 AS src, false AS pert FROM documents
+    UNION ALL
+    SELECT doc_id + {_PDUP_OFFSET}, doc_id % 251, true FROM documents
+    WHERE doc_id % {_PDUP_STEP} = 0
+), bits AS (
+    SELECT d.doc_id, g.b // 16 AS band, g.b % 16 AS pos,
+           CASE WHEN ({px1}) > ({px2}) THEN 1 ELSE 0 END AS bit
+    FROM all_docs d CROSS JOIN (SELECT unnest(range(64)) AS b) g
+), bands AS (
+    SELECT doc_id, band, sum(bit * (1 << pos)) AS v
+    FROM bits GROUP BY doc_id, band
+), sigs AS (
+    SELECT doc_id, {band_cols} FROM bands GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {ham} <= {_PDUP_MAX_DIST}
+"""
+
+
+MULTIMODAL_PDUP_ORACLE = _perceptual_oracle()
+
+
 _BDUP_OFFSET = 10_000_000
 _BDUP_STEP = 5
 

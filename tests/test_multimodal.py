@@ -101,3 +101,92 @@ def test_metadata_pruning_before_decode(spark):
     wide = df.withColumn("width_meta", F.lit(4)).filter(F.col("doc_id") < 3)
     out = image_features(wide.drop("width_meta")).collect()
     assert len(out) == 3
+
+
+# ------------------------------------------ perceptual dedup (r10)
+
+
+def test_dhash_bands_shape_and_determinism(spark):
+    from analyst_spark.functions.multimodal import image_dhash_bands
+
+    df = fake_images_frame(spark, n=12, width=8, height=8)
+    sigs = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+            for r in image_dhash_bands(df).collect()}
+    assert len(sigs) == 12
+    assert all(0 <= v <= 0xFFFF for s in sigs.values() for v in s)
+    again = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+             for r in image_dhash_bands(df).collect()}
+    assert sigs == again
+
+
+def test_dhash_resample_is_scale_stable(spark):
+    # a 16x16 image whose 8x8 nearest-neighbor resample equals the
+    # 8x8 original must produce the SAME signature — the perceptual
+    # property raw md5 cannot have
+    from analyst_spark.functions.multimodal import (
+        FAKE_MAGIC,
+        encode_fake_image,
+        image_dhash_bands,
+    )
+    import struct
+
+    small = encode_fake_image(5, 8, 8)
+    pix = small[20:]
+    big_payload = bytes(
+        pix[(y // 2) * 8 + (x // 2)] for y in range(16) for x in range(16)
+    )
+    big = FAKE_MAGIC + struct.pack("<iii", 16, 16, 1) + big_payload
+    df = spark.createDataFrame(
+        [(1, bytearray(small)), (2, bytearray(big))],
+        "doc_id long, image binary",
+    )
+    sigs = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+            for r in image_dhash_bands(df).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_perceptual_pairs_recall_one_at_distance_3(spark):
+    # plant a twin at EXACTLY hamming <= 2 (one pixel overwritten)
+    # and an unrelated-signature control; the banded join must find
+    # the twin (pigeonhole) and report the exact distance
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import (
+        encode_fake_image,
+        perceptual_dedup_pairs,
+    )
+
+    a = encode_fake_image(3, 8, 8)
+    twin = bytearray(a)
+    twin[20] = 255  # pixel 0
+    rows = [(1, bytearray(a)), (2, twin)]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    out = perceptual_dedup_pairs(df, max_distance=3)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    release_cached(out)
+
+
+def test_perceptual_catalog_plant_recovery(spark):
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+    from analyst_spark.plans.multimodal_plans import (
+        _PDUP_OFFSET,
+        _PDUP_STEP,
+    )
+    from analyst_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["multimodal_perceptual_dedup"](spark, sf)
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    release_cached(out)
+    planted = [
+        r.doc_id
+        for r in load_tables(spark, sf)["documents"]
+        .filter(F.col("doc_id") % _PDUP_STEP == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert planted
+    for d in planted:
+        assert (d, d + _PDUP_OFFSET) in got, f"twin of {d} missed"
+        assert got[(d, d + _PDUP_OFFSET)] <= 2
