@@ -129,6 +129,116 @@ def bm25_topk(
     return _with_cached_deps(out, toks, lens)
 
 
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Top-``k`` documents per query for a query TABLE
+    (``query_id``, ``term`` rows; duplicate terms within a query are
+    deduped — query-set semantics, matching :func:`bm25_topk`'s
+    ``isin``). Query-driven curation runs THOUSANDS of queries
+    (VERDICT r9 #6); this is the one-pass generalization:
+
+    * postings are filtered by a broadcast semi-join against the
+      DISTINCT term set of ALL queries — the corpus is tokenized and
+      scored ONCE regardless of query count, and a term shared by
+      many queries is scored once per (doc, term), not once per
+      query;
+    * per-(doc, term) integer contributions (the same exact
+      DECIMAL(28,0) device as :func:`bm25_topk` — idf depends only
+      on corpus df, never on the query) fan out to queries via a
+      broadcast join on the term;
+    * the per-query cut is a rank window PARTITIONED BY query_id
+      (score desc, id asc), so no global sort and the window state
+      is one query's candidates.
+
+    Cost ~ queries × per-query candidate mass (Σ df over its terms)
+    after one corpus scan — the decade probe's claim. Output:
+    (query_id, id_col, score_micro, score, rank), rank 1-based,
+    rank <= k.
+    """
+    from pyspark.sql import Window
+
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(term_col).alias("w"),
+        )
+        .distinct()
+        .persist()
+    )
+    qterms = q.select("w").distinct()
+    toks = (
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .persist()
+    )
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len")).persist()
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").cast("long").alias("t_tokens"),
+    )
+    # bounded query-term set: broadcast-hinted semi-join replaces the
+    # single-query literal IN; postings shrink BEFORE any shuffle
+    posting = (
+        toks.join(F.broadcast(qterms), "w", "leftsemi")
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = posting.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        posting.join(lens, id_col)
+        .join(F.broadcast(dfs), "w")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_micro",
+            F.round(
+                F.log((2 * F.col("n_docs") + 2) / (2.0 * F.col("df") + 1))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "c_micro",
+            F.expr(
+                "CAST((2*(CAST(idf_micro AS DECIMAL(28,0))*tf*22*t_tokens)"
+                "      + (10*CAST(t_tokens AS DECIMAL(28,0))*tf"
+                "         + 3*t_tokens + 9*len*n_docs))"
+                "     DIV"
+                "     (2*(10*CAST(t_tokens AS DECIMAL(28,0))*tf"
+                "         + 3*t_tokens + 9*len*n_docs)) AS BIGINT)"
+            ),
+        )
+        .select(id_col, "w", "c_micro")
+    )
+    per_query = (
+        scored.join(F.broadcast(q), "w")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c_micro").cast("long").alias("score_micro"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    out = (
+        per_query.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "score_micro",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    return _with_cached_deps(out, q, toks, lens)
+
+
 def rrf_fuse(
     rankings: Sequence[tuple[str, DataFrame]],
     k: int = 20,

@@ -2662,6 +2662,92 @@ LIMIT {_BM25_TOP_K}
 """
 
 
+# --------------------------------------------- multi-query BM25 (r10)
+
+# four queries over the corpus's 31-token vocabulary: q1 repeats the
+# single-query entry's terms (the pytest asserts multi ≡ single on
+# it), the rest mix common and rare ('dup' df≈26 vs ~900) terms
+_BM25_MULTI_QUERIES = (
+    (1, "spark"), (1, "merge"), (1, "dup"),
+    (2, "hash"), (2, "join"), (2, "scan"),
+    (3, "dup"), (3, "window"),
+    (4, "vector"), (4, "stream"), (4, "fast"),
+)
+_BM25_MULTI_K = 10
+
+
+def docs_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 (VERDICT r9 #6): one corpus pass scores a
+    query TABLE — rank windows partitioned by query_id, postings
+    semi-joined against the union term set — the shape query-driven
+    curation actually runs (thousands of eval/topic queries per
+    sweep). See :func:`analyst_spark.functions.retrieval.
+    bm25_topk_multi` for the one-scan cost argument; per-(doc, term)
+    contributions are computed once and fanned out, so q1 here must
+    agree with ``docs_bm25_topk`` wherever their cuts overlap
+    (asserted in tests/test_bm25.py)."""
+    from analyst_spark.functions.retrieval import bm25_topk_multi
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    q = spark.createDataFrame(
+        list(_BM25_MULTI_QUERIES), "query_id int, term string"
+    )
+    return bm25_topk_multi(docs, q, k=_BM25_MULTI_K)
+
+
+def _bm25_multi_oracle() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in _BM25_MULTI_QUERIES)
+    return f"""
+WITH q(query_id, w) AS (VALUES {vals}),
+toks AS (
+    SELECT doc_id, token AS w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), lens AS (
+    SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+), corpus AS (
+    SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS t_tokens
+    FROM lens
+), posting AS (
+    SELECT doc_id, w, count(*) AS tf FROM toks
+    WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY doc_id, w
+), dfs AS (
+    SELECT w, count(*) AS df FROM posting GROUP BY w
+), per_term AS (
+    SELECT p.doc_id, p.w,
+           (2*(CAST(CAST(round(ln((2*c.n_docs + 2) / (2.0*d.df + 1))
+                          * 1000000.0) AS BIGINT) AS HUGEINT)
+               * p.tf * 22 * c.t_tokens)
+            + (10*CAST(c.t_tokens AS HUGEINT)*p.tf
+               + 3*c.t_tokens + 9*l.len*c.n_docs))
+           // (2*(10*CAST(c.t_tokens AS HUGEINT)*p.tf
+                  + 3*c.t_tokens + 9*l.len*c.n_docs)) AS c_micro
+    FROM posting p
+    JOIN lens l USING (doc_id)
+    JOIN dfs d USING (w)
+    CROSS JOIN corpus c
+), per_query AS (
+    SELECT q.query_id, t.doc_id,
+           CAST(sum(t.c_micro) AS BIGINT) AS score_micro
+    FROM per_term t JOIN q ON q.w = t.w
+    GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, doc_id, score_micro,
+       score_micro / 1000000.0 AS score,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY score_micro DESC, doc_id ASC) AS rank
+    FROM per_query
+) WHERE rank <= {_BM25_MULTI_K}
+"""
+
+
+DOCS_BM25_MULTI_ORACLE = _bm25_multi_oracle()
+
+
 # --------------------------------------------- hybrid retrieval (RRF)
 
 _RRF_CAND = 50        # per-retriever candidate depth

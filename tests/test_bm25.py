@@ -158,3 +158,63 @@ def test_idf_micro_half_boundary_margin():
                 f"{sf} term={w} df={df} N={n_docs}: ln*1e6={x!r} is "
                 f"{dist:.2e} from a rounding half-boundary"
             )
+
+
+# --------------------------------------------- multi-query (r10)
+
+
+def test_multi_query_q1_equals_single_query(spark):
+    """q1 of the multi entry repeats the single entry's terms: the
+    per-(doc, term) contributions are shared corpus properties, so
+    wherever the two cuts overlap the scores must be IDENTICAL."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    single = QUERIES["docs_bm25_topk"](spark, sf)
+    srows = {r.doc_id: r.score_micro for r in single.collect()}
+    release_cached(single)
+    multi = QUERIES["docs_bm25_multi"](spark, sf)
+    mrows = {
+        r.doc_id: (r.score_micro, r.rank)
+        for r in multi.collect()
+        if r.query_id == 1
+    }
+    release_cached(multi)
+    assert mrows, "query 1 returned nothing"
+    for doc_id, (score, rank) in mrows.items():
+        assert srows.get(doc_id) == score, (doc_id, score, srows.get(doc_id))
+    # ranks are 1..k' dense per query
+    assert sorted(r for (_s, r) in mrows.values()) == list(
+        range(1, len(mrows) + 1)
+    )
+
+
+def test_multi_query_dedupes_terms_and_bounds_k(spark):
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.retrieval import bm25_topk_multi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    # duplicate (query, term) rows must not double-count
+    q = spark.createDataFrame(
+        [(1, "apple"), (1, "apple"), (2, "cherry")],
+        ["query_id", "term"],
+    )
+    out = bm25_topk_multi(docs, q, k=1)
+    rows = {r.query_id: (r.doc_id, r.score_micro) for r in out.collect()}
+    release_cached(out)
+    assert set(rows) == {1, 2}
+    q_nodup = spark.createDataFrame(
+        [(1, "apple"), (2, "cherry")], ["query_id", "term"]
+    )
+    out2 = bm25_topk_multi(docs, q_nodup, k=1)
+    rows2 = {r.query_id: (r.doc_id, r.score_micro) for r in out2.collect()}
+    release_cached(out2)
+    assert rows == rows2

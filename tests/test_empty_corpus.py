@@ -19,7 +19,7 @@ DOC_ENTRIES = [
     "docs_gopher_filter",
     "docs_dsir_weights", "docs_dup_span", "docs_dedup_spans",
     "docs_curation_funnel", "docs_curation_funnel_v2",
-    "docs_bm25_topk",
+    "docs_bm25_topk", "docs_bm25_multi",
     "streaming_classifier_gate",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_lsh_verified", "docs_quality_classifier",
