@@ -86,7 +86,7 @@ def _calibration_probe(spark):
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 9
+HEADLINE_VERSION = 10
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -157,6 +157,16 @@ BENCH_QUERIES = [
     "docs_quality_prune_curve",
     "docs_consistent_sample",
     "dedup_containment",
+    # r10 additions: batch-vs-history incremental near-dup (the
+    # daily-ingest shape), perceptual image near-dup (banded Hamming),
+    # one-pass multi-query BM25, and the 100 TB profile configuration
+    # (HLL, no Expand). dedup_neardup_routed is NOT measured — on this
+    # corpus it is dedup_jaccard_prefix plus a bounded probe, and the
+    # prefix join is already a headline entry.
+    "dedup_incremental_neardup",
+    "multimodal_perceptual_dedup",
+    "docs_bm25_multi",
+    "lineitem_profile_approx",
 ]
 
 
