@@ -93,6 +93,12 @@ _register(
     ev.events_gapfill_interpolate,
     ev.EVENTS_GAPFILL_ORACLE,
 )
+# r10: span-parallel chunked windows, identical output (same oracle)
+_register(
+    "events_gapfill_chunked",
+    ev.events_gapfill_chunked,
+    ev.EVENTS_GAPFILL_ORACLE,
+)
 _register("events_session_window", ev.events_session_window, ev.EVENTS_SESSION_WINDOW_ORACLE)
 _register("events_asof_view_click", ev.events_asof_view_click, ev.EVENTS_ASOF_ORACLE)
 _register("events_range_join", ev.events_range_join, ev.EVENTS_RANGE_JOIN_ORACLE)

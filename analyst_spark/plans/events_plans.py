@@ -536,6 +536,186 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERP4_EXPR = (
+    "CASE WHEN avg4 IS NOT NULL THEN avg4 "
+    "WHEN locf4 IS NULL OR __nc IS NULL THEN NULL "
+    "WHEN __nc >= locf4 THEN locf4 + "
+    "  (2*CAST(__nc - locf4 AS DECIMAL(38,0))*(hidx - __ph)"
+    "   + (__nh - __ph)) DIV (2*(__nh - __ph)) "
+    "ELSE locf4 - "
+    "  (2*CAST(locf4 - __nc AS DECIMAL(38,0))*(hidx - __ph)"
+    "   + (__nh - __ph)) DIV (2*(__nh - __ph)) END"
+)
+
+GAPFILL_CHUNK_HOURS = 24 * 30  # one-month window chunks
+
+
+def events_gapfill_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_gapfill_interpolate` with SPAN-PARALLEL windows — the
+    production form for span-dominated series (SCALE.md r10: the
+    global per-series windows concentrate a ×100 time-axis growth
+    into one task per series; this corpus has 5 series, so the
+    wall-clock floor is 5 tasks regardless of cores).
+
+    Same device as ``events_sessions_chunked``: the hour spine is
+    generated per (series, chunk) and the LOCF/bracket windows
+    partition by (series, chunk) — each task owns at most
+    ``GAPFILL_CHUNK_HOURS`` rows — then cross-chunk state flows
+    through a (series × chunks)-sized summary table: per chunk, the
+    last/first KNOWN (value, hour); two tiny windows over chunk
+    order give every chunk its carry-in (last known value of any
+    earlier chunk) and carry-out (first known value of any later
+    chunk), skipping all-gap chunks via ignorenulls; the summary
+    broadcasts back onto the spine. ``coalesce(in_chunk, carried)``
+    then reproduces the GLOBAL window semantics exactly — LOCF, the
+    bracketing hour indices, and hence every interpolated value are
+    bit-identical to the unchunked plan (same oracle; equality
+    pinned across chunk sizes in tests/test_gapfill.py).
+
+    Cost: windows now spread over series × chunks tasks (span growth
+    adds TASKS, not per-task rows); the summary table is series ×
+    chunks rows — trivially small at any horizon.
+    """
+    return _gapfill_chunked(spark, sf_dir, GAPFILL_CHUNK_HOURS)
+
+
+def _gapfill_chunked(
+    spark: SparkSession, sf_dir: str, chunk_hours: int
+) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
+    cents = cents_of("value")
+    agg = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(cents).alias("__nv"),
+            F.sum(cents.cast("decimal(28,0)")).alias("__sc"),
+        )
+        .withColumn(
+            "avg4",
+            F.expr(
+                "CASE WHEN __nv = 0 THEN NULL "
+                "WHEN __sc >= 0 THEN (200*__sc + __nv) DIV (2*__nv) "
+                "ELSE -((-200*__sc + __nv) DIV (2*__nv)) END"
+            ),
+        )
+        .select("event_type", "bucket", "n_events", "avg4")
+        .withColumn("hidx", F.expr("CAST(bucket AS LONG) DIV 3600"))
+        .withColumn("chunk", F.expr(f"hidx DIV {chunk_hours}"))
+    )
+    rng = agg.groupBy("event_type").agg(
+        F.min("hidx").alias("__mnh"), F.max("hidx").alias("__mxh")
+    )
+    # spine per (series, chunk): chunk list first (bounded), then the
+    # hours inside each chunk clipped to the series range — every
+    # exploded array is <= chunk_hours elements
+    spine = (
+        rng.select(
+            "event_type",
+            "__mnh",
+            "__mxh",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__mnh DIV {chunk_hours}"),
+                    F.expr(f"__mxh DIV {chunk_hours}"),
+                )
+            ).alias("chunk"),
+        )
+        .select(
+            "event_type",
+            "chunk",
+            F.explode(
+                F.sequence(
+                    F.expr(f"greatest(chunk * {chunk_hours}, __mnh)"),
+                    F.expr(
+                        f"least(chunk * {chunk_hours} + {chunk_hours - 1},"
+                        " __mxh)"
+                    ),
+                )
+            ).alias("hidx"),
+        )
+        .withColumn("bucket", F.expr("CAST(hidx * 3600 AS TIMESTAMP)"))
+    )
+    full = spine.join(
+        agg.select("event_type", "hidx", "n_events", "avg4"),
+        ["event_type", "hidx"],
+        "left",
+    ).withColumn("n_events", F.coalesce("n_events", F.lit(0).cast("long")))
+    # in-chunk windows: state bounded by chunk_hours rows per task
+    wp = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("hidx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("avg4").isNotNull(), F.col("hidx"))
+    inchunk = (
+        full.withColumn("__lc", F.last("avg4", ignorenulls=True).over(wp))
+        .withColumn("__lh", F.last(known_h, ignorenulls=True).over(wp))
+        .withColumn("__fc", F.first("avg4", ignorenulls=True).over(wn))
+        .withColumn("__fh", F.first(known_h, ignorenulls=True).over(wn))
+    )
+    # (series x chunks) summary of KNOWN values; windows over chunk
+    # order carry state across chunks, skipping all-gap chunks
+    known = agg.filter(F.col("avg4").isNotNull())
+    summ = known.groupBy("event_type", "chunk").agg(
+        F.max_by("avg4", "hidx").alias("__clv"),
+        F.max("hidx").alias("__clh"),
+        F.min_by("avg4", "hidx").alias("__cfv"),
+        F.min("hidx").alias("__cfh"),
+    )
+    chunk_spine = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.expr(f"__mnh DIV {chunk_hours}"),
+                F.expr(f"__mxh DIV {chunk_hours}"),
+            )
+        ).alias("chunk"),
+    )
+    cwp = (
+        Window.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cwn = (
+        Window.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = (
+        chunk_spine.join(summ, ["event_type", "chunk"], "left")
+        .withColumn("__pv", F.last("__clv", ignorenulls=True).over(cwp))
+        .withColumn("__phh", F.last("__clh", ignorenulls=True).over(cwp))
+        .withColumn("__nv", F.first("__cfv", ignorenulls=True).over(cwn))
+        .withColumn("__nhh", F.first("__cfh", ignorenulls=True).over(cwn))
+        .select("event_type", "chunk", "__pv", "__phh", "__nv", "__nhh")
+    )
+    filled = (
+        inchunk.join(F.broadcast(carry), ["event_type", "chunk"])
+        .withColumn("locf4", F.coalesce("__lc", "__pv"))
+        .withColumn("__ph", F.coalesce("__lh", "__phh"))
+        .withColumn("__nc", F.coalesce("__fc", "__nv"))
+        .withColumn("__nh", F.coalesce("__fh", "__nhh"))
+        .withColumn("interp4", F.expr(_INTERP4_EXPR))
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "avg4",
+        "locf4",
+        "interp4",
+        (F.col("interp4") / F.lit(10000.0)).alias("interp_value"),
+    )
+
+
 EVENTS_GAPFILL_ORACLE = """
 WITH e AS (
     SELECT event_type, date_trunc('hour', ts) AS bucket,

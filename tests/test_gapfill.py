@@ -226,3 +226,64 @@ def test_gapfill_matches_python_model_randomized(spark, tmp_path_factory):
         for r in out
     }
     assert got == expect
+
+
+# ------------------------------------------- chunked windows (r10)
+
+
+def _rows(df):
+    return sorted(
+        (r.event_type, r.bucket, r.n_events, r.avg4, r.locf4, r.interp4)
+        for r in df.collect()
+    )
+
+
+def test_chunked_equals_global_on_catalog_data(spark):
+    sf = "/root/testdata/sf0.001"
+    a = _rows(QUERIES["events_gapfill_interpolate"](spark, sf))
+    b = _rows(QUERIES["events_gapfill_chunked"](spark, sf))
+    assert a == b
+
+
+@pytest.mark.parametrize("chunk_hours", [1, 2, 3, 5, 1000])
+def test_chunked_equals_global_across_chunk_sizes(
+    spark, series_sf, chunk_hours
+):
+    """Tiny chunks force gaps to SPAN chunks and produce all-gap
+    chunks (type 'a' has a 3-hour gap; chunk_hours=1 makes each hour
+    its own window partition), so carry-in/carry-out stitching is
+    exercised on every boundary shape; 1000 degrades to one chunk
+    (must equal the global plan trivially)."""
+    from analyst_spark.plans.events_plans import _gapfill_chunked
+
+    a = _rows(QUERIES["events_gapfill_interpolate"](spark, series_sf))
+    b = _rows(_gapfill_chunked(spark, series_sf, chunk_hours))
+    assert a == b
+
+
+def test_chunked_multi_chunk_gap_carry(spark, tmp_path_factory):
+    """A gap spanning SEVERAL all-gap chunks: known at h0 and h10
+    with chunk_hours=3 leaves chunks {1,2} fully unknown — LOCF must
+    carry h0's value through both, interpolation must bracket h0/h10
+    across them."""
+    import os
+
+    from analyst_spark.plans.events_plans import _gapfill_chunked
+
+    td = str(tmp_path_factory.mktemp("gapfill_carry"))
+    rows = [
+        (0, _h(0), 1, "x", 10.0, None),
+        (1, _h(10), 1, "x", 20.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    a = _rows(QUERIES["events_gapfill_interpolate"](spark, td))
+    b = _rows(_gapfill_chunked(spark, td, 3))
+    assert a == b
+    # and the values are the linear ramp 10.00 -> 20.00 in 1e-4 units
+    interp = {r[1].hour: r[5] for r in b}
+    assert interp[0] == 100000 and interp[10] == 200000
+    assert interp[5] == 150000
