@@ -263,6 +263,61 @@ def neardup_signature_index(
     )
 
 
+def neardup_signatures_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-ROW minhash signatures as pure narrow expressions — no
+    explode, no groupBy, NO STATE: the form a Structured Streaming
+    probe can compute per micro-batch (stateful streaming
+    aggregations would otherwise be needed to reassemble a document's
+    shingles). Produces values IDENTICAL to
+    :func:`minhash_signatures` (same md5 base hash over the same
+    distinct shingle set, same affine family), pinned by equality
+    test in tests/test_incremental_neardup.py.
+
+    Device: tokens and the distinct shingle array are materialized as
+    columns FIRST (the shingles_of_tokens lambda-capture hazard),
+    then ONE md5 pass maps shingles to a 32-bit hash array, and each
+    of the k signatures is an array_min over a cheap integer affine
+    transform of that array. Documents with no shingles (< n tokens)
+    are dropped — matching the batch groupBy, where they produce no
+    row.
+    """
+    hashed = (
+        # no spread(): repartition is legal on streams but pointless
+        # per micro-batch; batch callers wanting fan-out spread first
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn(
+            "__sh", F.array_distinct(shingles_of_tokens(F.col("__toks"), n))
+        )
+        .filter(F.size("__sh") >= 1)
+        .withColumn(
+            "__hv",
+            F.transform(
+                "__sh",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            ),
+        )
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "__hv",
+                lambda h: (h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P),
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(F.col(id_col), *sig_cols)
+
+
 def incremental_neardup_pairs(
     history_index: DataFrame,
     batch: DataFrame,

@@ -241,6 +241,13 @@ _register(
     tp.dedup_incremental_neardup,
     tp.DEDUP_INCREMENTAL_NEARDUP_ORACLE,
 )
+# r10 streaming twin: stateless per-row signatures + stream-static
+# probe; deterministic integers => row-identical to batch, same oracle
+_register(
+    "streaming_incremental_neardup",
+    st.streaming_incremental_neardup,
+    tp.DEDUP_INCREMENTAL_NEARDUP_ORACLE,
+)
 _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
 _register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only

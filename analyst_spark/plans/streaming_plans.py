@@ -917,3 +917,114 @@ def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(_HIST_SINK)
+
+
+_INEAR_SINK = "streaming_incr_neardup_gate"
+
+
+def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dedup_incremental_neardup`` — the LIVE
+    ingest shape: documents arrive as a file stream (8 staged files,
+    maxFilesPerTrigger=2 forcing real micro-batch boundaries), each
+    micro-batch is signed PER ROW with the stateless signature form
+    (functions/dedup.py neardup_signatures_stateless — no explode, no
+    stateful aggregation), band buckets join STREAM-STATIC against the
+    maintained history index, and candidates verify by minhash
+    agreement — all stateless, append mode.
+
+    Every per-pair value is a deterministic integer computed from one
+    batch row + one static index row, so the streamed pair set is
+    ROW-IDENTICAL to the batch entry regardless of micro-batch
+    boundaries — the entry carries the SAME DuckDB hash oracle. At
+    100 TB: the index is the broadcast-or-bucketed static side; state
+    is zero (no watermark needed), so the probe sustains any ingest
+    rate the signature pass can scan.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.dedup import (
+        band_buckets,
+        neardup_signature_index,
+        neardup_signatures_stateless,
+    )
+    from analyst_spark.plans.text_plans import (
+        _INCR_MOD,
+        _INEAR_MIN_MATCH,
+        _INEAR_OFFSET,
+        _INEAR_STEP,
+    )
+    from analyst_spark.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id").select(
+        "doc_id", "text"
+    )
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    hist = docs.filter(~is_new)
+    index = neardup_signature_index(hist).persist()
+    index.count()  # the maintained artifact; real stats for the join
+    k = 8
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = hist.filter(F.col("doc_id") % _INEAR_STEP == 0).select(
+        (F.lit(4) * (F.col("doc_id") + _INEAR_OFFSET)).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))), " "
+        ).alias("text"),
+    )
+    batch = docs.filter(is_new).unionByName(twins)
+    tmp = tempfile.mkdtemp(prefix="asp_stream_docs_")
+    try:
+        batch.coalesce(8).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(tmp)
+        )
+        ssigs = neardup_signatures_stateless(stream, num_hashes=k)
+        sb = band_buckets(ssigs).select(
+            F.col("doc_id").alias("id_batch"), "band", "bucket"
+        )
+        hb = band_buckets(index).select(
+            F.col("doc_id").alias("id_hist"), "band", "bucket"
+        )
+        cand = sb.join(F.broadcast(hb), ["band", "bucket"]).select(
+            "id_batch", "id_hist", "band"
+        )
+        bsig = ssigs.select(
+            F.col("doc_id").alias("id_batch"),
+            *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(k)],
+        )
+        hsig = index.select(
+            F.col("doc_id").alias("id_hist"),
+            *[F.col(f"mh{i}").alias(f"__h{i}") for i in range(k)],
+        )
+        n_match = sum(
+            (F.col(f"__b{i}") == F.col(f"__h{i}")).cast("int")
+            for i in range(k)
+        )
+        # STATELESS pair dedup: a pair colliding in several bands
+        # appears once per band; emit it only from its SMALLEST
+        # matching band, recomputed from the two signature vectors
+        # (bucket equality == band signature equality) — no
+        # dropDuplicates state, exactly one row per pair.
+        band_match = [
+            (F.col(f"__b{2 * j}") == F.col(f"__h{2 * j}"))
+            & (F.col(f"__b{2 * j + 1}") == F.col(f"__h{2 * j + 1}"))
+            for j in range(4)
+        ]
+        first_band = F.when(band_match[0], 0)
+        for j in range(1, 4):
+            first_band = first_band.when(band_match[j], j)
+        pairs = (
+            cand.join(bsig, "id_batch")
+            .join(F.broadcast(hsig), "id_hist")
+            .filter(F.col("band") == first_band)
+            .withColumn("n_match", n_match.cast("long"))
+            .filter(F.col("n_match") >= _INEAR_MIN_MATCH)
+            .select("id_batch", "id_hist", "n_match")
+        )
+        q = run_to_memory_sink(pairs, _INEAR_SINK, output_mode="append")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        index.unpersist()
+    return spark.table(_INEAR_SINK)

@@ -115,3 +115,34 @@ def test_catalog_plant_and_recover(spark):
     # dropping one token of a >=20-token doc keeps J >= 0.9; the
     # 4x2 banding finds the overwhelming majority deterministically
     assert recovered >= 0.8 * len(planted), (recovered, len(planted))
+
+
+def test_stateless_signatures_equal_batch_form(spark):
+    """The per-row (stream-safe) signature form must produce values
+    IDENTICAL to the groupBy form — the property that makes the
+    streaming twin row-identical to the batch entry."""
+    from analyst_spark.functions.dedup import neardup_signatures_stateless
+
+    from analyst_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    batch = {
+        tuple(r) for r in minhash_signatures(docs, num_hashes=8).collect()
+    }
+    stateless = {
+        tuple(r)
+        for r in neardup_signatures_stateless(docs, num_hashes=8).collect()
+    }
+    assert batch == stateless and batch
+
+
+def test_stateless_drops_shingleless_docs(spark):
+    from analyst_spark.functions.dedup import neardup_signatures_stateless
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, LONG_A)], ["doc_id", "text"]
+    )
+    out = neardup_signatures_stateless(df)
+    assert [r.doc_id for r in out.collect()] == [2]
