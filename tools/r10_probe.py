@@ -249,7 +249,12 @@ def main_zorder() -> None:
     path = os.path.join(big, "lineitem.parquet")
     os.makedirs(big, exist_ok=True)
     if not os.path.exists(path):
-        li = load_tables(spark, SRC)["lineitem"]
+        from analyst_spark.tables import spread
+
+        # spread BEFORE the explode: the source is one row group, so
+        # an unspread explode serializes 600M output rows through ~3
+        # tasks (measured stuck); spread first and every core fans out
+        li = spread(load_tables(spark, SRC)["lineitem"])
         k = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__k")
         rep = li.select("*", k).select(
             *[
@@ -261,7 +266,7 @@ def main_zorder() -> None:
                 for c in li.columns
             ]
         ).drop("__k")
-        rep.repartition(64).write.mode("overwrite").parquet(path)
+        rep.write.mode("overwrite").parquet(path)
     for f in os.listdir(SRC):
         dst = os.path.join(big, f)
         if f.endswith(".parquet") and not os.path.exists(dst):
