@@ -17,6 +17,7 @@ def test_contract_shapes():
         "events_approx_distinct",  # HLL estimates are impl-specific
         "docs_stratified_sample",  # seeded sampler is engine-specific
         "agg_quantile_approx",     # sketch estimates are impl-specific
+        "lineitem_profile_approx",  # HLL profile; banded gate in verify_local
         "events_distinct_users_hll",  # HLL sketch; banded gate in verify_local
         "streaming_distinct_users_hll",  # streaming HLL; banded gate + batch pin
         "text_heavy_hitters_cms",  # CMS estimates; banded gate + JVM parity pin
