@@ -816,7 +816,12 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lineitem_profile(spark, sf_dir, approx=False)
 
 
-PROFILE_HLL_RSD = 0.01  # the banded gate imports this (no drift)
+# Measured (SCALE.md r10): at x1000 rows the HLL cost is register
+# UPDATES (rsd-invariant: 186s at 0.01 vs 189s at 0.02); at sf0.1 the
+# sketch MERGE dominates and rsd=0.01's 2^17-register sketches cost
+# 11.8s vs 3.7s at 0.02. rsd=0.02 (5-sigma band +/-10%) is the right
+# profile default at every decade.
+PROFILE_HLL_RSD = 0.02  # the banded gate imports this (no drift)
 
 
 def _lineitem_profile(
@@ -839,7 +844,7 @@ def lineitem_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand — the exact form's Expand ×12 is measured DNF (>560s) at
     the ×100 decade while this form covers it in 9.0s (SCALE.md).
     Everything except n_distinct is bit-exact vs the oracle;
-    n_distinct carries a 5-sigma HLL band at rsd=0.01 (the
+    n_distinct carries a 5-sigma HLL band at rsd=0.02 (the
     events_distinct_users_hll discipline) in tools/verify_local.py.
     """
     return _lineitem_profile(spark, sf_dir, approx=True)
