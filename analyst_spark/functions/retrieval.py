@@ -239,6 +239,64 @@ def bm25_topk_multi(
     return _with_cached_deps(out, q, toks, lens)
 
 
+def rrf_fuse_multi(
+    rankings: Sequence[tuple[str, DataFrame]],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Per-query Reciprocal Rank Fusion over a QUERY TABLE — the
+    multi-query generalization of :func:`rrf_fuse` (same SIGIR'09
+    combiner, same integer-nano exactness device; see that docstring
+    for both). Each input df carries ``(query_col, id_col, rank)``
+    with rank 1-based per query and each query's list already cut to
+    its candidate depth.
+
+    The fusion join is keyed on (query, id) and moves
+    O(queries × sources × depth) rows — bounded by retriever depth
+    per query, never corpus size; the final cut is a rank window
+    PARTITIONED BY the query (state = one query's fused candidates).
+    Output: (query_col, id_col, <name>_rank..., rrf_nano, rrf_score),
+    rank window cut to ``k`` per query.
+    """
+    from pyspark.sql import Window
+
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse_multi needs at least two rankings")
+    fused = None
+    for name, df in rankings:
+        d = df.select(
+            F.col(query_col).cast("int").alias(query_col),
+            F.col(id_col),
+            F.col("rank").alias(f"{name}_rank"),
+        )
+        fused = (
+            d
+            if fused is None
+            else fused.join(d, [query_col, id_col], "full_outer")
+        )
+    score = None
+    for name, _ in rankings:
+        term = F.coalesce(
+            F.expr(
+                f"CAST(1000000000 DIV ({rrf_k} + {name}_rank) AS BIGINT)"
+            ),
+            F.lit(0).cast("long"),
+        )
+        score = term if score is None else score + term
+    win = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_nano").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rrf_nano", score)
+        .withColumn("rrf_score", F.col("rrf_nano") / F.lit(1000000000.0))
+        .withColumn("__rr", F.row_number().over(win))
+        .filter(F.col("__rr") <= k)
+        .drop("__rr")
+    )
+
+
 def rrf_fuse(
     rankings: Sequence[tuple[str, DataFrame]],
     k: int = 20,

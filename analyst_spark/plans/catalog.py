@@ -175,6 +175,10 @@ _register("text_heavy_hitters_cms", pp.text_heavy_hitters_cms, None)
 _register("docs_bm25_topk", pp.docs_bm25_topk, pp.DOCS_BM25_ORACLE)
 # r10: one-pass multi-query BM25, rank windows per query_id
 _register("docs_bm25_multi", pp.docs_bm25_multi, pp.DOCS_BM25_MULTI_ORACLE)
+# r10: per-query hybrid fusion (multi-query BM25 + multi-query cosine)
+_register(
+    "docs_rrf_hybrid_multi", pp.docs_rrf_hybrid_multi, pp.DOCS_RRF_MULTI_ORACLE
+)
 _register("docs_rrf_hybrid", pp.docs_rrf_hybrid, pp.DOCS_RRF_ORACLE)
 _register("docs_pack_sequences", pp.docs_pack_sequences, pp.PACK_SEQUENCES_ORACLE)
 _register("docs_chunk_windows", pp.docs_chunk_windows, pp.DOCS_CHUNK_ORACLE)

@@ -2695,10 +2695,11 @@ def docs_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_multi(docs, q, k=_BM25_MULTI_K)
 
 
-def _bm25_multi_oracle() -> str:
+def _bm25_multi_ctes() -> str:
+    """The q → toks → per_query CTE chain shared by the multi-query
+    BM25 oracle and the multi-query hybrid-RRF oracle."""
     vals = ", ".join(f"({qid}, '{t}')" for qid, t in _BM25_MULTI_QUERIES)
-    return f"""
-WITH q(query_id, w) AS (VALUES {vals}),
+    return f"""q(query_id, w) AS (VALUES {vals}),
 toks AS (
     SELECT doc_id, token AS w FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -2732,7 +2733,12 @@ toks AS (
            CAST(sum(t.c_micro) AS BIGINT) AS score_micro
     FROM per_term t JOIN q ON q.w = t.w
     GROUP BY q.query_id, t.doc_id
-)
+)"""
+
+
+def _bm25_multi_oracle() -> str:
+    return f"""
+WITH {_bm25_multi_ctes()}
 SELECT query_id, doc_id, score_micro,
        score_micro / 1000000.0 AS score,
        CAST(rank AS INT) AS rank
@@ -2746,6 +2752,111 @@ FROM (
 
 
 DOCS_BM25_MULTI_ORACLE = _bm25_multi_oracle()
+
+
+# ------------------------------------- multi-query hybrid RRF (r10)
+
+_RRF_MULTI_CAND = 50
+_RRF_MULTI_K = 10
+
+
+def docs_rrf_hybrid_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query hybrid retrieval over the query TABLE: multi-query
+    BM25 (lexical) and multi-query exact cosine (semantic — the
+    embedding of doc ``query_id - 1`` is each query's vector;
+    vec_id is 1:1 with doc_id in the testdata) fused per query with
+    Reciprocal Rank Fusion. Completes the multi-query story (VERDICT
+    r9 #6): one corpus pass per retriever scores EVERY query, the
+    fusion join moves O(queries × depth) rows, and both the cut and
+    the fusion are rank windows partitioned by query_id. Single-query
+    entries unchanged."""
+    from analyst_spark.functions.retrieval import (
+        bm25_topk_multi,
+        rrf_fuse_multi,
+    )
+    from analyst_spark.functions.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    q = spark.createDataFrame(
+        list(_BM25_MULTI_QUERIES), "query_id int, term string"
+    )
+    n_q = max(qid for qid, _ in _BM25_MULTI_QUERIES)
+    bm = bm25_topk_multi(t["documents"], q, k=_RRF_MULTI_CAND)
+    bm_ranked = bm.select("query_id", "doc_id", "rank")
+    cos = cosine_topk(
+        t["embeddings"],
+        t["embeddings"].filter(F.col("vec_id") < n_q),
+        k=_RRF_MULTI_CAND,
+    )
+    cos_ranked = cos.select(
+        (F.col("query_id") + 1).cast("int").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    fused = rrf_fuse_multi(
+        [("bm25", bm_ranked), ("cos", cos_ranked)],
+        k=_RRF_MULTI_K,
+        rrf_k=_RRF_KCONST,
+    )
+    return _with_cached_deps(fused, *getattr(bm, "_asp_cached_deps", ()))
+
+
+def _rrf_multi_oracle() -> str:
+    n_q = max(qid for qid, _ in _BM25_MULTI_QUERIES)
+    cos = """round(list_dot_product(q.qv, c.cv)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6)"""
+    return f"""
+WITH {_bm25_multi_ctes()}, bm_ranked AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_micro DESC, doc_id ASC) AS rank
+        FROM per_query
+    ) WHERE rank <= {_RRF_MULTI_CAND}
+), qv AS (
+    SELECT CAST(vec_id + 1 AS INTEGER) AS query_id,
+           vec_id AS src_vec, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {n_q}
+), cos_ranked AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+        CROSS JOIN qv q
+        WHERE c.vec_id <> q.src_vec
+    ) WHERE rank <= {_RRF_MULTI_CAND}
+), fused AS (
+    SELECT coalesce(b.query_id, c.query_id) AS query_id,
+           coalesce(b.doc_id, c.doc_id) AS doc_id,
+           b.rank AS bm25_rank,
+           c.rank AS cos_rank,
+           coalesce(1000000000 // ({_RRF_KCONST} + b.rank), 0)
+             + coalesce(1000000000 // ({_RRF_KCONST} + c.rank), 0)
+               AS rrf_nano
+    FROM bm_ranked b
+    FULL OUTER JOIN cos_ranked c
+      ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+)
+SELECT query_id, doc_id,
+       CAST(bm25_rank AS INTEGER) AS bm25_rank,
+       CAST(cos_rank AS INTEGER) AS cos_rank,
+       CAST(rrf_nano AS BIGINT) AS rrf_nano,
+       CAST(rrf_nano AS BIGINT) / 1000000000.0 AS rrf_score
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY rrf_nano DESC, doc_id ASC) AS rr
+    FROM fused
+) WHERE rr <= {_RRF_MULTI_K}
+"""
+
+
+# DOCS_RRF_MULTI_ORACLE is assigned at the end of the module:
+# _rrf_multi_oracle() reads _RRF_KCONST, defined in the single-query
+# RRF section below.
 
 
 # --------------------------------------------- hybrid retrieval (RRF)
@@ -2868,3 +2979,6 @@ FROM fused
 ORDER BY rrf_nano DESC, doc_id ASC
 LIMIT {_RRF_FINAL_K}
 """
+
+
+DOCS_RRF_MULTI_ORACLE = _rrf_multi_oracle()

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "dedup_incremental_neardup",
     "multimodal_perceptual_dedup",
     "docs_bm25_multi",
+    "docs_rrf_hybrid_multi",
     "lineitem_profile_approx",
 ]
 

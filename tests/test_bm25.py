@@ -8,6 +8,7 @@ import math
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from analyst_spark.plans.catalog import QUERIES
 from analyst_spark.plans.pipeline_plans import _BM25_QUERY, _BM25_TOP_K
@@ -218,3 +219,31 @@ def test_multi_query_dedupes_terms_and_bounds_k(spark):
     rows2 = {r.query_id: (r.doc_id, r.score_micro) for r in out2.collect()}
     release_cached(out2)
     assert rows == rows2
+
+
+def test_rrf_multi_q1_equals_single_hybrid_head(spark):
+    """Query 1 of the multi-hybrid uses exactly the single entry's
+    lexical terms AND its semantic query vector (vec 0), at the same
+    candidate depth — so its fused ranking must equal the single
+    entry's, row for row, down to the shorter cut."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    single = QUERIES["docs_rrf_hybrid"](spark, sf)
+    srows = [
+        (r.doc_id, r.bm25_rank, r.cos_rank, r.rrf_nano)
+        for r in single.orderBy(F.desc("rrf_nano"), "doc_id").collect()
+    ]
+    release_cached(single)
+    multi = QUERIES["docs_rrf_hybrid_multi"](spark, sf)
+    mrows = [
+        (r.doc_id, r.bm25_rank, r.cos_rank, r.rrf_nano)
+        for r in multi.filter(F.col("query_id") == 1)
+        .orderBy(F.desc("rrf_nano"), "doc_id")
+        .collect()
+    ]
+    release_cached(multi)
+    assert mrows, "query 1 fused nothing"
+    n = min(len(srows), len(mrows))
+    assert mrows[:n] == srows[:n]

@@ -23,7 +23,7 @@ DOC_ENTRIES = [
     "doc_winnow_fingerprints", "docs_lm_score", "docs_lm_backoff_score",
     "docs_gopher_filter", "docs_dsir_weights", "docs_dup_span",
     "docs_dedup_spans", "docs_curation_funnel", "docs_curation_funnel_v2",
-    "docs_bm25_topk", "docs_bm25_multi", "docs_rrf_hybrid", "documents_profile",
+    "docs_bm25_topk", "docs_bm25_multi", "docs_rrf_hybrid_multi", "docs_rrf_hybrid", "documents_profile",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_lsh_verified",
     "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "dedup_neardup_routed", "docs_quality_classifier",
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
