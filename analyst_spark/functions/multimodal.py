@@ -248,7 +248,23 @@ def perceptual_dedup_pairs(
     Output: (id_a, id_b, hamming), id_a < id_b,
     hamming <= max_distance.
     """
-    sigs = image_dhash_bands(df, image_col, id_col, decoder).persist()
+    return banded_hamming_pairs(
+        image_dhash_bands(df, image_col, id_col, decoder), max_distance
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame, max_distance: int = 3
+) -> DataFrame:
+    """Banded Hamming self-join over ANY (doc_id, b0..b3) 64-bit
+    signature frame — the shared engine under the image dHash and
+    audio fingerprint near-dup joins. Pigeonhole recall-1: a pair at
+    distance <= 3 differs in at most 3 of the 4 disjoint 16-bit
+    bands, so at least one band is identical and the (band, value)
+    equi-join finds it; verification is 4 xor+bit_count JVM ops per
+    candidate. The signature frame is persisted and materialized
+    before the self-join plans (the _fill_cache discipline)."""
+    sigs = sigs.persist()
     sigs.count()  # real stats before the self-join plans
     bands = sigs.select(
         F.col("doc_id"),
@@ -296,6 +312,72 @@ def perceptual_dedup_pairs(
     )
     out._asp_cached_deps = [sigs]  # type: ignore[attr-defined]
     return out
+
+
+AUDIO_FP_FRAMES = 65  # 65 frame energies -> 64 delta bits
+
+
+def audio_fingerprint_bands(
+    df: DataFrame,
+    audio_col: str = "audio",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual audio fingerprint of a binary PCM column — the
+    audio sibling of :func:`image_dhash_bands` (the chromaprint
+    idea reduced to its energy-delta core): split the signal into
+    65 equal frames, take each frame's energy (Σ v², exact int64),
+    and set bit b to ``E[b] > E[b+1]`` — 64 energy-GRADIENT signs,
+    robust to gain changes the way dHash gradients are robust to
+    brightness. Returned as the same four 16-bit band integers, so
+    :func:`banded_hamming_pairs` joins them with the identical
+    pigeonhole recall-1 guarantee.
+
+    Frame length = n_samples DIV 65 (trailing remainder ignored);
+    clips shorter than 65 samples are dropped — they cannot carry
+    the 64-bit fingerprint, matching the shingle-less-document rule.
+    Arrow-batched mapInPandas, numpy-vectorized per batch.
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[audio_col]):
+                b = bytes(buf)
+                _sr, n = struct.unpack("<ii", b[8:16])
+                if n < AUDIO_FP_FRAMES:
+                    continue
+                flen = n // AUDIO_FP_FRAMES
+                s = np.frombuffer(
+                    b, dtype="<i2", count=AUDIO_FP_FRAMES * flen, offset=16
+                ).astype(np.int64)
+                e = (s.reshape(AUDIO_FP_FRAMES, flen) ** 2).sum(axis=1)
+                bits = (e[:64] > e[1:]).astype(np.int64)
+                sigs.append(
+                    [
+                        int((bits[k * 16 : (k + 1) * 16] << np.arange(16)).sum())
+                        for k in range(4)
+                    ]
+                )
+                ids.append(int(doc_id))
+            if not ids:
+                continue
+            arr = list(zip(*sigs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "b0": arr[0],
+                    "b1": arr[1],
+                    "b2": arr[2],
+                    "b3": arr[3],
+                }
+            )
+
+    from analyst_spark.tables import spread
+
+    return spread(df, id_col).mapInPandas(run, schema=DHASH_SCHEMA)
 
 
 FAKE_AUDIO_MAGIC = b"FAKEAUD1"

@@ -278,6 +278,12 @@ _register(
     mm.multimodal_perceptual_dedup,
     mm.MULTIMODAL_PDUP_ORACLE,
 )
+# r10: audio sibling — energy-delta fingerprints, same Hamming engine
+_register(
+    "multimodal_audio_perceptual_dedup",
+    mm.multimodal_audio_perceptual_dedup,
+    mm.MULTIMODAL_APD_ORACLE,
+)
 
 # --- structured streaming (real readStream → memory sink run) -------
 _register("streaming_hourly_rollup", st.streaming_hourly_rollup, st.STREAMING_HOURLY_ORACLE)

@@ -257,6 +257,110 @@ WHERE {ham} <= {_PDUP_MAX_DIST}
 MULTIMODAL_PDUP_ORACLE = _perceptual_oracle()
 
 
+_APD_OFFSET = 30_000_000
+_APD_STEP = 9
+_APD_MAX_DIST = 3
+
+
+def multimodal_audio_perceptual_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual AUDIO near-dup: energy-delta fingerprints + the
+    same banded Hamming join as the image entry
+    (functions/multimodal.py banded_hamming_pairs — the pigeonhole
+    recall-1 engine is shared; only the signature function differs).
+
+    Plant-and-recover: every doc_id % 9 == 0 clip reappears under
+    doc_id + 30M with ONE sample overwritten (sample 0 := 100) —
+    bytes differ, at most 1 of the 64 energy-gradient bits flips
+    (only frame 0's energy changes), so every twin must surface at
+    hamming <= 1. Sample arithmetic ((d*17 + i*13) % 201 - 100)
+    makes frame energies closed-form in SQL: the oracle is
+    brute-force all-pairs over arithmetic-derived fingerprints —
+    hash equality checks recall-1, the plant, and the unplanted
+    (d, d+201) generator collisions at once.
+    """
+    from analyst_spark.functions.multimodal import (
+        audio_fingerprint_bands,
+        banded_hamming_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from analyst_spark.functions.multimodal import encode_fake_audio
+
+        for pdf in batches:
+            ids, bufs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ids.append(d)
+                bufs.append(bytearray(encode_fake_audio(d)))
+                if d % _APD_STEP == 0:
+                    twin = bytearray(encode_fake_audio(d))
+                    # sample 0 is int16 LE at offset 16
+                    twin[16:18] = (100).to_bytes(2, "little", signed=True)
+                    ids.append(d + _APD_OFFSET)
+                    bufs.append(twin)
+            yield pd.DataFrame({"doc_id": ids, "audio": bufs})
+
+    corpus = spread(docs, "doc_id").mapInPandas(
+        gen, "doc_id long, audio binary"
+    )
+    return banded_hamming_pairs(
+        audio_fingerprint_bands(corpus), max_distance=_APD_MAX_DIST
+    )
+
+
+def _audio_perceptual_oracle() -> str:
+    # sample i of doc d: ((d*17 + i*13) % 201) - 100; twins override
+    # i=0 with 100. 65 frames x 15 samples (1000 DIV 65 = 15; the
+    # trailing 25 samples are ignored, matching the Spark reshape).
+    v = (
+        "CASE WHEN d.pert AND g.i = 0 THEN 100 "
+        "ELSE ((d.doc_src * 17 + g.i * 13) % 201) - 100 END"
+    )
+    band_cols = ", ".join(
+        f"CAST(max(CASE WHEN band = {k} THEN v END) AS INT) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    return f"""
+WITH all_docs AS (
+    SELECT doc_id, doc_id AS doc_src, false AS pert FROM documents
+    UNION ALL
+    SELECT doc_id + {_APD_OFFSET}, doc_id, true FROM documents
+    WHERE doc_id % {_APD_STEP} = 0
+), samp AS (
+    SELECT d.doc_id, g.i // 15 AS f, CAST(({v}) AS BIGINT) AS v
+    FROM all_docs d CROSS JOIN (SELECT unnest(range(975)) AS i) g
+), energy AS (
+    SELECT doc_id, f, sum(v * v) AS e FROM samp GROUP BY doc_id, f
+), bits AS (
+    SELECT doc_id, b, b // 16 AS band, b % 16 AS pos, bit FROM (
+        SELECT doc_id, f AS b,
+               CASE WHEN e > lead(e) OVER (
+                   PARTITION BY doc_id ORDER BY f) THEN 1 ELSE 0 END AS bit
+        FROM energy
+    ) WHERE b < 64
+), bands AS (
+    SELECT doc_id, band, sum(bit * (1 << pos)) AS v
+    FROM bits GROUP BY doc_id, band
+), sigs AS (
+    SELECT doc_id, {band_cols} FROM bands GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {ham} <= {_APD_MAX_DIST}
+"""
+
+
+MULTIMODAL_APD_ORACLE = _audio_perceptual_oracle()
+
+
 _BDUP_OFFSET = 10_000_000
 _BDUP_STEP = 5
 

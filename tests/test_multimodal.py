@@ -190,3 +190,58 @@ def test_perceptual_catalog_plant_recovery(spark):
     for d in planted:
         assert (d, d + _PDUP_OFFSET) in got, f"twin of {d} missed"
         assert got[(d, d + _PDUP_OFFSET)] <= 2
+
+
+def test_audio_fingerprint_recall_and_plant(spark):
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import (
+        audio_fingerprint_bands,
+        banded_hamming_pairs,
+        encode_fake_audio,
+    )
+
+    a = bytearray(encode_fake_audio(7))
+    twin = bytearray(encode_fake_audio(7))
+    twin[16:18] = (100).to_bytes(2, "little", signed=True)  # sample 0
+    short = bytearray(encode_fake_audio(3, n_samples=40))  # < 65: dropped
+    df = spark.createDataFrame(
+        [(1, a), (2, twin), (3, short)], "doc_id long, audio binary"
+    )
+    sigs = {r.doc_id for r in audio_fingerprint_bands(df).collect()}
+    assert sigs == {1, 2}, "sub-65-sample clip must be dropped"
+    out = banded_hamming_pairs(audio_fingerprint_bands(df), max_distance=3)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    release_cached(out)
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+
+
+def test_audio_fingerprint_vs_python_model(spark):
+    import struct as st
+
+    from analyst_spark.functions.multimodal import (
+        audio_fingerprint_bands,
+        encode_fake_audio,
+    )
+
+    bufs = {i: encode_fake_audio(i * 3 + 1) for i in range(8)}
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in bufs.items()],
+        "doc_id long, audio binary",
+    )
+    got = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in audio_fingerprint_bands(df).collect()
+    }
+    for i, b in bufs.items():
+        _sr, n = st.unpack("<ii", b[8:16])
+        flen = n // 65
+        s = st.unpack(f"<{65 * flen}h", b[16 : 16 + 2 * 65 * flen])
+        e = [
+            sum(v * v for v in s[f * flen : (f + 1) * flen])
+            for f in range(65)
+        ]
+        bits = [1 if e[b_] > e[b_ + 1] else 0 for b_ in range(64)]
+        want = tuple(
+            sum(bits[k * 16 + p] << p for p in range(16)) for k in range(4)
+        )
+        assert got[i] == want, i
