@@ -3,12 +3,12 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator/query from SURVEY.md §2
 plus the training-data pipeline ops (dedup / similarity / text /
-multimodal / streaming / corpus splits / curation / LM scoring): 148
+multimodal / streaming / corpus splits / curation / LM scoring): 150
 entries spanning all 22 TPC-H query shapes, the reference operator
 inventory, the AQL DSL end-to-end, and the beyond-reference scale
 operators.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the hash gate
-(132 of 148; the 16 rows-only entries are sketch-approximate or
+(134 of 150; the 16 rows-only entries are sketch-approximate or
 iterative by nature: trained k-means lists/clusters, PCA
 eigendecomposition, logistic-regression training, HLL sketches ×3,
 CMS ×2, sketch quantiles, the HLL profile, seeded sampling,

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     # prefix join is already a headline entry.
     "dedup_incremental_neardup",
     "multimodal_perceptual_dedup",
+    "multimodal_audio_perceptual_dedup",
     "docs_bm25_multi",
     "docs_rrf_hybrid_multi",
     "lineitem_profile_approx",
