@@ -882,8 +882,13 @@ def containment_pairs(
     a pair is missed only if ALL of A's prefix shingles shared with
     B are above the cap. Dropped work is reported on the result as
     ``result._asp_dropped_postings`` — a DataFrame of
-    (shingle, df, dropped_rows = df·(df-1), i.e. the candidate rows
-    the cap removed) so the recall trade is measured, never silent.
+    (shingle, df, dropped_rows) where dropped_rows counts the
+    candidate rows the cap actually removed from the prefix×postings
+    join: prefix_occurrences(shingle) × (df − 1) — each prefix
+    occurrence of the hot shingle would have met every OTHER posting
+    of that shingle (the −1 excludes the self row id_a == id_b the
+    join filter discards anyway; ADVICE r10 fixed the earlier
+    df·(df−1) figure, which was postings² and overstated the trade).
     Default None keeps the exact completeness proof and every hash
     gate untouched.
 
@@ -908,15 +913,6 @@ def containment_pairs(
         eager_stats,
     )
     dropped = None
-    if max_posting_df is not None:
-        dropped = (
-            dfreq.filter(F.col("__df") > max_posting_df)
-            .select(
-                "shingle",
-                F.col("__df").alias("df"),
-                (F.col("__df") * (F.col("__df") - 1)).alias("dropped_rows"),
-            )
-        )
     prefix = ranked.filter(
         F.col("__pos")
         <= F.col("n_sh")
@@ -924,6 +920,23 @@ def containment_pairs(
         + F.lit(1)
     )
     if max_posting_df is not None:
+        # accounting BEFORE the cap filter: what the cap removes from
+        # the prefix×postings join is, per hot shingle, each PREFIX
+        # occurrence × its (df − 1) non-self postings — not df·(df−1),
+        # which would be postings² (ADVICE r10)
+        dropped = (
+            prefix.filter(F.col("__sdf") > max_posting_df)
+            .groupBy("shingle")
+            .agg(
+                F.first("__sdf").alias("df"),
+                F.count(F.lit(1)).alias("__pocc"),
+            )
+            .select(
+                "shingle",
+                "df",
+                (F.col("__pocc") * (F.col("df") - 1)).alias("dropped_rows"),
+            )
+        )
         # cap the candidate fan-out: hot prefix shingles (df above
         # the cap) never enter the join — excluding them on the
         # prefix side removes the shingle's candidates entirely

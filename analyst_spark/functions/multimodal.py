@@ -8,8 +8,10 @@ container (no PIL/cv2/ffmpeg), so `decode_image` ships two modes:
 
 * ``fake`` (default): a deterministic stand-in that parses our own
   tiny header format — exercises every byte of the pipeline.
-* ``pil``: the real decoder, import-gated, raising NotImplementedError
-  with a clear message when PIL is absent.
+* ``pil``: reserved for a real decoder; rejected outright with
+  NotImplementedError until a worker-side decode branch exists
+  (ADVICE r10 — an import-only gate would pass with Pillow installed
+  and then fail per-row inside the executor).
 
 At 100 TB: binaries live in parquet/iceberg with the metadata columns
 beside them, so planning prunes on metadata (width/duration/mime)
@@ -62,6 +64,23 @@ def _decode_fake(buf: bytes) -> tuple[int, int, int, float]:
     return w, h, c, mean
 
 
+def _require_fake_decoder(decoder: str) -> None:
+    """Every worker below decodes with :func:`_decode_fake`
+    unconditionally, so ``decoder='pil'`` must be rejected OUTRIGHT
+    (ADVICE r10: the old import-only gate passed when Pillow was
+    installed, then failed per-row inside the executor with
+    'not a fake image'). The PIL path stays NotImplementedError until
+    a real run() branch exists, whether or not Pillow imports."""
+    if decoder == "pil":
+        raise NotImplementedError(
+            "the 'pil' decode path is not implemented (workers decode "
+            "the deterministic fake format only); use decoder='fake' "
+            "for the pipeline plumbing"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}; expected 'fake'")
+
+
 def image_features(
     df: DataFrame,
     image_col: str = "image",
@@ -71,15 +90,7 @@ def image_features(
     """Decode + feature-extract binary images via mapInPandas
     (Arrow-batched; one python worker per partition, no per-row
     pickling)."""
-    if decoder == "pil":  # pragma: no cover — codec not in container
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image decode requires Pillow, which is not "
-                "installed in this container; use decoder='fake' for "
-                "the pipeline plumbing"
-            ) from e
+    _require_fake_decoder(decoder)
 
     def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
         import pandas as pd
@@ -166,17 +177,9 @@ def image_dhash_bands(
 
     Arrow-batched mapInPandas, numpy-vectorized across the batch
     (one comparison matrix per batch, no per-pixel Python); `pil`
-    decoder is import-gated exactly like :func:`image_features`.
+    decoder is rejected outright like :func:`image_features`.
     """
-    if decoder == "pil":  # pragma: no cover — codec not in container
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image decode requires Pillow, which is not "
-                "installed in this container; use decoder='fake' for "
-                "the pipeline plumbing"
-            ) from e
+    _require_fake_decoder(decoder)
 
     def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
         import numpy as np
@@ -254,7 +257,9 @@ def perceptual_dedup_pairs(
 
 
 def banded_hamming_pairs(
-    sigs: DataFrame, max_distance: int = 3
+    sigs: DataFrame,
+    max_distance: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded Hamming self-join over ANY (doc_id, b0..b3) 64-bit
     signature frame — the shared engine under the image dHash and
@@ -263,7 +268,35 @@ def banded_hamming_pairs(
     bands, so at least one band is identical and the (band, value)
     equi-join finds it; verification is 4 xor+bit_count JVM ops per
     candidate. The signature frame is persisted and materialized
-    before the self-join plans (the _fill_cache discipline)."""
+    before the self-join plans (the _fill_cache discipline).
+
+    ``max_distance`` must be < 4 (the band count): at distance >= 4
+    every band can differ and the pigeonhole guarantee evaporates —
+    rejected explicitly (ADVICE r10) rather than silently losing
+    recall, mirroring the prefix-join family's recall contract.
+
+    ``max_bucket_size`` (opt-in, VERDICT r10 #1 — the
+    ``max_bucket_size`` storm discipline from
+    :func:`~analyst_spark.functions.dedup.minhash_pairs` ported to
+    the perceptual join): a degenerate corpus (solid-color images,
+    constant-energy audio) collapses whole corpora into one
+    (band, val) bucket, and the self-join goes quadratic in that
+    bucket. With the cap set, buckets holding more than
+    ``max_bucket_size`` signatures are SKIPPED in the candidate join
+    and reported on the result as ``result._asp_dropped_buckets`` —
+    a lazy (band, val, bsz, dropped_pairs = C(bsz, 2)) frame so the
+    recall trade is measured, never silent. Recall stays 1 for any
+    pair that shares at least one NON-hot band; only pairs whose
+    every identical band is hot can be missed. Default None keeps
+    the exact pigeonhole proof and every gate hash untouched.
+    """
+    if not 0 <= max_distance < 4:
+        raise ValueError(
+            f"max_distance={max_distance} outside the pigeonhole "
+            "recall-1 range of the 4-band split; distance must be "
+            "< 4 (at >= 4 all bands can differ and the banded join "
+            "silently loses pairs)"
+        )
     sigs = sigs.persist()
     sigs.count()  # real stats before the self-join plans
     bands = sigs.select(
@@ -279,10 +312,30 @@ def banded_hamming_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.val")
+    dropped = None
+    join_src = bands
+    if max_bucket_size is not None:
+        bsz = bands.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        keep = bsz.filter(F.col("bsz") <= max_bucket_size).select(
+            "band", "val"
+        )
+        dropped = bsz.filter(F.col("bsz") > max_bucket_size).select(
+            "band",
+            "val",
+            "bsz",
+            (F.col("bsz") * (F.col("bsz") - 1) / 2)
+            .cast("long")
+            .alias("dropped_pairs"),
+        )
+        # co-partitioned hash join on the bucket key; the kept-set is
+        # corpus-derived, AQE decides broadcast
+        join_src = bands.join(keep, ["band", "val"])
     cand = (
-        bands.alias("a")
+        join_src.alias("a")
         .join(
-            bands.alias("b"),
+            join_src.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -311,6 +364,8 @@ def banded_hamming_pairs(
         .select("id_a", "id_b", "hamming")
     )
     out._asp_cached_deps = [sigs]  # type: ignore[attr-defined]
+    if dropped is not None:
+        out._asp_dropped_buckets = dropped  # type: ignore[attr-defined]
     return out
 
 

@@ -266,8 +266,11 @@ def rrf_fuse_multi(
         raise ValueError("rrf_fuse_multi needs at least two rankings")
     fused = None
     for name, df in rankings:
+        # join on query_col AS-IS (like single-query rrf_fuse): a cast
+        # to int would silently NULL string query ids and collapse
+        # every query into one window partition (ADVICE r10)
         d = df.select(
-            F.col(query_col).cast("int").alias(query_col),
+            F.col(query_col),
             F.col(id_col),
             F.col("rank").alias(f"{name}_rank"),
         )

@@ -124,13 +124,16 @@ class TestContainmentCap:
             release_cached,
         )
 
-        # doc 1 contained in doc 2 via RARE shingles; docs 3..8 share
-        # only a HOT boilerplate shingle run
+        # doc 1 contained in doc 2 via RARE shingles; docs 3..8 are
+        # IDENTICAL near-clones, so their prefixes are hot shingles
+        # and the cap removes real candidate work (r11: the corrected
+        # accounting counts prefix×postings rows actually removed, so
+        # the storm must reach the prefixes, not just the postings)
         hot = "common boiler plate text here"
         rows = [
             (1, "rare alpha beta gamma delta"),
             (2, "rare alpha beta gamma delta extra tail words"),
-        ] + [(i, hot + f" suffix{i} a b") for i in range(3, 9)]
+        ] + [(i, hot + " a b") for i in range(3, 9)]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
 
         uncapped = containment_pairs(df, threshold_num=4, threshold_den=5)
@@ -147,7 +150,11 @@ class TestContainmentCap:
         acct = capped._asp_dropped_postings.collect()
         assert acct, "cap must report dropped postings"
         assert all(r.df > 2 for r in acct)
-        assert all(r.dropped_rows == r.df * (r.df - 1) for r in acct)
+        # r11 tightened the accounting to prefix_occ × (df − 1)
+        # (exact removed-candidate rows); the old df·(df−1) figure is
+        # now a strict upper bound — exact formula pinned in
+        # tests/test_advice_r11.py
+        assert all(0 < r.dropped_rows <= r.df * (r.df - 1) for r in acct)
         release_cached(uncapped)
         release_cached(capped)
 
