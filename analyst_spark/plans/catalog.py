@@ -65,7 +65,12 @@ _register("q21_last_to_ship", tr.q21_last_to_ship, tr.Q21_ORACLE)
 # --- reference operator inventory (SURVEY §2) -----------------------
 _register("agg_reducers", ro.agg_reducers, ro.AGG_REDUCERS_ORACLE)
 _register("agg_quantile", ro.agg_quantile, ro.AGG_QUANTILE_ORACLE)
-_register("agg_quantile_approx", ro.agg_quantile_approx, None)  # sketch estimates
+# r11 (VERDICT r10 #8): the approx entry runs the GK sketch in its
+# provably-exact regime (accuracy ≥ 2×group rows ⇒ rank error < 1),
+# so the sketch path is hash-gated; the default-accuracy production
+# sketch keeps the banded gate under agg_quantile_sketch
+_register("agg_quantile_approx", ro.agg_quantile_approx, ro.AGG_QUANTILE_APPROX_ORACLE)
+_register("agg_quantile_sketch", ro.agg_quantile_sketch, None)  # sketch estimates
 _register("agg_cdf", ro.agg_cdf, ro.AGG_CDF_ORACLE)
 _register("agg_zoh", ro.agg_zoh, ro.AGG_ZOH_ORACLE)
 _register("lookup_inner", ro.lookup_inner, ro.LOOKUP_INNER_ORACLE)
@@ -97,6 +102,13 @@ _register(
 _register(
     "events_gapfill_chunked",
     ev.events_gapfill_chunked,
+    ev.EVENTS_GAPFILL_ORACLE,
+)
+# r11 (VERDICT r10 #3): span router — two-scalar probe picks global
+# vs chunked; same oracle hash as both forms by construction
+_register(
+    "events_gapfill_routed",
+    ev.events_gapfill_routed,
     ev.EVENTS_GAPFILL_ORACLE,
 )
 _register("events_session_window", ev.events_session_window, ev.EVENTS_SESSION_WINDOW_ORACLE)
@@ -245,6 +257,13 @@ _register(
     tp.dedup_incremental_neardup,
     tp.DEDUP_INCREMENTAL_NEARDUP_ORACLE,
 )
+# r11 (VERDICT r10 #2): 3-day lifecycle fold — probe, index append,
+# reported-ledger suppression; day-boundary plants prove the append
+_register(
+    "dedup_incremental_multiday",
+    tp.dedup_incremental_multiday,
+    tp.DEDUP_INCREMENTAL_MULTIDAY_ORACLE,
+)
 # r10 streaming twin: stateless per-row signatures + stream-static
 # probe; deterministic integers => row-identical to batch, same oracle
 _register(
@@ -283,6 +302,13 @@ _register(
     "multimodal_audio_perceptual_dedup",
     mm.multimodal_audio_perceptual_dedup,
     mm.MULTIMODAL_APD_ORACLE,
+)
+# r11 (VERDICT r10 #5): video — per-frame dHash through the same
+# engine frame-aligned, clip decision by strict frame-majority
+_register(
+    "multimodal_video_perceptual_dedup",
+    mm.multimodal_video_perceptual_dedup,
+    mm.MULTIMODAL_VDUP_ORACLE,
 )
 
 # --- structured streaming (real readStream → memory sink run) -------

@@ -716,6 +716,58 @@ def _gapfill_chunked(
     )
 
 
+GAPFILL_ROUTE_SPAN_HOURS = 4 * GAPFILL_CHUNK_HOURS  # 4 months
+
+
+def events_gapfill_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-routed gapfill (VERDICT r10 #3): pick the global or the
+    span-parallel chunked form from the corpus's TIME SPAN, the way
+    ``dedup_neardup_routed`` picks prefix-vs-LSH from df skew and
+    ``events_sessions_chunked`` escalates on ``hot_threshold``.
+
+    The probe is two scalars — min/max event hour, one
+    map-side-combined aggregate, a 1-row driver round trip (bounded).
+    Span <= {thr}h: the global per-series windows hold at most {thr}
+    rows of state per task and chunking would only add its summary
+    join; beyond that the windows concentrate span growth into one
+    task per series (measured 476× at ×100 span on 5 series,
+    SCALE.md r10) and the chunked form wins (56× there, output
+    bit-identical). Both forms carry the SAME oracle hash, so the
+    router can never change the answer — only the plan; the decision
+    is reported on the result as ``result._asp_routing``.
+    """.format(thr=GAPFILL_ROUTE_SPAN_HOURS)
+    return _gapfill_routed(spark, sf_dir, GAPFILL_ROUTE_SPAN_HOURS)
+
+
+def _gapfill_routed(
+    spark: SparkSession, sf_dir: str, span_threshold_hours: int
+) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
+    bounds = ev.agg(
+        F.expr("CAST(min(date_trunc('hour', ts)) AS LONG) DIV 3600").alias(
+            "mnh"
+        ),
+        F.expr("CAST(max(date_trunc('hour', ts)) AS LONG) DIV 3600").alias(
+            "mxh"
+        ),
+    ).collect()[0]  # bounded: 1 row, 2 scalars
+    span_hours = (
+        0 if bounds.mnh is None else int(bounds.mxh - bounds.mnh) + 1
+    )
+    chunked = span_hours > span_threshold_hours
+    out = (
+        _gapfill_chunked(spark, sf_dir, GAPFILL_CHUNK_HOURS)
+        if chunked
+        else events_gapfill_interpolate(spark, sf_dir)
+    )
+    out._asp_routing = {  # type: ignore[attr-defined]
+        "form": "chunked" if chunked else "global",
+        "span_hours": span_hours,
+        "threshold_hours": span_threshold_hours,
+    }
+    return out
+
+
 EVENTS_GAPFILL_ORACLE = """
 WITH e AS (
     SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -361,6 +361,134 @@ WHERE {ham} <= {_APD_MAX_DIST}
 MULTIMODAL_APD_ORACLE = _audio_perceptual_oracle()
 
 
+_VDUP_OFFSET = 40_000_000
+_VDUP_STEP = 11
+_VDUP_MAX_DIST = 3
+_VDUP_EVERY_N = 2
+_VDUP_DOC_MOD = 3  # every 3rd document owns a clip (bounds the oracle)
+
+
+def multimodal_video_perceptual_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual VIDEO near-dup (VERDICT r10 #5) — completes the
+    image/audio pair: every-2nd-frame dHash signatures
+    (functions/multimodal.py video_frame_dhash_bands — sampling
+    BEFORE decode, the frame_sample_plan prune shape) joined
+    frame-ALIGNED through the SAME banded_hamming_pairs engine
+    (group_col='frame_idx'), then clip pairs decided by STRICT
+    frame-majority agreement (2·matched > shared; per-frame recall 1
+    by the pigeonhole argument ⇒ the majority count is exact and
+    clip-level recall is 1).
+
+    Corpus: every 3rd document owns a clip of doc_id % 24 + 8 frames
+    (8×8, frame f pixel i = (d·31 + f·11 + i·7) % 251 — closed-form,
+    so the oracle derives every frame signature in SQL).
+    Plant-and-recover: every 11th clip-owning doc reappears under
+    doc_id + 40M with frame 0 REPLACED by a flat 123-gray frame —
+    that frame's gradient bits all drop to 0 while the original's
+    rows carry ≥ 6 set bits each (pixel steps of +7 wrap mod 251 at
+    most once per 8-pixel row), so frame 0 DISAGREES by ≥ 48 bits
+    for every source: the twin must surface with n_frames_matched =
+    n_shared_frames − 1 — the majority rule observed, not just pure
+    duplication."""
+    from analyst_spark.functions.multimodal import (
+        encode_fake_video,
+        video_frame_dhash_bands,
+        video_perceptual_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % _VDUP_DOC_MOD == 0
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bufs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = d % 24 + 8
+                buf = bytearray(encode_fake_video(d, nf))
+                ids.append(d)
+                bufs.append(buf)
+                if d % _VDUP_STEP == 0:
+                    twin = bytearray(buf)
+                    twin[20 : 20 + 64] = bytes([123]) * 64  # flat frame 0
+                    ids.append(d + _VDUP_OFFSET)
+                    bufs.append(twin)
+            yield pd.DataFrame({"doc_id": ids, "video": bufs})
+
+    corpus = spread(docs, "doc_id").mapInPandas(
+        gen, "doc_id long, video binary"
+    )
+    return video_perceptual_pairs(
+        video_frame_dhash_bands(corpus, every_n=_VDUP_EVERY_N),
+        max_distance=_VDUP_MAX_DIST,
+    )
+
+
+def _video_perceptual_oracle() -> str:
+    # frame f pixel i of source doc s: (s*31 + f*11 + i*7) % 251;
+    # twins replace frame 0 with constant 123. dHash bit b compares
+    # flat index b with its horizontal wraparound neighbor.
+    px1 = (
+        "CASE WHEN d.pert AND d.f = 0 THEN 123 "
+        "ELSE (d.src * 31 + d.f * 11 + g.b * 7) % 251 END"
+    )
+    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
+    px2 = (
+        f"CASE WHEN d.pert AND d.f = 0 THEN 123 "
+        f"ELSE (d.src * 31 + d.f * 11 + {nbr} * 7) % 251 END"
+    )
+    band_cols = ", ".join(
+        f"CAST(max(CASE WHEN band = {k} THEN v END) AS INT) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    return f"""
+WITH all_docs AS (
+    SELECT doc_id, doc_id AS src, false AS pert FROM documents
+    WHERE doc_id % {_VDUP_DOC_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {_VDUP_OFFSET}, doc_id, true FROM documents
+    WHERE doc_id % {_VDUP_DOC_MOD} = 0 AND doc_id % {_VDUP_STEP} = 0
+), sampled AS (
+    SELECT doc_id, src, pert,
+           unnest(range(0, (src % 24) + 8, {_VDUP_EVERY_N})) AS f
+    FROM all_docs
+), bits AS (
+    SELECT d.doc_id, d.f, g.b // 16 AS band, g.b % 16 AS pos,
+           CASE WHEN ({px1}) > ({px2}) THEN 1 ELSE 0 END AS bit
+    FROM sampled d CROSS JOIN (SELECT unnest(range(64)) AS b) g
+), bands AS (
+    SELECT doc_id, f, band, sum(bit * (1 << pos)) AS v
+    FROM bits GROUP BY doc_id, f, band
+), sigs AS (
+    SELECT doc_id, f, {band_cols} FROM bands GROUP BY doc_id, f
+), counts AS (
+    SELECT doc_id, count(*) AS nf FROM sigs GROUP BY doc_id
+), frame_match AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.f = b.f AND a.doc_id < b.doc_id
+    WHERE {ham} <= {_VDUP_MAX_DIST}
+), agg AS (
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames_matched
+    FROM frame_match GROUP BY id_a, id_b
+)
+SELECT g.id_a, g.id_b, g.n_frames_matched,
+       CAST(least(ca.nf, cb.nf) AS BIGINT) AS n_shared_frames
+FROM agg g
+JOIN counts ca ON ca.doc_id = g.id_a
+JOIN counts cb ON cb.doc_id = g.id_b
+WHERE 2 * g.n_frames_matched > least(ca.nf, cb.nf)
+"""
+
+
+MULTIMODAL_VDUP_ORACLE = _video_perceptual_oracle()
+
+
 _BDUP_OFFSET = 10_000_000
 _BDUP_STEP = 5
 

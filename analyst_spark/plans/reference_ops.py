@@ -83,11 +83,49 @@ GROUP BY l_returnflag
 
 
 def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QUANTILE via percentile_approx — the production path, same
-    approximation class as the reference's t-digest
-    (transforms/quantile.go:8-14): mergeable sketches, bounded state
-    per group, the only viable form at 100 TB. No cross-engine
-    oracle (sketch estimates are impl-specific);
+    """QUANTILE via percentile_approx in its DETERMINISTIC regime
+    (VERDICT r10 #8): the GK sketch's rank error is ε·n =
+    n/accuracy, so with accuracy ≥ 2 × the largest group's rows the
+    error is < 0.5 rank and the sketch returns the EXACT element at
+    the target rank — hash-gateable against DuckDB quantile_disc
+    while still exercising the full sketch build/merge path (the
+    same mergeable-sketch class as the reference's t-digest,
+    transforms/quantile.go:8-14). Domain: accuracy=1e6 is exact up
+    to 500k rows/group — covers both gate decades (sf0.01 ≈ 20k,
+    sf0.1 ≈ 200k rows/group); the production default-accuracy form
+    is :func:`agg_quantile_sketch` (banded gate)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            quantile(
+                "l_extendedprice", [0.5, 0.95], approx=True, accuracy=1000000
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p95"),
+        )
+    )
+
+
+AGG_QUANTILE_APPROX_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_disc(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_disc(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE via percentile_approx at Spark's DEFAULT accuracy
+    (10000) — the production path at 100 TB, same approximation
+    class as the reference's t-digest (transforms/quantile.go:8-14):
+    mergeable sketches, bounded state per group. Estimates are
+    impl-specific, so no hash oracle; tools/verify_local.py gates
+    each group's p50/p95 inside the exact ±2/accuracy rank band and
     tests/test_aggregate.py bounds the error against the exact form."""
     li = load_tables(spark, sf_dir)["lineitem"]
     return (

@@ -86,7 +86,12 @@ def _calibration_probe(spark):
 # twins remain in the catalog as oracle ground truth. The JSON carries
 # headline_version + a common_with_prev subtotal so rounds stay
 # comparable when the set moves.
-HEADLINE_VERSION = 10
+# v11 (r11): agg_quantile_approx became the hash-gated exact-regime
+# sketch (accuracy ≥ 2×group rows — deterministic but buffer-heavy at
+# bench SF, the shape v3 removed); the bench row moves to
+# agg_quantile_sketch, the default-accuracy production sketch, which
+# is the identical plan the old row measured.
+HEADLINE_VERSION = 11
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -102,7 +107,7 @@ BENCH_QUERIES = [
     "docs_token_budget_mix",
     "events_funnel",
     "agg_reducers",
-    "agg_quantile_approx",
+    "agg_quantile_sketch",
     "agg_zoh",
     "lookup_inner",
     "apply_cast",
@@ -142,6 +147,7 @@ BENCH_QUERIES = [
     # high thresholds), value histogram
     "docs_rrf_hybrid",
     "events_gapfill_interpolate",
+    "events_gapfill_routed",
     "lineitem_profile",
     "lineitem_zorder_layout",
     "dedup_jaccard_prefix",
@@ -164,6 +170,7 @@ BENCH_QUERIES = [
     # corpus it is dedup_jaccard_prefix plus a bounded probe, and the
     # prefix join is already a headline entry.
     "dedup_incremental_neardup",
+    "dedup_incremental_multiday",
     "multimodal_perceptual_dedup",
     "multimodal_audio_perceptual_dedup",
     "docs_bm25_multi",

@@ -89,9 +89,33 @@ def test_approx_quantile_close_to_exact(spark):
     exact = {r.l_returnflag: (r.p50, r.p95)
              for r in QUERIES["agg_quantile"](spark, sf).collect()}
     approx = {r.l_returnflag: (r.p50, r.p95)
-              for r in QUERIES["agg_quantile_approx"](spark, sf).collect()}
+              for r in QUERIES["agg_quantile_sketch"](spark, sf).collect()}
     assert set(exact) == set(approx)
     for k, (e50, e95) in exact.items():
         a50, a95 = approx[k]
         assert abs(a50 - e50) / e50 < 0.02, (k, a50, e50)
         assert abs(a95 - e95) / e95 < 0.02, (k, a95, e95)
+
+
+def test_approx_quantile_exact_regime_is_deterministic(spark):
+    """VERDICT r10 #8: agg_quantile_approx runs the GK sketch with
+    accuracy >= 2x group rows, where rank error < 0.5 makes the
+    result the exact rank element — equal to the data element DuckDB
+    quantile_disc picks (the driver-gate oracle)."""
+    import duckdb
+
+    from analyst_spark.plans.catalog import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.l_returnflag: (r.p50, r.p95)
+           for r in QUERIES["agg_quantile_approx"](spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["agg_quantile_approx"]).fetchall()
+    }
+    assert got == want

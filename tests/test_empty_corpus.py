@@ -24,7 +24,7 @@ DOC_ENTRIES = [
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup", "multimodal_perceptual_dedup", "multimodal_audio_perceptual_dedup",
-    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "dedup_neardup_routed", "docs_chunk_windows",
+    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "dedup_incremental_multiday", "dedup_neardup_routed", "docs_chunk_windows",
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_train_test_split", "docs_consistent_sample",
     "bpe_train_merges", "bpe_train_batched",
@@ -80,7 +80,7 @@ EVENT_ENTRIES = [
     "events_anomaly_zscore", "events_anomaly_mad", "events_rollup", "events_pivot",
     "events_distinct_users", "events_salted_rollup",
     "events_sessions_chunked",
-    "events_gapfill_interpolate",
+    "events_gapfill_interpolate", "events_gapfill_routed",
     "events_value_histogram",
     "events_distinct_users_hll",
     "streaming_distinct_users_hll",

@@ -16,7 +16,7 @@ def test_contract_shapes():
     assert rows_only == {
         "events_approx_distinct",  # HLL estimates are impl-specific
         "docs_stratified_sample",  # seeded sampler is engine-specific
-        "agg_quantile_approx",     # sketch estimates are impl-specific
+        "agg_quantile_sketch",     # sketch estimates are impl-specific
         "lineitem_profile_approx",  # HLL profile; banded gate in verify_local
         "events_distinct_users_hll",  # HLL sketch; banded gate in verify_local
         "streaming_distinct_users_hll",  # streaming HLL; banded gate + batch pin

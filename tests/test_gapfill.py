@@ -287,3 +287,77 @@ def test_chunked_multi_chunk_gap_carry(spark, tmp_path_factory):
     interp = {r[1].hour: r[5] for r in b}
     assert interp[0] == 100000 and interp[10] == 200000
     assert interp[5] == 150000
+
+
+# ------------------------------- span router (VERDICT r10 #3)
+
+
+def test_router_picks_global_on_short_span(spark):
+    """The catalog corpora span ~30 days (720h) — under the 4-month
+    threshold the router must take the global form and report it."""
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["events_gapfill_routed"](spark, sf)
+    assert out._asp_routing["form"] == "global"
+    assert 0 < out._asp_routing["span_hours"] <= 24 * 31
+    # same oracle semantics: routed == global rows
+    assert _rows(out) == _rows(
+        QUERIES["events_gapfill_interpolate"](spark, sf)
+    )
+
+
+def test_router_picks_chunked_on_long_span(spark, tmp_path_factory):
+    """A corpus spanning > threshold hours must route to the chunked
+    form and still produce the bit-identical output."""
+    import os
+
+    from analyst_spark.plans.events_plans import (
+        GAPFILL_ROUTE_SPAN_HOURS,
+        _gapfill_routed,
+    )
+
+    td = str(tmp_path_factory.mktemp("gapfill_span"))
+    far = GAPFILL_ROUTE_SPAN_HOURS + 24
+    rows = [
+        (0, _h(0), 1, "x", 10.0, None),
+        (1, _h(far), 1, "x", 20.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    out = _gapfill_routed(spark, td, GAPFILL_ROUTE_SPAN_HOURS)
+    assert out._asp_routing["form"] == "chunked"
+    assert out._asp_routing["span_hours"] == far + 1
+    assert _rows(out) == _rows(
+        QUERIES["events_gapfill_interpolate"](spark, td)
+    )
+
+
+def test_router_low_threshold_routes_catalog_to_chunked(spark):
+    """Forcing a tiny threshold routes the standard corpus to the
+    chunked form — both corpus shapes exercised through the router
+    itself, same rows either way."""
+    from analyst_spark.plans.events_plans import _gapfill_routed
+
+    sf = "/root/testdata/sf0.001"
+    out = _gapfill_routed(spark, sf, 10)
+    assert out._asp_routing["form"] == "chunked"
+    assert _rows(out) == _rows(
+        QUERIES["events_gapfill_interpolate"](spark, sf)
+    )
+
+
+def test_router_empty_events(spark, tmp_path_factory):
+    import os
+
+    td = str(tmp_path_factory.mktemp("gapfill_routed_empty"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    out = QUERIES["events_gapfill_routed"](spark, td)
+    assert out._asp_routing["form"] == "global"
+    assert out._asp_routing["span_hours"] == 0
+    assert out.collect() == []

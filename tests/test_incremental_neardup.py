@@ -146,3 +146,145 @@ def test_stateless_drops_shingleless_docs(spark):
     )
     out = neardup_signatures_stateless(df)
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+# ------------------------- multi-day lifecycle (VERDICT r10 #2)
+
+
+LONG_C = " ".join(f"eta{i} theta{i} iota{i}" for i in range(12))
+
+
+def _drop_first(text):
+    return text.split(" ", 1)[1]
+
+
+class TestIncrementalLifecycle:
+    def test_day_boundary_plants_and_index_append(self, spark):
+        """A day-2 twin of a day-1 document can only pair if day 1's
+        signatures were appended to the index — the maintenance step
+        itself, observed through plants."""
+        from analyst_spark.functions.dedup import (
+            incremental_neardup_ingest,
+        )
+
+        hist = spark.createDataFrame([(1, LONG_A)], ["doc_id", "text"])
+        index = neardup_signature_index(hist)
+        b1 = spark.createDataFrame(
+            [(100, LONG_B), (101, _drop_first(LONG_A))],
+            ["doc_id", "text"],
+        )
+        b2 = spark.createDataFrame(
+            [(200, _drop_first(LONG_B)), (201, UNRELATED)],
+            ["doc_id", "text"],
+        )
+        p1, index, rep = incremental_neardup_ingest(
+            index, b1, None, min_match=5
+        )
+        d1 = {(r.id_batch, r.id_hist) for r in p1.collect()}
+        assert (101, 1) in d1  # batch-vs-initial-history
+        assert not any(b == 100 for b, _ in d1)
+        p2, index, rep = incremental_neardup_ingest(
+            index, b2, rep, min_match=5
+        )
+        d2 = {(r.id_batch, r.id_hist) for r in p2.collect()}
+        # 200 pairs with 100 ONLY via the appended day-1 signatures
+        assert (200, 100) in d2
+        assert not any(b == 201 for b, _ in d2)
+        release_cached(p1)
+        release_cached(p2)
+
+    def test_same_day_intra_batch_pairs(self, spark):
+        from analyst_spark.functions.dedup import (
+            incremental_neardup_ingest,
+        )
+
+        hist = spark.createDataFrame([(1, LONG_C)], ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            [(100, LONG_A), (105, _drop_first(LONG_A))],
+            ["doc_id", "text"],
+        )
+        pairs, _idx, _rep = incremental_neardup_ingest(
+            neardup_signature_index(hist), batch, None, min_match=5
+        )
+        got = {(r.id_batch, r.id_hist) for r in pairs.collect()}
+        assert (105, 100) in got  # later id is the duplicate
+        release_cached(pairs)
+        pairs2, _i, _r = incremental_neardup_ingest(
+            neardup_signature_index(hist),
+            batch,
+            None,
+            min_match=5,
+            include_intra_batch=False,
+        )
+        assert not pairs2.collect()
+        release_cached(pairs2)
+
+    def test_replay_is_idempotent_via_ledger(self, spark):
+        """Reprocessing a day's file against the post-append state
+        must not re-emit the pairs the first run reported."""
+        from analyst_spark.functions.dedup import (
+            incremental_neardup_ingest,
+            neardup_signatures_stateless,
+        )
+
+        hist = spark.createDataFrame([(1, LONG_A)], ["doc_id", "text"])
+        index0 = neardup_signature_index(hist)
+        batch = spark.createDataFrame(
+            [(100, _drop_first(LONG_A))], ["doc_id", "text"]
+        )
+        p1, index1, rep1 = incremental_neardup_ingest(
+            index0, batch, None, min_match=5
+        )
+        assert {(r.id_batch, r.id_hist) for r in p1.collect()} == {(100, 1)}
+        # replay the same day file against the PRE-append index with
+        # the ledger: nothing re-emits
+        p_replay, _i, _r = incremental_neardup_ingest(
+            index0, batch, rep1, min_match=5
+        )
+        assert p_replay.collect() == []
+        release_cached(p1)
+        release_cached(p_replay)
+
+    def test_catalog_multiday_plants(self, spark):
+        """The factor-2 (day-2 twin of day-1 doc) and factor-4
+        (same-day twin) plants of the gated entry are recovered with
+        the right day tags."""
+        from analyst_spark.plans.catalog import QUERIES
+        from analyst_spark.plans.text_plans import _INEAR_OFFSET
+        from analyst_spark.tables import load_tables
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["dedup_incremental_multiday"](spark, sf)
+        got = {(r.day, r.id_batch, r.id_hist) for r in out.collect()}
+        release_cached(out)
+        docs = load_tables(spark, sf)["documents"]
+        long_enough = F.size(F.split(F.trim("text"), r"\s+")) >= 20
+        day2_src = [
+            r.doc_id
+            for r in docs.filter(
+                (F.col("doc_id") % 60 == 0) & long_enough
+            ).collect()
+        ]
+        day3_same = [
+            r.doc_id
+            for r in docs.filter(
+                (F.col("doc_id") % 60 == 20) & long_enough
+            ).collect()
+        ]
+        assert day2_src and day3_same, "fixture must plant twins"
+        rec2 = sum(
+            1
+            for h in day2_src
+            if (2, 4 * (h + 2 * _INEAR_OFFSET), h) in got
+        )
+        rec3 = sum(
+            1
+            for h in day3_same
+            if (3, 4 * (h + 4 * _INEAR_OFFSET), h) in got
+        )
+        assert rec2 >= 0.8 * len(day2_src), (rec2, len(day2_src))
+        assert rec3 >= 0.8 * len(day3_same), (rec3, len(day3_same))
+        # no pair may point forward in time: day tag is the batch
+        # doc's day, its partner entered on a strictly earlier day or
+        # the same day with a smaller id
+        assert all(day in (1, 2, 3) for day, _b, _h in got)

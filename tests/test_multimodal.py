@@ -245,3 +245,122 @@ def test_audio_fingerprint_vs_python_model(spark):
             sum(bits[k * 16 + p] << p for p in range(16)) for k in range(4)
         )
         assert got[i] == want, i
+
+
+# ---------------------- video perceptual near-dup (VERDICT r10 #5)
+
+
+def _vid_sigs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def test_grouped_engine_is_frame_aligned(spark):
+    """group_col: identical band values at DIFFERENT frame indexes
+    must NOT pair — temporal alignment is part of the join key."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import banded_hamming_pairs
+
+    sigs = _vid_sigs(
+        spark,
+        [
+            (1, 0, 5, 6, 7, 8),
+            (2, 2, 5, 6, 7, 8),  # same signature, different frame
+            (3, 0, 5, 6, 7, 9),  # same frame 0, distance 1 from doc 1
+        ],
+    )
+    out = banded_hamming_pairs(sigs, 3, group_col="frame_idx")
+    got = {(r.frame_idx, r.id_a, r.id_b, r.hamming) for r in out.collect()}
+    assert got == {(0, 1, 3, 1)}
+    release_cached(out)
+
+
+def test_video_majority_rule(spark):
+    """3 shared frames: 2 matching -> kept (2*2 > 3); 1 matching ->
+    rejected (2*1 < 3). Exact integer decision."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import video_perceptual_pairs
+
+    rows = []
+    for f in (0, 2, 4):
+        rows.append((1, f, f + 1, 2, 3, 4))
+        # doc 2: frames 0,2 match doc 1 exactly; frame 4 far away
+        rows.append((2, f, f + 1 if f < 4 else 9999, 2, 3, 4 if f < 4 else 9998))
+        # doc 3: only frame 0 matches doc 1
+        rows.append((3, f, f + 1 if f == 0 else 7777, 2, 3, 4 if f == 0 else 7776))
+    out = video_perceptual_pairs(_vid_sigs(spark, rows))
+    got = {
+        (r.id_a, r.id_b): (r.n_frames_matched, r.n_shared_frames)
+        for r in out.collect()
+    }
+    release_cached(out)
+    assert got[(1, 2)] == (2, 3)
+    assert (1, 3) not in got  # minority match rejected
+
+
+def test_video_codec_and_frame_signatures(spark):
+    """Frame signatures from the codec equal a direct python dHash of
+    the same closed-form pixels; sampling takes every 2nd frame."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import (
+        encode_fake_video,
+        video_frame_dhash_bands,
+    )
+
+    d, nf = 9, 5
+    df = spark.createDataFrame(
+        [(d, bytearray(encode_fake_video(d, nf)))],
+        "doc_id long, video binary",
+    )
+    out = video_frame_dhash_bands(df, every_n=2)
+    rows = {r.frame_idx: (r.b0, r.b1, r.b2, r.b3) for r in out.collect()}
+    assert sorted(rows) == [0, 2, 4]
+
+    def model(f):
+        px = [(d * 31 + f * 11 + i * 7) % 251 for i in range(64)]
+        bands = [0, 0, 0, 0]
+        for b in range(64):
+            nbr = (b // 8) * 8 + ((b % 8) + 1) % 8
+            if px[b] > px[nbr]:
+                bands[b // 16] |= 1 << (b % 16)
+        return tuple(bands)
+
+    for f in (0, 2, 4):
+        assert rows[f] == model(f), f
+
+
+def test_video_catalog_plants_recovered(spark):
+    """Every planted flat-frame-0 twin surfaces with exactly one
+    disagreeing frame: n_frames_matched = n_shared_frames - 1."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+    from analyst_spark.plans.multimodal_plans import (
+        _VDUP_DOC_MOD,
+        _VDUP_OFFSET,
+        _VDUP_STEP,
+    )
+    from analyst_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["multimodal_video_perceptual_dedup"](spark, sf)
+    got = {
+        (r.id_a, r.id_b): (r.n_frames_matched, r.n_shared_frames)
+        for r in out.collect()
+    }
+    release_cached(out)
+    planted = [
+        r.doc_id
+        for r in load_tables(spark, sf)["documents"]
+        .filter(
+            (F.col("doc_id") % _VDUP_DOC_MOD == 0)
+            & (F.col("doc_id") % _VDUP_STEP == 0)
+        )
+        .collect()
+    ]
+    assert planted
+    for d in planted:
+        key = (d, d + _VDUP_OFFSET)
+        assert key in got, f"twin of {d} missed"
+        n_match, n_shared = got[key]
+        assert n_match == n_shared - 1, (d, got[key])

@@ -73,7 +73,7 @@ _PA_ACCURACY = 10000  # Spark percentile_approx default
 
 
 def _check_quantile_approx(con, scols, srows):
-    """agg_quantile_approx: Spark's percentile_approx guarantees rank
+    """agg_quantile_sketch: Spark's percentile_approx guarantees rank
     error <= n/accuracy. Gate: each group's p50/p95 must lie within
     the EXACT value band DuckDB computes at ranks q +/- 2/accuracy
     (x2 absorbs the +/-1-rank discreteness at band edges; still a
@@ -296,7 +296,7 @@ def _check_lineitem_profile_approx(con, scols, srows):
 
 
 BANDED_CHECKS = {
-    "agg_quantile_approx": _check_quantile_approx,
+    "agg_quantile_sketch": _check_quantile_approx,
     "lineitem_profile_approx": _check_lineitem_profile_approx,
     "events_distinct_users_hll": _check_distinct_hll,
     "streaming_distinct_users_hll": _check_streaming_distinct_hll,
