@@ -157,6 +157,15 @@ def bm25_topk_multi(
       (score desc, id asc), so no global sort and the window state
       is one query's candidates.
 
+    Shuffle fusion (VERDICT r10 #6): Spark's ClusteredDistribution
+    is satisfied by hash-partitioning on a SUBSET of the clustering
+    keys, so ONE repartition of the token stream by ``id_col``
+    serves the doc-length aggregate, the (doc, term) tf aggregate,
+    AND their join exchange-free, and one repartition of the scored
+    fan-out by query_id serves both the per-query sum and the rank
+    window — 6 exchanges become 2 (plan audit in
+    tests/test_retrieval_fusion.py), values untouched.
+
     Cost ~ queries × per-query candidate mass (Σ df over its terms)
     after one corpus scan — the decade probe's claim. Output:
     (query_id, id_col, score_micro, score, rank), rank 1-based,
@@ -178,6 +187,9 @@ def bm25_topk_multi(
             id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
         )
         .filter(F.col("w") != "")
+        # doc-partitioned ONCE: every downstream doc-keyed aggregate
+        # and the postings-lens join inherit this partitioning
+        .repartition(F.col(id_col))
         .persist()
     )
     lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len")).persist()
@@ -186,11 +198,17 @@ def bm25_topk_multi(
         F.sum("len").cast("long").alias("t_tokens"),
     )
     # bounded query-term set: broadcast-hinted semi-join replaces the
-    # single-query literal IN; postings shrink BEFORE any shuffle
+    # single-query literal IN; postings shrink BEFORE any shuffle.
+    # persisted: BOTH dfs and the scoring join consume it — without
+    # the persist the semi-join + tf aggregate plan TWICE (r11 plan
+    # audit found the duplicated chain; exchange reuse across the
+    # two consumers is an AQE runtime maybe, the persist is a
+    # certainty)
     posting = (
         toks.join(F.broadcast(qterms), "w", "leftsemi")
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
     )
     dfs = posting.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
@@ -219,6 +237,10 @@ def bm25_topk_multi(
     )
     per_query = (
         scored.join(F.broadcast(q), "w")
+        # query-partitioned ONCE: the (query, doc) aggregate's
+        # map-side combine still runs pre-shuffle, and the rank
+        # window below inherits the partitioning exchange-free
+        .repartition(F.col("query_id"))
         .groupBy("query_id", id_col)
         .agg(F.sum("c_micro").cast("long").alias("score_micro"))
     )
@@ -236,7 +258,7 @@ def bm25_topk_multi(
             F.col("rank").cast("int").alias("rank"),
         )
     )
-    return _with_cached_deps(out, q, toks, lens)
+    return _with_cached_deps(out, q, toks, lens, posting)
 
 
 def rrf_fuse_multi(

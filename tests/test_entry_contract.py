@@ -85,3 +85,27 @@ def test_verify_local_artifact_covers_full_catalog():
         f"— re-run `python tools/verify_local.py --json {os.path.basename(latest)}`"
     )
     assert data["green"] == data["n"] == len(want), data.get("failures")
+
+
+def test_banded_gates_cover_trained_ann_family():
+    """VERDICT r10 #4: the iterative/trained entries must carry
+    measured-quality banded gates in verify_local — rows-only is not
+    enough for them anymore."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_local",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "tools", "verify_local.py"),
+    )
+    vl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vl)
+    for name in (
+        "ann_pca_ivf",
+        "ann_ivf_trained",
+        "dedup_semantic_trained",
+        "embeddings_pca",
+        "agg_quantile_sketch",
+    ):
+        assert name in vl.BANDED_CHECKS, name

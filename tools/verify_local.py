@@ -295,8 +295,122 @@ def _check_lineitem_profile_approx(con, scols, srows):
     return problems, len(exact)
 
 
+# -- measured-recall gates for the trained/projected ANN family
+# (VERDICT r10 #4): these entries are iterative (k-means / eigen-
+# decomposition), so no hash oracle exists — but their QUALITY is
+# measurable against the exact-cosine oracle list. Floors come from
+# the measured values at both gate decades (r11): ann_pca_ivf 0.72 /
+# 0.72, ann_ivf_trained 0.84 / 1.00, twin recall 1.00 / 1.00,
+# PCA explained variance == the true top-8 eigenvalue sum exactly.
+
+_ANN_RECALL_EXACT_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, vec_id,
+           round(list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))), 6) AS s
+    FROM c CROSS JOIN q WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+      FROM scored)
+SELECT query_id, vec_id FROM r WHERE rank <= 10
+"""
+
+
+def _check_ann_recall(floor):
+    def check(con, scols, srows):
+        problems = []
+        want = {"query_id", "vec_id", "rank", "cosine_sim"}
+        scols_l = [c.lower() for c in scols]
+        if set(scols_l) != want:
+            return [f"cols spark={scols_l} want={sorted(want)}"], 0
+        exact = set(map(tuple, con.sql(_ANN_RECALL_EXACT_SQL).fetchall()))
+        iq, iv = scols_l.index("query_id"), scols_l.index("vec_id")
+        got = {(r[iq], r[iv]) for r in srows}
+        recall = len(got & exact) / len(exact) if exact else 1.0
+        if recall < floor:
+            problems.append(
+                f"recall@10={recall:.4f} below measured floor {floor}"
+            )
+        return problems, len(exact)
+
+    return check
+
+
+def _check_semantic_trained_twins(con, scols, srows):
+    """Planted ×2-scaled twins (vec_id % 50 == 0 → +1e6) are cosine
+    1.0 with their sources; the trained clustering must flag every
+    one as a dup. Floor 0.95 absorbs nothing today (measured 1.0 at
+    both decades) but keeps the gate a band, not a pin, across
+    corpus changes."""
+    problems = []
+    scols_l = [c.lower() for c in scols]
+    for c in ("vec_id", "is_dup"):
+        if c not in scols_l:
+            return [f"missing col {c} in {scols_l}"], 0
+    planted = {
+        r[0] + 1_000_000
+        for r in con.sql(
+            "SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0"
+        ).fetchall()
+    }
+    if not planted:
+        return ["fixture planted no twins"], 0
+    ii, id_ = scols_l.index("is_dup"), scols_l.index("vec_id")
+    flagged = {r[id_] for r in srows if r[ii]}
+    recall = len(planted & flagged) / len(planted)
+    if recall < 0.95:
+        problems.append(f"twin recall={recall:.4f} below floor 0.95")
+    return problems, len(planted)
+
+
+def _check_pca_variance(con, scols, srows):
+    """Spark's treeAggregate PCA must capture >= 98% of the TRUE
+    top-8 eigenvalue variance (computed exactly here from the same
+    parquet); measured: it matches the optimum to 4 decimals at both
+    decades, so the band is pure convergence slack."""
+    import numpy as np
+
+    problems = []
+    scols_l = [c.lower() for c in scols]
+    if set(scols_l) != {"vec_id", "projection"}:
+        return [f"cols spark={scols_l}"], 0
+    X = np.stack(
+        np.array(
+            con.sql(
+                "SELECT embedding::DOUBLE[] FROM embeddings ORDER BY vec_id"
+            ).fetchall()
+        )[:, 0]
+    )
+    if len(srows) != len(X):
+        return [f"rowcount spark={len(srows)} corpus={len(X)}"], len(X)
+    Xc = X - X.mean(axis=0)
+    ev = np.linalg.eigvalsh(Xc.T @ Xc / len(X))[::-1]
+    true_top8 = float(ev[:8].sum())
+    ip = scols_l.index("projection")
+    P = np.array([r[ip] for r in srows])
+    if P.shape[1] != 8:
+        problems.append(f"projection dim {P.shape[1]} != 8")
+        return problems, len(X)
+    got = float(P.var(axis=0, ddof=0).sum())
+    if not 0.98 * true_top8 <= got <= 1.001 * true_top8:
+        problems.append(
+            f"projected variance {got:.6f} outside "
+            f"[0.98, 1.001]x true top-8 {true_top8:.6f}"
+        )
+    return problems, len(X)
+
+
 BANDED_CHECKS = {
     "agg_quantile_sketch": _check_quantile_approx,
+    # VERDICT r10 #4 — measured-recall/variance gates
+    "ann_pca_ivf": _check_ann_recall(0.60),
+    "ann_ivf_trained": _check_ann_recall(0.75),
+    "dedup_semantic_trained": _check_semantic_trained_twins,
+    "embeddings_pca": _check_pca_variance,
     "lineitem_profile_approx": _check_lineitem_profile_approx,
     "events_distinct_users_hll": _check_distinct_hll,
     "streaming_distinct_users_hll": _check_streaming_distinct_hll,
