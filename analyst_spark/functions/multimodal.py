@@ -696,3 +696,106 @@ def video_perceptual_pairs(
             frame_pairs._asp_dropped_buckets
         )
     return out
+
+
+def incremental_hamming_pairs(
+    index_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    max_distance: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Probe a NEW batch's perceptual signatures against a MAINTAINED
+    history signature index — the multimodal twin of
+    :func:`~analyst_spark.functions.dedup.incremental_neardup_pairs`
+    (r11): which images/audio clips of today's crawl are perceptual
+    near-dups of anything already ingested?
+
+    History participates ONLY as its (doc_id, b0..b3) signature
+    index — 16 bytes + id per asset, appended per ingest, bytes never
+    re-decoded. Candidates come from the (band, val) equi-join of
+    batch bands against index bands (the pigeonhole recall-1
+    argument is unchanged: a cross pair at distance <= 3 shares at
+    least one identical band); verification is the same 4
+    xor+bit_count JVM ops. ``max_bucket_size`` caps hot INDEX
+    buckets with the dropped accounting (``_asp_dropped_buckets``,
+    here (band, val, bsz = index occupancy, dropped_rows = the
+    batch×index candidate rows removed)).
+
+    Output (id_batch, id_hist, hamming); id spaces must be disjoint
+    (new ingest ids by construction)."""
+    if not 0 <= max_distance < 4:
+        raise ValueError(
+            f"max_distance={max_distance} outside the pigeonhole "
+            "recall-1 range of the 4-band split"
+        )
+    index_sigs = index_sigs.persist()
+    index_sigs.count()
+    batch_sigs = batch_sigs.persist()
+    batch_sigs.count()
+
+    def bands_of(sigs, idname):
+        return sigs.select(
+            F.col("doc_id").alias(idname),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.col(f"b{k}").alias("val"),
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idname, "bb.band", "bb.val")
+
+    hb = bands_of(index_sigs, "id_hist")
+    bb = bands_of(batch_sigs, "id_batch")
+    dropped = None
+    if max_bucket_size is not None:
+        bsz = hb.groupBy("band", "val").agg(F.count(F.lit(1)).alias("bsz"))
+        keep = bsz.filter(F.col("bsz") <= max_bucket_size).select(
+            "band", "val"
+        )
+        hot = bsz.filter(F.col("bsz") > max_bucket_size)
+        # dropped candidate rows = batch occupancy × index occupancy
+        # of the hot bucket (the rows the cap removes from THIS join)
+        bocc = bb.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("__bocc")
+        )
+        dropped = hot.join(bocc, ["band", "val"]).select(
+            "band",
+            "val",
+            "bsz",
+            (F.col("bsz") * F.col("__bocc")).cast("long").alias(
+                "dropped_rows"
+            ),
+        )
+        hb = hb.join(keep, ["band", "val"])
+    cand = (
+        bb.join(hb, ["band", "val"])
+        .select("id_batch", "id_hist")
+        .distinct()
+    )
+    sb = batch_sigs.select(
+        F.col("doc_id").alias("id_batch"),
+        *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
+    )
+    sh = index_sigs.select(
+        F.col("doc_id").alias("id_hist"),
+        *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(__a{k} ^ __b{k})") for k in range(4)
+    ).cast("long")
+    out = (
+        cand.join(sb, "id_batch")
+        .join(sh, "id_hist")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_batch", "id_hist", "hamming")
+    )
+    out._asp_cached_deps = [index_sigs, batch_sigs]  # type: ignore[attr-defined]
+    if dropped is not None:
+        out._asp_dropped_buckets = dropped  # type: ignore[attr-defined]
+    return out

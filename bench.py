@@ -176,6 +176,11 @@ BENCH_QUERIES = [
     "docs_bm25_multi",
     "docs_rrf_hybrid_multi",
     "lineitem_profile_approx",
+    # r11 additions: video perceptual near-dup (frame-aligned banded
+    # Hamming + frame-majority), incremental perceptual ingest
+    # (batch vs maintained dHash index), span-routed gapfill (above)
+    "multimodal_video_perceptual_dedup",
+    "multimodal_incremental_perceptual",
 ]
 
 

@@ -364,3 +364,88 @@ def test_video_catalog_plants_recovered(spark):
         assert key in got, f"twin of {d} missed"
         n_match, n_shared = got[key]
         assert n_match == n_shared - 1, (d, got[key])
+
+
+# ------------------- incremental perceptual ingest (r11)
+
+
+def test_incremental_hamming_cross_probe(spark):
+    """Batch-vs-index probe: twins across the boundary found at
+    their exact distance; intra-index and intra-batch pairs are NOT
+    produced (that's the self-join entry's job)."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import (
+        incremental_hamming_pairs,
+    )
+
+    index = _vid_sigs(  # reuse the (doc, frame) helper shape minus frame
+        spark, []
+    )
+    index = spark.createDataFrame(
+        [(1, 10, 20, 30, 40), (2, 10, 20, 30, 40)],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    batch = spark.createDataFrame(
+        [(100, 10, 20, 30, 41), (101, 999, 998, 997, 996)],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    out = incremental_hamming_pairs(index, batch)
+    got = {(r.id_batch, r.id_hist): r.hamming for r in out.collect()}
+    release_cached(out)
+    assert got == {(100, 1): 1, (100, 2): 1}  # no (1,2), no 101 rows
+
+
+def test_incremental_hamming_hot_bucket_cap(spark):
+    """Hot INDEX buckets are skipped; dropped accounting counts the
+    batch x index candidate rows removed."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import (
+        incremental_hamming_pairs,
+    )
+
+    index = spark.createDataFrame(
+        [(i, 7, 7, 7, 7) for i in range(20)]
+        + [(500, 100, 200, 300, 400)],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    batch = spark.createDataFrame(
+        [(1000, 7, 7, 7, 7), (1001, 100, 200, 300, 401)],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    out = incremental_hamming_pairs(index, batch, max_bucket_size=4)
+    got = {(r.id_batch, r.id_hist) for r in out.collect()}
+    assert (1001, 500) in got  # non-hot buckets pair normally
+    assert not any(b == 1000 for b, _ in got)  # degenerate block capped
+    acct = {(r.band, r.val): r for r in
+            out._asp_dropped_buckets.collect()}
+    release_cached(out)
+    assert len(acct) == 4
+    for r in acct.values():
+        assert r.bsz == 20 and r.dropped_rows == 20  # 1 batch occ x 20
+
+
+def test_incremental_perceptual_catalog_plants(spark):
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+    from analyst_spark.plans.multimodal_plans import (
+        _IPD_OFFSET,
+        _IPD_STEP,
+    )
+    from analyst_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["multimodal_incremental_perceptual"](spark, sf)
+    got = {(r.id_batch, r.id_hist): r.hamming for r in out.collect()}
+    release_cached(out)
+    planted = [
+        r.doc_id
+        for r in load_tables(spark, sf)["documents"]
+        .filter(
+            (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % _IPD_STEP == 0)
+        )
+        .collect()
+    ]
+    assert planted
+    for d in planted:
+        assert (d + _IPD_OFFSET, d) in got, f"twin of {d} missed"
+        assert got[(d + _IPD_OFFSET, d)] <= 2

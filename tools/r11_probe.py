@@ -203,7 +203,11 @@ def _diverse_sigs(spark, n_docs: int):
     shared engine's realistic scaling input is a diverse signature
     frame, which is exactly the frame image_dhash_bands /
     audio_fingerprint_bands hand it. Every 7th doc gets a planted
-    twin (last band +1 ⇒ hamming candidates via 3 identical bands)."""
+    twin (last band XOR 1 ⇒ true Hamming distance exactly 1; an
+    earlier +1 variant measured "recall 0.87" — correctly: popcount
+    of xor(v, v+1) exceeds 3 for 12.5% of values, and the engine
+    rightly filtered those, so the plant, not the engine, was
+    wrong)."""
     base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         *[
@@ -226,7 +230,7 @@ def _diverse_sigs(spark, n_docs: int):
         "b0",
         "b1",
         "b2",
-        ((F.col("b3") + 1) % 65536).cast("int").alias("b3"),
+        F.expr("CAST(b3 ^ 1 AS INT)").alias("b3"),
     )
     return base.unionByName(twins)
 
@@ -262,9 +266,78 @@ def main_perceptual() -> None:
         )
 
 
+def main_sigpass() -> None:
+    """Arrow-batched signature passes (image dHash + audio energy
+    fingerprint) over generated corpora at ×f — the linear half of
+    the perceptual entries' decade claim (the join half is the
+    `perceptual` subcommand; grown FAKE-image corpora are mod-251
+    dup storms, so the join must be probed on diverse signatures,
+    not on the generator)."""
+    from analyst_spark.functions.multimodal import (
+        audio_fingerprint_bands,
+        image_dhash_bands,
+    )
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+    base_n = 12500
+    spark = get_spark("r11_sigpass")
+
+    def gen_imgs(batches):
+        import pandas as pd
+
+        from analyst_spark.functions.multimodal import encode_fake_image
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"].astype("int64"),
+                    "image": [
+                        bytearray(encode_fake_image(int(d), 8, 8))
+                        for d in pdf["id"]
+                    ],
+                }
+            )
+
+    def gen_auds(batches):
+        import pandas as pd
+
+        from analyst_spark.functions.multimodal import encode_fake_audio
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"].astype("int64"),
+                    "audio": [
+                        bytearray(encode_fake_audio(int(d)))
+                        for d in pdf["id"]
+                    ],
+                }
+            )
+
+    for f_ in factors:
+        n = base_n * f_
+        ids = spark.range(n).repartition(64)
+        for label, gen, schema, sig in (
+            ("image", gen_imgs, "doc_id long, image binary",
+             image_dhash_bands),
+            ("audio", gen_auds, "doc_id long, audio binary",
+             audio_fingerprint_bands),
+        ):
+            corpus = ids.mapInPandas(gen, schema)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                cnt = sig(corpus).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            print(f"x{f_:>4d} {label}: {cnt:>9d} sigs  {best:7.2f}s",
+                  flush=True)
+
+
 if __name__ == "__main__":
     {
         "multiday": main_multiday,
         "hamming": main_hamming,
         "perceptual": main_perceptual,
+        "sigpass": main_sigpass,
     }[sys.argv[1]]()
