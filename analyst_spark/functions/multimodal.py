@@ -181,6 +181,19 @@ def image_dhash_bands(
     """
     _require_fake_decoder(decoder)
 
+    from analyst_spark.tables import spread
+
+    return spread(df, id_col).mapInPandas(
+        _dhash_worker(image_col, id_col), schema=DHASH_SCHEMA
+    )
+
+
+def _dhash_worker(image_col: str, id_col: str):
+    """The dHash mapInPandas generator, factored so the batch entry
+    (:func:`image_dhash_bands`) and the STREAMING twin (stateless
+    per-row signatures — mapInPandas is stream-legal, spread() is
+    pointless per micro-batch) compute byte-identical signatures."""
+
     def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
         import numpy as np
         import pandas as pd
@@ -217,9 +230,7 @@ def image_dhash_bands(
                 }
             )
 
-    from analyst_spark.tables import spread
-
-    return spread(df, id_col).mapInPandas(run, schema=DHASH_SCHEMA)
+    return run
 
 
 def perceptual_dedup_pairs(

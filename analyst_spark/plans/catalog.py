@@ -277,6 +277,13 @@ _register(
     st.streaming_incremental_neardup,
     tp.DEDUP_INCREMENTAL_NEARDUP_ORACLE,
 )
+# r11 streaming twin of the multimodal incremental probe — same
+# stateless-signature + stream-static device, same oracle
+_register(
+    "streaming_incremental_perceptual",
+    st.streaming_incremental_perceptual,
+    mm.MULTIMODAL_IPD_ORACLE,
+)
 _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
 _register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only

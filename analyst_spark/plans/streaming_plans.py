@@ -1028,3 +1028,138 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
         index.unpersist()
     return spark.table(_INEAR_SINK)
+
+
+_IPERC_SINK = "streaming_incr_perceptual_gate"
+
+
+def streaming_incremental_perceptual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``multimodal_incremental_perceptual`` — the
+    LIVE multimodal crawl: image rows arrive as a file stream (8
+    staged files, maxFilesPerTrigger=2 forcing real micro-batch
+    boundaries), each micro-batch is dHash-signed per row
+    (mapInPandas is stream-legal and STATELESS — same factored
+    worker as the batch entry, byte-identical signatures), band
+    values join STREAM-STATIC against the maintained history
+    signature index, and candidates verify with the 4 xor+bit_count
+    expressions.
+
+    Stateless pair dedup (the streaming_incremental_neardup device):
+    a pair colliding in several bands would appear once per band, so
+    each pair is emitted only from its SMALLEST matching band —
+    recomputed from the two signature vectors, no dropDuplicates
+    state. Every emitted value is a deterministic integer from one
+    stream row + one static index row, so the streamed pair set is
+    ROW-IDENTICAL to the batch entry regardless of micro-batch
+    boundaries — the entry carries the SAME DuckDB oracle. At
+    100 TB: index broadcast-or-bucketed static side, zero state, no
+    watermark; the probe sustains whatever rate the signature pass
+    scans."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.multimodal import (
+        _dhash_worker,
+        DHASH_SCHEMA,
+    )
+    from analyst_spark.plans.multimodal_plans import (
+        _fake_corpus,
+        _IPD_MAX_DIST,
+        _IPD_OFFSET,
+        _IPD_STEP,
+    )
+
+    fc = _fake_corpus(spark, sf_dir).select("doc_id", "mime", "image")
+    is_new = F.col("doc_id") % 4 == 0
+    hist = fc.filter(~is_new)
+
+    def perturb(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = []
+            for buf in pdf["image"]:
+                b = bytearray(bytes(buf))
+                b[20] = 255
+                imgs.append(bytes(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"] + _IPD_OFFSET,
+                    "mime": pdf["mime"],
+                    "image": imgs,
+                }
+            )
+
+    twins = hist.filter(F.col("doc_id") % _IPD_STEP == 0).mapInPandas(
+        perturb, "doc_id long, mime string, image binary"
+    )
+    batch = fc.filter(is_new).unionByName(twins).select("doc_id", "image")
+    from analyst_spark.functions.multimodal import image_dhash_bands
+
+    index = image_dhash_bands(hist).persist()
+    index.count()  # the maintained artifact; real stats for the join
+    tmp = tempfile.mkdtemp(prefix="asp_stream_imgs_")
+    try:
+        batch.coalesce(8).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema("doc_id long, image binary")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(tmp)
+        )
+        ssigs = stream.mapInPandas(
+            _dhash_worker("image", "doc_id"), schema=DHASH_SCHEMA
+        )
+
+        def bands_of(sigs, idname):
+            return sigs.select(
+                F.col("doc_id").alias(idname),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(k).alias("band"),
+                                F.col(f"b{k}").alias("val"),
+                            )
+                            for k in range(4)
+                        ]
+                    )
+                ).alias("bb"),
+            ).select(idname, "bb.band", "bb.val")
+
+        sb = bands_of(ssigs, "id_batch")
+        hb = bands_of(index, "id_hist")
+        cand = sb.join(F.broadcast(hb), ["band", "val"]).select(
+            "id_batch", "id_hist", "band"
+        )
+        bsig = ssigs.select(
+            F.col("doc_id").alias("id_batch"),
+            *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
+        )
+        hsig = index.select(
+            F.col("doc_id").alias("id_hist"),
+            *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
+        )
+        hamming = sum(
+            F.expr(f"bit_count(__a{k} ^ __b{k})") for k in range(4)
+        ).cast("long")
+        band_match = [
+            F.col(f"__a{k}") == F.col(f"__b{k}") for k in range(4)
+        ]
+        first_band = F.when(band_match[0], 0)
+        for k in range(1, 4):
+            first_band = first_band.when(band_match[k], k)
+        pairs = (
+            cand.join(bsig, "id_batch")
+            .join(F.broadcast(hsig), "id_hist")
+            .filter(F.col("band") == first_band)
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= _IPD_MAX_DIST)
+            .select("id_batch", "id_hist", "hamming")
+        )
+        q = run_to_memory_sink(pairs, _IPERC_SINK, output_mode="append")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        index.unpersist()
+    return spark.table(_IPERC_SINK)

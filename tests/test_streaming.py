@@ -249,3 +249,24 @@ def test_streaming_classifier_gate_equals_batch(spark):
     assert sum(n for n, _ in got.values()) > 0
     # the gate must actually drop something at this threshold
     assert any(k < n for n, k in got.values())
+
+
+def test_streaming_incremental_perceptual_equals_batch(spark):
+    """The streaming multimodal probe must be ROW-IDENTICAL to the
+    batch entry — stateless signatures + stream-static join leave no
+    micro-batch-boundary dependence (r11; same device and contract as
+    streaming_incremental_neardup)."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = QUERIES["multimodal_incremental_perceptual"](spark, sf)
+    b = {tuple(r) for r in batch.collect()}
+    release_cached(batch)
+    s = {
+        tuple(r)
+        for r in QUERIES["streaming_incremental_perceptual"](
+            spark, sf
+        ).collect()
+    }
+    assert b == s and b
