@@ -862,3 +862,87 @@ def pca_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "cosine_sim")
     )
+
+
+def incremental_embedding_pairs(
+    hist: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 32,
+    bits_per_band: int = 12,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dups of a NEW ingest batch against the
+    HISTORICAL corpus — the semantic member of the incremental
+    family (r11; text: incremental_neardup_pairs, perceptual:
+    incremental_hamming_pairs): which of today's vectors duplicate
+    something already ingested?
+
+    Same sign-LSH banding + exact-cosine verify as
+    :func:`lsh_neardup_pairs`, but the candidate join is
+    batch-bands × HISTORY-bands (cross, never self): the history
+    side participates through its maintained SIGNATURE table
+    (bands × 12 sign bits per vector — at scale a stored,
+    bucket-partitioned artifact appended per ingest, like the
+    minhash index) plus vector lookups for the CANDIDATES only.
+    Candidate mass is batch × collision rate; history is never
+    all-paired, and batch-internal pairs are the self-join entry's
+    job. Colinear duplicates share every sign bit → recall exactly
+    1 on them (the plantable contract).
+
+    Output (id_batch, id_hist, cosine_sim), cosine >= threshold.
+    """
+    from pyspark import StorageLevel
+
+    from analyst_spark.functions.dedup import _with_cached_deps
+
+    sig = band_signature_udf(bands, bits_per_band, dim)
+
+    def prep(df, alias):
+        d = drop_null_vectors(df, vec_col)
+        v = spread(d, id_col).select(
+            F.col(id_col), F.col(vec_col).alias("__v")
+        )
+        sigs = v.select(
+            F.col(id_col), sig(F.col("__v")).alias("__sig")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sigs.count()  # real stats; at scale the history side is a
+        # stored signature table, not a recomputation
+        buckets = sigs.select(
+            F.col(id_col).alias(alias),
+            F.posexplode("__sig").alias("band", "bucket"),
+        )
+        return v, sigs, buckets
+
+    hv, hsigs, hb = prep(hist, "id_hist")
+    bv, bsigs, bb = prep(batch, "id_batch")
+    cand = (
+        bb.join(hb, ["band", "bucket"])
+        .select("id_batch", "id_hist")
+        .distinct()
+    )
+    ea = bv.select(
+        F.col(id_col).alias("id_batch"),
+        F.col("__v").alias("__va"),
+        _norm(F.col("__v")).alias("__na"),
+    )
+    eb = hv.select(
+        F.col(id_col).alias("id_hist"),
+        F.col("__v").alias("__vb"),
+        _norm(F.col("__v")).alias("__nb"),
+    )
+    sim = F.round(
+        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        round_digits,
+    )
+    return _with_cached_deps(
+        cand.join(ea, "id_batch")
+        .join(eb, "id_hist")
+        .select("id_batch", "id_hist", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold),
+        hsigs,
+        bsigs,
+    )

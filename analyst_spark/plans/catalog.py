@@ -284,6 +284,13 @@ _register(
     st.streaming_incremental_perceptual,
     mm.MULTIMODAL_IPD_ORACLE,
 )
+# r11: embedding member of the incremental family — sign-LSH cross
+# probe of a vector batch against the historical corpus
+_register(
+    "dedup_incremental_embedding",
+    tp.dedup_incremental_embedding,
+    tp.DEDUP_INCREMENTAL_EMBEDDING_ORACLE,
+)
 _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
 _register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only

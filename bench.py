@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     # (batch vs maintained dHash index), span-routed gapfill (above)
     "multimodal_video_perceptual_dedup",
     "multimodal_incremental_perceptual",
+    "dedup_incremental_embedding",
 ]
 
 

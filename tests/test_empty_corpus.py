@@ -88,7 +88,7 @@ EVENT_ENTRIES = [
     "streaming_value_histogram",
 ]
 
-EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk",
+EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk", "dedup_incremental_embedding",
                "ann_lsh_topk", "dedup_embedding", "knn_label_propagation",
                "embeddings_pca", "ann_pca_ivf", "embeddings_quantize_int8"]
 

@@ -449,3 +449,92 @@ def test_incremental_perceptual_catalog_plants(spark):
     for d in planted:
         assert (d + _IPD_OFFSET, d) in got, f"twin of {d} missed"
         assert got[(d + _IPD_OFFSET, d)] <= 2
+
+
+# ------- randomized differential: banded join == brute force (r11)
+
+
+def test_banded_hamming_differential_randomized(spark):
+    """Property: for ANY signature corpus, banded_hamming_pairs ==
+    brute-force all-pairs at distance <= 3 (the pigeonhole claim,
+    checked against numpy instead of trusted). Seeded corpus with
+    deliberate band collisions (small value alphabet) so candidates,
+    near-misses (distance 4-6 sharing a band), and exact dups all
+    occur."""
+    import random
+
+    import numpy as np
+
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import banded_hamming_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        # low-entropy bands: values from a 16-symbol alphabet with
+        # scattered single-bit perturbations
+        base = [rng.randrange(16) * 0x111 for _ in range(4)]
+        if rng.random() < 0.5 and rows:
+            src = rows[rng.randrange(len(rows))]
+            base = list(src[1:])
+            for _ in range(rng.randrange(0, 7)):  # distance 0..6
+                k = rng.randrange(4)
+                base[k] ^= 1 << rng.randrange(16)
+        rows.append((i, *base))
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    out = banded_hamming_pairs(sigs, max_distance=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    release_cached(out)
+
+    arr = np.array([r[1:] for r in rows], dtype=np.int64)
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            d = sum(int(bin(int(x) ^ int(y)).count("1"))
+                    for x, y in zip(arr[a], arr[b]))
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want and want  # non-trivial: pairs must exist
+
+
+def test_banded_hamming_grouped_differential(spark):
+    """Same property under group_col: pairs only within equal group
+    values, per-group brute force agrees exactly."""
+    import random
+
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.multimodal import banded_hamming_pairs
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(60):
+        g = rng.randrange(3)
+        base = [rng.randrange(8) * 0x249 for _ in range(4)]
+        if rng.random() < 0.6 and rows:
+            src = rows[rng.randrange(len(rows))]
+            base = list(src[2:])
+            for _ in range(rng.randrange(0, 5)):
+                k = rng.randrange(4)
+                base[k] ^= 1 << rng.randrange(16)
+        rows.append((i, g, *base))
+    sigs = spark.createDataFrame(
+        rows,
+        "doc_id long, frame_idx int, b0 int, b1 int, b2 int, b3 int",
+    )
+    out = banded_hamming_pairs(sigs, 3, group_col="frame_idx")
+    got = {
+        (r.frame_idx, r.id_a, r.id_b): r.hamming for r in out.collect()
+    }
+    release_cached(out)
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            if rows[a][1] != rows[b][1]:
+                continue
+            d = sum(bin(x ^ y).count("1")
+                    for x, y in zip(rows[a][2:], rows[b][2:]))
+            if d <= 3:
+                want[(rows[a][1], a, b)] = d
+    assert got == want and want

@@ -271,3 +271,55 @@ def test_semantic_dedup_trained_recovers_twins_and_scales_k(spark):
     release_cached(big)
     assert k_small <= 16
     assert k_big > 16, f"k did not grow with n (distinct clusters {k_big})"
+
+
+# ---------------- incremental embedding probe (r11)
+
+
+def test_incremental_embedding_cross_only_and_plants(spark):
+    """Cross probe: batch-vs-history pairs only (no intra-history,
+    no intra-batch); colinear plants recovered at cosine 1.0."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.functions.similarity import (
+        incremental_embedding_pairs,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]),   # colinear with 1 and 2
+         (101, [0.0, 0.0, 5.0, 0.0]),   # orthogonal to everything
+         (102, [0.0, 0.0, 5.0, 0.0])],  # dup of 101 WITHIN the batch
+        "vec_id long, embedding array<double>",
+    )
+    out = incremental_embedding_pairs(hist, batch, 0.9, dim=4)
+    got = {(r.id_batch, r.id_hist): r.cosine_sim for r in out.collect()}
+    release_cached(out)
+    assert got == {(100, 1): 1.0, (100, 2): 1.0}
+    # (1,2) intra-history and (101,102) intra-batch must NOT appear
+
+
+def test_incremental_embedding_catalog_plants(spark):
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+    from analyst_spark.plans.text_plans import _IEMB_OFFSET, _TWIN_STEP
+    from analyst_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["dedup_incremental_embedding"](spark, sf)
+    got = {(r.id_batch, r.id_hist): r.cosine_sim for r in out.collect()}
+    release_cached(out)
+    planted = [
+        r.vec_id
+        for r in load_tables(spark, sf)["embeddings"]
+        .filter(
+            (F.col("vec_id") % 4 != 0) & (F.col("vec_id") % _TWIN_STEP == 0)
+        )
+        .collect()
+    ]
+    assert planted
+    for v in planted:
+        assert got.get((v + _IEMB_OFFSET, v)) == 1.0, v
