@@ -334,10 +334,110 @@ def main_sigpass() -> None:
                   flush=True)
 
 
+def main_gapfillrouted() -> None:
+    """The span router END-TO-END on time-grown corpora (reuses the
+    r10 time-growth builder via import): at ×1 (30 days) the router
+    must pick global; at ×10/×100 (300/3000 days — past the 2,880 h
+    threshold at ×10) it must pick chunked, and the routed wall must
+    track the chunked form, not the 476×-decayed global."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "r10_probe",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "r10_probe.py"),
+    )
+    r10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(r10)
+
+    from analyst_spark.plans.events_plans import (
+        GAPFILL_ROUTE_SPAN_HOURS,
+        _gapfill_routed,
+    )
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+    spark = get_spark("r11_gapfillrouted")
+    for f_ in factors:
+        d = SRC if f_ == 1 else r10._time_grown_events(spark, f_)
+        best = routing = None
+        for _ in range(2):
+            t0 = time.time()
+            out = _gapfill_routed(spark, d, GAPFILL_ROUTE_SPAN_HOURS)
+            routing = out._asp_routing
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"x{f_:>4d}: {best:7.2f}s  routing={routing}", flush=True)
+
+
+def main_embinc() -> None:
+    """Incremental embedding probe at growing HISTORY: fixed batch
+    (the %4==0 vectors + colinear plants), history ×f with per-copy
+    deterministic coordinate jitter (distinct vectors, realistic
+    bucket occupancy — exact replication would be a colinear dup
+    storm). Claim: probe cost flat-ish as history grows — the batch
+    side signs a constant set and candidates are bucket-bounded."""
+    from analyst_spark.functions.similarity import (
+        incremental_embedding_pairs,
+    )
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+    spark = get_spark("r11_embinc")
+    emb = load_tables(spark, SRC)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    is_new = F.col("vec_id") % 4 == 0
+    batch = emb.filter(is_new).persist()
+    n_batch = batch.count()
+    print(f"fixed batch: {n_batch} vectors", flush=True)
+    hist1 = emb.filter(~is_new)
+    # plant colinear twins of every 10th batch vector INTO history so
+    # the verify path runs and recall is checkable (expected pairs =
+    # plants at every factor)
+    plants = batch.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 55 * OFFSET).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 3.0)").alias("embedding"),
+    )
+    n_plants = plants.count()
+    print(f"planted twins in history: {n_plants}", flush=True)
+    hist1 = hist1.unionByName(plants)
+    for f_ in factors:
+        if f_ == 1:
+            hist = hist1
+        else:
+            k = F.explode(F.sequence(F.lit(0), F.lit(f_ - 1))).alias("__k")
+            # per-copy jitter: coordinate i gets +k*(i+1)*1e-3 —
+            # deterministic, distinct directions per copy
+            hist = hist1.select("*", k).select(
+                (F.col("vec_id") + F.col("__k").cast("long") * OFFSET).alias(
+                    "vec_id"
+                ),
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "x + __k * (i + 1) * 0.001)"
+                ).alias("embedding"),
+            )
+        hist = hist.persist()
+        n_hist = hist.count()
+        best = pairs = None
+        for _ in range(2):
+            t0 = time.time()
+            out = incremental_embedding_pairs(hist, batch, 0.9, dim=64)
+            pairs = out.count()
+            dt = time.time() - t0
+            release_cached(out)
+            best = dt if best is None else min(best, dt)
+        hist.unpersist()
+        print(f"x{f_:>4d}: {n_hist:>9d} hist  {best:7.2f}s  pairs={pairs}",
+              flush=True)
+
+
 if __name__ == "__main__":
     {
         "multiday": main_multiday,
         "hamming": main_hamming,
         "perceptual": main_perceptual,
         "sigpass": main_sigpass,
+        "gapfillrouted": main_gapfillrouted,
+        "embinc": main_embinc,
     }[sys.argv[1]]()
