@@ -471,9 +471,13 @@ def incremental_neardup_ingest(
       index — initial history plus every prior batch) plus, with
       ``include_intra_batch``, same-day pairs (earlier id plays the
       history role). Already-reported pairs from the ``reported``
-      ledger are suppressed by an anti-join on the pair key, making
-      a day REPLAY (at-least-once ingestion, day-file reprocessing)
-      emit nothing the pipeline has already acted on.
+      ledger are suppressed by an anti-join on the UNORDERED pair
+      key (pair_lo, pair_hi) — so a day REPLAY (at-least-once
+      ingestion, day-file reprocessing) emits nothing the pipeline
+      has already acted on even against the POST-append index, where
+      the batch meets its own appended signatures: self-pairs are
+      dropped explicitly and a ledgered intra-batch pair cannot
+      re-emit in the reversed (cross-probe) orientation either.
     * ``new_index`` — index ∪ sig(batch): the only state the next
       day needs; fixed k×8 bytes per document, text never rescanned.
     * ``new_reported`` — reported ∪ pairs' keys: the ledger the next
@@ -520,10 +524,23 @@ def incremental_neardup_ingest(
                 batch_sigs, id_col, bands, rows_per_band, min_match
             )
         )
+    # replay hardening (r11 review): a day replayed against the
+    # POST-append index meets its own signatures — drop self-pairs,
+    # and key the ledger on the UNORDERED pair (lo, hi) so the
+    # reversed orientation of a ledgered intra-batch pair cannot
+    # re-emit either
+    pairs = pairs.filter(F.col("id_batch") != F.col("id_hist"))
+    lo = F.least("id_batch", "id_hist").alias("pair_lo")
+    hi = F.greatest("id_batch", "id_hist").alias("pair_hi")
     if reported is not None:
-        pairs = pairs.join(reported, ["id_batch", "id_hist"], "left_anti")
+        pairs = (
+            pairs.withColumn("pair_lo", F.least("id_batch", "id_hist"))
+            .withColumn("pair_hi", F.greatest("id_batch", "id_hist"))
+            .join(reported, ["pair_lo", "pair_hi"], "left_anti")
+            .drop("pair_lo", "pair_hi")
+        )
     new_index = index.unionByName(batch_sigs)
-    pair_keys = pairs.select("id_batch", "id_hist")
+    pair_keys = pairs.select(lo, hi)
     new_reported = (
         pair_keys if reported is None else reported.unionByName(pair_keys)
     )

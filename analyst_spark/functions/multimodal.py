@@ -267,6 +267,39 @@ def perceptual_dedup_pairs(
     )
 
 
+def signature_bands(
+    sigs: DataFrame, id_alias: str = "doc_id", group_cols: tuple = ()
+) -> DataFrame:
+    """(id, [groups...], band, val) rows from a (doc_id, b0..b3)
+    signature frame — THE banding step, factored once (r11 review:
+    it had grown three inline copies) for the self-join engine, the
+    incremental cross probe, and the streaming twin, so a banding
+    change cannot silently diverge between them."""
+    return sigs.select(
+        F.col("doc_id").alias(id_alias),
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"b{k}").alias("val")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_alias, *group_cols, "bb.band", "bb.val")
+
+
+def hamming_expr(a_prefix: str = "__a", b_prefix: str = "__b"):
+    """The 4× xor+bit_count verification expression over prefixed
+    band columns — the shared verify arithmetic (same factoring
+    rationale as :func:`signature_bands`)."""
+    return sum(
+        F.expr(f"bit_count({a_prefix}{k} ^ {b_prefix}{k})") for k in range(4)
+    ).cast("long")
+
+
 def banded_hamming_pairs(
     sigs: DataFrame,
     max_distance: int = 3,
@@ -321,20 +354,7 @@ def banded_hamming_pairs(
     sigs = sigs.persist()
     sigs.count()  # real stats before the self-join plans
     gcols = [group_col] if group_col else []
-    bands = sigs.select(
-        F.col("doc_id"),
-        *gcols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"), F.col(f"b{k}").alias("val")
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", *gcols, "bb.band", "bb.val")
+    bands = signature_bands(sigs, "doc_id", tuple(gcols))
     bucket_key = gcols + ["band", "val"]
     dropped = None
     join_src = bands
@@ -382,9 +402,7 @@ def banded_hamming_pairs(
         *gcols,
         *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
     )
-    hamming = sum(
-        F.expr(f"bit_count(__a{k} ^ __b{k})") for k in range(4)
-    ).cast("long")
+    hamming = hamming_expr()
     out = (
         cand.join(sa, gcols + ["id_a"])
         .join(sb, gcols + ["id_b"])
@@ -743,25 +761,8 @@ def incremental_hamming_pairs(
     index_sigs.count()
     batch_sigs = batch_sigs.persist()
     batch_sigs.count()
-
-    def bands_of(sigs, idname):
-        return sigs.select(
-            F.col("doc_id").alias(idname),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).alias("band"),
-                            F.col(f"b{k}").alias("val"),
-                        )
-                        for k in range(4)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(idname, "bb.band", "bb.val")
-
-    hb = bands_of(index_sigs, "id_hist")
-    bb = bands_of(batch_sigs, "id_batch")
+    hb = signature_bands(index_sigs, "id_hist")
+    bb = signature_bands(batch_sigs, "id_batch")
     dropped = None
     if max_bucket_size is not None:
         bsz = hb.groupBy("band", "val").agg(F.count(F.lit(1)).alias("bsz"))
@@ -796,9 +797,7 @@ def incremental_hamming_pairs(
         F.col("doc_id").alias("id_hist"),
         *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
     )
-    hamming = sum(
-        F.expr(f"bit_count(__a{k} ^ __b{k})") for k in range(4)
-    ).cast("long")
+    hamming = hamming_expr()
     out = (
         cand.join(sb, "id_batch")
         .join(sh, "id_hist")

@@ -82,6 +82,11 @@ def quantile(
     them (exact percentile buffers every value per state — n quantiles
     as separate aggs cost n copies of that buffer, ~2x wall time for
     two qs at sf0.1)."""
+    if accuracy is not None and not approx:
+        raise ValueError(
+            "accuracy only applies to the approx sketch; pass "
+            "approx=True (the exact percentile has no accuracy knob)"
+        )
     if isinstance(q, (list, tuple)):
         qs = F.array(*[F.lit(float(x)) for x in q])
     else:

@@ -350,3 +350,16 @@ _register("streaming_distinct_users_hll", st.streaming_distinct_users_hll, None)
 # streaming CMS twin: same banded contract as text_heavy_hitters_cms;
 # stream blob pinned bit-equal to the batch blob in pytest
 _register("streaming_heavy_hitters_cms", st.streaming_heavy_hitters_cms, None)
+
+
+# The driver's CORRECTNESS gate compares the FIRST 50 registered
+# entries; a rows-only entry inside that window re-creates the
+# no_oracle gate row VERDICT r10 #8 removed. Machine-checked here at
+# import (r11 review: a comment alone does not survive the next
+# contributor registering an entry mid-file) and mirrored in
+# tests/test_entry_contract.py.
+_first50_rows_only = [k for k in list(QUERIES)[:50] if k not in ORACLES]
+assert not _first50_rows_only, (
+    "rows-only entries inside the driver's first-50 gate window "
+    f"(register them after position 50): {_first50_rows_only}"
+)

@@ -727,15 +727,18 @@ def events_gapfill_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The probe is two scalars — min/max event hour, one
     map-side-combined aggregate, a 1-row driver round trip (bounded).
-    Span <= {thr}h: the global per-series windows hold at most {thr}
-    rows of state per task and chunking would only add its summary
-    join; beyond that the windows concentrate span growth into one
-    task per series (measured 476× at ×100 span on 5 series,
-    SCALE.md r10) and the chunked form wins (56× there, output
-    bit-identical). Both forms carry the SAME oracle hash, so the
-    router can never change the answer — only the plan; the decision
-    is reported on the result as ``result._asp_routing``.
-    """.format(thr=GAPFILL_ROUTE_SPAN_HOURS)
+    Span <= GAPFILL_ROUTE_SPAN_HOURS (2,880 h = 4 × the chunk): the
+    global per-series windows hold at most that many rows of state
+    per task and chunking would only add its summary join; beyond
+    that the windows concentrate span growth into one task per
+    series (measured 476× at ×100 span on 5 series, SCALE.md r10)
+    and the chunked form wins (56× there, output bit-identical).
+    Both forms carry the SAME oracle hash, so the router can never
+    change the answer — only the plan; the decision is reported on
+    the result as ``result._asp_routing``. (A ``\"\"\".format()``
+    variant of this docstring was an expression, not a docstring —
+    r11 review finding.)
+    """
     return _gapfill_routed(spark, sf_dir, GAPFILL_ROUTE_SPAN_HOURS)
 
 

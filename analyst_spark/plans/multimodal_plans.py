@@ -366,6 +366,42 @@ _IPD_STEP = 7
 _IPD_MAX_DIST = 3
 
 
+def _ipd_corpus(spark: SparkSession, sf_dir: str):
+    """(history, batch) image corpora for the incremental perceptual
+    entries — ONE construction shared by the batch entry and the
+    streaming twin (r11 review: both register against the same
+    oracle, so a divergent copy of the plant would fail as a
+    confusing cross-entry hash mismatch). History = doc_id % 4 != 0;
+    batch = % 4 == 0 plus a 1-pixel-perturbed twin of every
+    ``_IPD_STEP``-th history image under doc_id + ``_IPD_OFFSET``."""
+    fc = _fake_corpus(spark, sf_dir)
+    is_new = F.col("doc_id") % 4 == 0
+    hist = fc.filter(~is_new)
+
+    def perturb(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = []
+            for buf in pdf["image"]:
+                b = bytearray(bytes(buf))
+                b[20] = 255  # pixel 0 (20-byte header) := 255
+                imgs.append(bytes(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"] + _IPD_OFFSET,
+                    "mime": pdf["mime"],
+                    "image": imgs,
+                }
+            )
+
+    twins = hist.filter(F.col("doc_id") % _IPD_STEP == 0).mapInPandas(
+        perturb, "doc_id long, mime string, image binary"
+    )
+    batch = fc.filter(is_new).unionByName(twins)
+    return hist, batch
+
+
 def multimodal_incremental_perceptual(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -389,31 +425,7 @@ def multimodal_incremental_perceptual(
         incremental_hamming_pairs,
     )
 
-    fc = _fake_corpus(spark, sf_dir)
-    is_new = F.col("doc_id") % 4 == 0
-    hist = fc.filter(~is_new)
-
-    def perturb(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            imgs = []
-            for buf in pdf["image"]:
-                b = bytearray(bytes(buf))
-                b[20] = 255
-                imgs.append(bytes(b))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"] + _IPD_OFFSET,
-                    "mime": pdf["mime"],
-                    "image": imgs,
-                }
-            )
-
-    twins = hist.filter(F.col("doc_id") % _IPD_STEP == 0).mapInPandas(
-        perturb, "doc_id long, mime string, image binary"
-    )
-    batch = fc.filter(is_new).unionByName(twins)
+    hist, batch = _ipd_corpus(spark, sf_dir)
     return incremental_hamming_pairs(
         image_dhash_bands(hist),
         image_dhash_bands(batch),

@@ -1062,41 +1062,19 @@ def streaming_incremental_perceptual(
     from analyst_spark.functions.multimodal import (
         _dhash_worker,
         DHASH_SCHEMA,
+        hamming_expr,
+        image_dhash_bands,
+        signature_bands,
     )
     from analyst_spark.plans.multimodal_plans import (
-        _fake_corpus,
+        _ipd_corpus,
         _IPD_MAX_DIST,
-        _IPD_OFFSET,
-        _IPD_STEP,
     )
 
-    fc = _fake_corpus(spark, sf_dir).select("doc_id", "mime", "image")
-    is_new = F.col("doc_id") % 4 == 0
-    hist = fc.filter(~is_new)
-
-    def perturb(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            imgs = []
-            for buf in pdf["image"]:
-                b = bytearray(bytes(buf))
-                b[20] = 255
-                imgs.append(bytes(b))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"] + _IPD_OFFSET,
-                    "mime": pdf["mime"],
-                    "image": imgs,
-                }
-            )
-
-    twins = hist.filter(F.col("doc_id") % _IPD_STEP == 0).mapInPandas(
-        perturb, "doc_id long, mime string, image binary"
-    )
-    batch = fc.filter(is_new).unionByName(twins).select("doc_id", "image")
-    from analyst_spark.functions.multimodal import image_dhash_bands
-
+    # ONE corpus construction shared with the batch entry — both
+    # register against the same oracle (r11 review)
+    hist, batch = _ipd_corpus(spark, sf_dir)
+    batch = batch.select("doc_id", "image")
     index = image_dhash_bands(hist).persist()
     index.count()  # the maintained artifact; real stats for the join
     tmp = tempfile.mkdtemp(prefix="asp_stream_imgs_")
@@ -1110,25 +1088,8 @@ def streaming_incremental_perceptual(
         ssigs = stream.mapInPandas(
             _dhash_worker("image", "doc_id"), schema=DHASH_SCHEMA
         )
-
-        def bands_of(sigs, idname):
-            return sigs.select(
-                F.col("doc_id").alias(idname),
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(k).alias("band"),
-                                F.col(f"b{k}").alias("val"),
-                            )
-                            for k in range(4)
-                        ]
-                    )
-                ).alias("bb"),
-            ).select(idname, "bb.band", "bb.val")
-
-        sb = bands_of(ssigs, "id_batch")
-        hb = bands_of(index, "id_hist")
+        sb = signature_bands(ssigs, "id_batch")
+        hb = signature_bands(index, "id_hist")
         cand = sb.join(F.broadcast(hb), ["band", "val"]).select(
             "id_batch", "id_hist", "band"
         )
@@ -1140,9 +1101,7 @@ def streaming_incremental_perceptual(
             F.col("doc_id").alias("id_hist"),
             *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
         )
-        hamming = sum(
-            F.expr(f"bit_count(__a{k} ^ __b{k})") for k in range(4)
-        ).cast("long")
+        hamming = hamming_expr()
         band_match = [
             F.col(f"__a{k}") == F.col(f"__b{k}") for k in range(4)
         ]

@@ -220,30 +220,43 @@ class TestIncrementalLifecycle:
         release_cached(pairs2)
 
     def test_replay_is_idempotent_via_ledger(self, spark):
-        """Reprocessing a day's file against the post-append state
-        must not re-emit the pairs the first run reported."""
+        """Reprocessing a day's file must not re-emit the pairs the
+        first run reported — in EITHER crash window: replay against
+        the pre-append index (state write failed) and against the
+        POST-append index (state written, ack lost — the batch then
+        meets its own appended signatures: self-pairs and the
+        reversed orientation of ledgered intra pairs must also be
+        suppressed; r11 review finding)."""
         from analyst_spark.functions.dedup import (
             incremental_neardup_ingest,
-            neardup_signatures_stateless,
         )
 
         hist = spark.createDataFrame([(1, LONG_A)], ["doc_id", "text"])
         index0 = neardup_signature_index(hist)
         batch = spark.createDataFrame(
-            [(100, _drop_first(LONG_A))], ["doc_id", "text"]
+            [(100, _drop_first(LONG_A)), (105, _drop_first(LONG_A))],
+            ["doc_id", "text"],
         )
         p1, index1, rep1 = incremental_neardup_ingest(
             index0, batch, None, min_match=5
         )
-        assert {(r.id_batch, r.id_hist) for r in p1.collect()} == {(100, 1)}
-        # replay the same day file against the PRE-append index with
-        # the ledger: nothing re-emits
-        p_replay, _i, _r = incremental_neardup_ingest(
+        got1 = {(r.id_batch, r.id_hist) for r in p1.collect()}
+        assert got1 == {(100, 1), (105, 1), (105, 100)}
+        # crash window A: replay against the PRE-append index
+        p_replay_a, _i, _r = incremental_neardup_ingest(
             index0, batch, rep1, min_match=5
         )
-        assert p_replay.collect() == []
+        assert p_replay_a.collect() == []
+        # crash window B: replay against the POST-append index — the
+        # batch's own signatures are in index1 now; no self-pairs, no
+        # reversed (100, 105), nothing already ledgered
+        p_replay_b, _i2, _r2 = incremental_neardup_ingest(
+            index1, batch, rep1, min_match=5
+        )
+        assert p_replay_b.collect() == []
         release_cached(p1)
-        release_cached(p_replay)
+        release_cached(p_replay_a)
+        release_cached(p_replay_b)
 
     def test_catalog_multiday_plants(self, spark):
         """The factor-2 (day-2 twin of day-1 doc) and factor-4

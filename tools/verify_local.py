@@ -303,9 +303,15 @@ def _check_lineitem_profile_approx(con, scols, srows):
 # 0.72, ann_ivf_trained 0.84 / 1.00, twin recall 1.00 / 1.00,
 # PCA explained variance == the true top-8 eigenvalue sum exactly.
 
-_ANN_RECALL_EXACT_SQL = """
+def _ann_recall_exact_sql() -> str:
+    # derive query count / k from the catalog constants the gated
+    # entries themselves use (r11 review: hardcoded 5/10 would
+    # silently drift if _ANN_NUM_QUERIES/_ANN_K change)
+    from analyst_spark.plans.text_plans import _ANN_K, _ANN_NUM_QUERIES
+
+    return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id < 5),
+           FROM embeddings WHERE vec_id < {_ANN_NUM_QUERIES}),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
     SELECT query_id, vec_id,
@@ -316,7 +322,7 @@ scored AS (
 r AS (SELECT query_id, vec_id, row_number() OVER (
           PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
       FROM scored)
-SELECT query_id, vec_id FROM r WHERE rank <= 10
+SELECT query_id, vec_id FROM r WHERE rank <= {_ANN_K}
 """
 
 
@@ -327,7 +333,7 @@ def _check_ann_recall(floor):
         scols_l = [c.lower() for c in scols]
         if set(scols_l) != want:
             return [f"cols spark={scols_l} want={sorted(want)}"], 0
-        exact = set(map(tuple, con.sql(_ANN_RECALL_EXACT_SQL).fetchall()))
+        exact = set(map(tuple, con.sql(_ann_recall_exact_sql()).fetchall()))
         iq, iv = scols_l.index("query_id"), scols_l.index("vec_id")
         got = {(r[iq], r[iv]) for r in srows}
         recall = len(got & exact) / len(exact) if exact else 1.0
