@@ -107,6 +107,9 @@ def test_banded_gates_cover_trained_ann_family():
         "dedup_semantic_trained",
         "embeddings_pca",
         "agg_quantile_sketch",
+        "events_approx_distinct",
+        "docs_stratified_sample",
+        "docs_bpe_tokenize_pack",
     ):
         assert name in vl.BANDED_CHECKS, name
 

@@ -410,8 +410,117 @@ def _check_pca_variance(con, scols, srows):
     return problems, len(X)
 
 
+def _check_events_approx_distinct(con, scols, srows):
+    """events_approx_distinct: each HLL estimate (rsd=0.01) within
+    the 5-sigma band of the exact per-type distinct-user count."""
+    problems = []
+    scols_l = [c.lower() for c in scols]
+    if set(scols_l) != {"event_type", "approx_users"}:
+        return [f"cols spark={scols_l}"], 0
+    exact = dict(
+        con.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM events "
+            "GROUP BY event_type"
+        ).fetchall()
+    )
+    it, iu = scols_l.index("event_type"), scols_l.index("approx_users")
+    got = {r[it]: r[iu] for r in srows}
+    if set(got) != set(exact):
+        problems.append(f"strata spark={sorted(got)} exact={sorted(exact)}")
+        return problems, len(exact)
+    for t, n_exact in exact.items():
+        tol = max(1, 5 * 0.01 * n_exact)
+        if abs(got[t] - n_exact) > tol:
+            problems.append(
+                f"{t}: approx={got[t]} outside 5-sigma band of {n_exact}"
+            )
+    return problems, len(exact)
+
+
+def _check_stratified_sample(con, scols, srows):
+    """docs_stratified_sample: every language stratum present and its
+    sample count within the 5-sigma binomial band of N*0.5 (seeded
+    Bernoulli sampling at fraction 0.5 per stratum)."""
+    problems = []
+    scols_l = [c.lower() for c in scols]
+    if set(scols_l) != {"lang", "n_sampled"}:
+        return [f"cols spark={scols_l}"], 0
+    pop = dict(
+        con.sql("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall()
+    )
+    il, iN = scols_l.index("lang"), scols_l.index("n_sampled")
+    got = {r[il]: r[iN] for r in srows}
+    if set(got) != set(pop):
+        problems.append(f"strata spark={sorted(map(str, got))} "
+                        f"pop={sorted(map(str, pop))}")
+        return problems, len(pop)
+    for lang, n_pop in pop.items():
+        mean = 0.5 * n_pop
+        tol = max(1, 5 * math.sqrt(n_pop * 0.25))
+        if abs(got[lang] - mean) > tol:
+            problems.append(
+                f"{lang}: n_sampled={got[lang]} outside 5-sigma "
+                f"binomial band around {mean:.1f} (N={n_pop})"
+            )
+    return problems, len(pop)
+
+
+def _check_bpe_pack(con, scols, srows):
+    """docs_bpe_tokenize_pack: the packing INVARIANTS are exact even
+    though the BPE merge table is iterative. A document is assigned
+    to the sequence containing its START offset (seq_id = prefix DIV
+    512), so the checkable contract is on prefix sums, not a naive
+    per-sequence <= 512 budget: for every sequence k, the total
+    tokens of all EARLIER sequences must land inside window k
+    (k*512 <= prefix < (k+1)*512 — equivalently, the window is where
+    seq k's first doc starts). Plus: seq ids contiguous from 0,
+    every document placed exactly once, doc-id ranges monotone
+    across consecutive sequences (placement order is id order)."""
+    problems = []
+    scols_l = [c.lower() for c in scols]
+    want = {"seq_id", "n_docs", "n_bpe_tokens", "first_doc", "last_doc"}
+    if set(scols_l) != want:
+        return [f"cols spark={scols_l}"], 0
+    idx = {c: scols_l.index(c) for c in want}
+    n_docs_total = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    rows = sorted(srows, key=lambda r: r[idx["seq_id"]])
+    seq_ids = [r[idx["seq_id"]] for r in rows]
+    if seq_ids != list(range(len(rows))):
+        problems.append("seq_id not contiguous from 0")
+        return problems, len(rows)
+    placed = sum(r[idx["n_docs"]] for r in rows)
+    if placed != n_docs_total:
+        problems.append(
+            f"placed {placed} docs != corpus {n_docs_total} "
+            "(every doc must be packed exactly once)"
+        )
+    prefix = 0
+    prev_last = None
+    for r in rows:
+        k = r[idx["seq_id"]]
+        if not k * 512 <= prefix < (k + 1) * 512:
+            problems.append(
+                f"seq {k}: prefix {prefix} outside its "
+                f"[{k * 512}, {(k + 1) * 512}) start window"
+            )
+        if r[idx["first_doc"]] > r[idx["last_doc"]]:
+            problems.append(f"seq {k}: doc range inverted")
+        if prev_last is not None and r[idx["first_doc"]] <= prev_last:
+            problems.append(
+                f"seq {k}: first_doc {r[idx['first_doc']]} not after "
+                f"previous sequence's last_doc {prev_last}"
+            )
+        prev_last = r[idx["last_doc"]]
+        prefix += r[idx["n_bpe_tokens"]]
+    return problems, len(rows)
+
+
 BANDED_CHECKS = {
     "agg_quantile_sketch": _check_quantile_approx,
+    # r11: property/band gates for the remaining rows-only entries
+    "events_approx_distinct": _check_events_approx_distinct,
+    "docs_stratified_sample": _check_stratified_sample,
+    "docs_bpe_tokenize_pack": _check_bpe_pack,
     # VERDICT r10 #4 — measured-recall/variance gates
     "ann_pca_ivf": _check_ann_recall(0.60),
     "ann_ivf_trained": _check_ann_recall(0.75),
