@@ -2083,33 +2083,45 @@ _QC_BUCKETS = 1024
 
 
 def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CCNet/GPT-3-style linear quality filter, trained and
-    applied distributed (functions/classifier.py): hashed bag-of-token
-    features, full-batch logistic regression where each step is two
-    Catalyst aggregations + an n_buckets-sized driver round-trip, then
-    one scoring pass. Weak labels come from the Gopher rule battery
-    (the standard bootstrap when no hand-labeled quality set exists),
-    so the entry is fully self-contained. Iterative training => no SQL
-    oracle (rows-only); the numpy twin in tests/test_classifier.py
-    re-runs the exact recipe and pins the weights.
+    """The CCNet-style linear quality filter, trained and applied
+    distributed: DENSE shape features (log token count, mean token
+    length, type-token ratio — functions/classifier.py
+    dense_quality_stats) fit by IRLS/Newton, one aggregation per
+    iteration, 14 scalars to the driver, the 4×4 normal equations
+    solved there. Weak labels come from the Gopher rule battery (the
+    standard bootstrap when no hand-labeled quality set exists), so
+    the entry is fully self-contained.
+
+    Recipe history (r11): the original form trained first-order GD
+    on L1-normalized hashed bag-of-token features — measured on this
+    corpus it NEVER left the majority-class constant (Σx = 1 hides
+    length, and the Gopher labels are length/shape-driven; accuracy
+    == label rate at every lr/steps tried, flipping all-true ↔
+    all-false). The dense-IRLS form reaches ~0.78 training accuracy
+    in 8 Newton steps (the numpy-converged ceiling for a linear
+    model on these features). The hashed-GD machinery remains in
+    functions/classifier.py with its weight-pinning numpy twin.
+
+    Iterative training => no SQL oracle; verify_local gates training
+    accuracy against a measured floor and checks the label column
+    exactly against the Gopher oracle; tests/test_classifier.py pins
+    the IRLS weights against a numpy twin.
 
     Output: (doc_id, score, pred, label) — score = σ(w·x + b).
     """
     from analyst_spark.functions.classifier import (
-        hashed_features,
-        score_quality,
-        train_quality_classifier,
+        dense_quality_stats,
+        score_quality_dense,
+        train_quality_irls,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     labels = gopher_features(docs).select(
         "doc_id", F.col("keep").cast("double").alias("y")
     )
-    feats = hashed_features(docs, n_buckets=_QC_BUCKETS).persist()
-    w, b = train_quality_classifier(
-        feats, labels, n_buckets=_QC_BUCKETS, steps=_QC_STEPS
-    )
-    scored = score_quality(feats, w, b)
+    stats = dense_quality_stats(docs).persist()
+    w, b = train_quality_irls(stats, labels)
+    scored = score_quality_dense(stats, w, b)
     return _with_cached_deps(
         scored.join(labels, "doc_id").select(
             "doc_id",
@@ -2117,7 +2129,7 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score") >= 0.5).alias("pred"),
             (F.col("y") >= 0.5).alias("label"),
         ),
-        feats,
+        stats,
     )
 
 

@@ -92,13 +92,17 @@ def test_quality_classifier_entry(spark):
     release_cached(out)
     assert rows and all(0.0 <= r.score <= 1.0 for r in rows)
     # weak-label agreement well above chance: the classifier must
-    # actually have learned the Gopher-rule structure from the hashes
+    # actually have learned the Gopher-rule structure (r11: the old
+    # hashed-GD recipe sat EXACTLY at the majority rate — equality
+    # here hid a constant predictor; demand real lift)
     agree = sum(1 for r in rows if r.pred == r.label) / len(rows)
     base = max(
         sum(1 for r in rows if r.label) / len(rows),
         sum(1 for r in rows if not r.label) / len(rows),
     )
-    assert agree >= base, f"agreement {agree:.3f} below majority {base:.3f}"
+    assert agree >= base + 0.05, (
+        f"agreement {agree:.3f} lacks lift over majority {base:.3f}"
+    )
     # determinism (rows-only gate contract)
     out2 = docs_quality_classifier(spark, "/root/testdata/sf0.001")
     again = {(r.doc_id, r.score, r.pred, r.label) for r in out2.collect()}
@@ -154,3 +158,74 @@ def test_funnel_v2_classifier_stage_bites(spark):
     assert rows["classifier"].n_docs < rows["gopher"].n_docs
     assert rows["dedup"].n_docs <= rows["classifier"].n_docs
     assert rows["classifier"].n_tokens < rows["gopher"].n_tokens
+
+
+def test_irls_matches_numpy_twin(spark):
+    """train_quality_irls must reproduce a pure-numpy IRLS run on
+    the same dense stats bit-for-bit (same aggregation algebra, same
+    ridge damping, same working-response epsilon)."""
+    import numpy as np
+
+    from analyst_spark.functions.classifier import (
+        DENSE_QUALITY_COLS,
+        dense_quality_stats,
+        train_quality_irls,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], ["doc_id", "text"]
+    )
+    labels = spark.createDataFrame(
+        [(i, float(y)) for i, _, y in DOCS], ["doc_id", "y"]
+    )
+    stats = dense_quality_stats(df).persist()
+    w, b = train_quality_irls(stats, labels, iters=8, ridge=1e-6)
+
+    rows = {r.doc_id: r for r in stats.join(labels, "doc_id").collect()}
+    stats.unpersist()
+    ids = sorted(rows)
+    X = np.array(
+        [[getattr(rows[d], c) for c in DENSE_QUALITY_COLS] + [1.0]
+         for d in ids]
+    )
+    y = np.array([rows[d].y for d in ids])
+    beta = np.zeros(4)
+    for _ in range(8):
+        m = X @ beta
+        p = 1.0 / (1.0 + np.exp(-m))
+        s = np.maximum(p * (1 - p), 1e-9)
+        z = m + (y - p) / s
+        A = (X * s[:, None]).T @ X
+        v = (X * s[:, None]).T @ z
+        beta = np.linalg.solve(A + 1e-6 * np.eye(4), v)
+    assert np.allclose(w + [b], beta, rtol=1e-7, atol=1e-9), (w, b, beta)
+
+
+def test_irls_separates_planted_classes(spark):
+    """On a corpus where keep is length-driven (long docs kept), the
+    IRLS model must separate train classes perfectly — the contract
+    the hashed-GD recipe failed (it predicted one constant)."""
+    from analyst_spark.functions.classifier import (
+        dense_quality_stats,
+        score_quality_dense,
+        train_quality_irls,
+    )
+
+    rows = [(i, "w" + " ".join(f"tok{j}" for j in range(40)), 1.0)
+            for i in range(8)]
+    rows += [(100 + i, "short text only", 0.0) for i in range(8)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in rows], ["doc_id", "y"]
+    )
+    stats = dense_quality_stats(df).persist()
+    w, b = train_quality_irls(stats, labels)
+    scores = {
+        r.doc_id: r.score
+        for r in score_quality_dense(stats, w, b).collect()
+    }
+    stats.unpersist()
+    assert all(scores[i] > 0.5 for i in range(8))
+    assert all(scores[100 + i] < 0.5 for i in range(8))

@@ -25,7 +25,7 @@ def test_contract_shapes():
         "ann_ivf_trained",         # k-means centroids are engine-specific
         "dedup_semantic_trained",  # k-means clustering; twin-pinned in test_similarity
         "embeddings_pca",          # eigendecomposition; twin-pinned in test_pca
-        "docs_quality_classifier", # iterative GD; twin-pinned in test_classifier
+        "docs_quality_classifier", # iterative IRLS; accuracy-gated in verify_local + numpy twin
         "ann_pca_ivf",             # PCA chain; recall-pinned in test_pca
         "bpe_train_merges",        # iterative; vs python model in test_bpe
         "bpe_train_batched",       # iterative; vs python model in test_bpe
@@ -110,6 +110,7 @@ def test_banded_gates_cover_trained_ann_family():
         "events_approx_distinct",
         "docs_stratified_sample",
         "docs_bpe_tokenize_pack",
+        "docs_quality_classifier",
     ):
         assert name in vl.BANDED_CHECKS, name
 

@@ -515,12 +515,57 @@ def _check_bpe_pack(con, scols, srows):
     return problems, len(rows)
 
 
+def _check_quality_classifier(con, scols, srows):
+    """docs_quality_classifier: the label column must equal the
+    Gopher oracle EXACTLY (weak labels are SQL-expressible — the
+    gopher entry is hash-gated), and training accuracy must clear
+    the measured floor 0.70 (IRLS reaches 0.78-0.81 at the three
+    decades; the retired hashed-GD recipe sat at the 0.63 majority
+    rate, which this gate would now catch)."""
+    from analyst_spark.plans.pipeline_plans import DOCS_GOPHER_ORACLE
+
+    problems = []
+    scols_l = [c.lower() for c in scols]
+    want = {"doc_id", "score", "pred", "label"}
+    if set(scols_l) != want:
+        return [f"cols spark={scols_l}"], 0
+    idx = {c: scols_l.index(c) for c in want}
+    truth = dict(
+        con.sql(
+            f"SELECT doc_id, keep FROM ({DOCS_GOPHER_ORACLE})"
+        ).fetchall()
+    )
+    got = {r[idx["doc_id"]]: r for r in srows}
+    if set(got) != set(truth):
+        problems.append(
+            f"doc coverage spark={len(got)} oracle={len(truth)}"
+        )
+        return problems, len(truth)
+    mislabeled = [
+        d for d, r in got.items() if bool(r[idx["label"]]) != bool(truth[d])
+    ]
+    if mislabeled:
+        problems.append(
+            f"{len(mislabeled)} label values differ from the gopher "
+            f"oracle (e.g. doc {mislabeled[0]})"
+        )
+    acc = sum(
+        1 for r in got.values() if bool(r[idx["pred"]]) == bool(r[idx["label"]])
+    ) / len(got)
+    if acc < 0.70:
+        problems.append(
+            f"training accuracy {acc:.4f} below measured floor 0.70"
+        )
+    return problems, len(truth)
+
+
 BANDED_CHECKS = {
     "agg_quantile_sketch": _check_quantile_approx,
     # r11: property/band gates for the remaining rows-only entries
     "events_approx_distinct": _check_events_approx_distinct,
     "docs_stratified_sample": _check_stratified_sample,
     "docs_bpe_tokenize_pack": _check_bpe_pack,
+    "docs_quality_classifier": _check_quality_classifier,
     # VERDICT r10 #4 — measured-recall/variance gates
     "ann_pca_ivf": _check_ann_recall(0.60),
     "ann_ivf_trained": _check_ann_recall(0.75),
