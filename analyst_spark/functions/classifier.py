@@ -84,7 +84,11 @@ def dense_quality_stats(
     Deterministic Catalyst expressions, one narrow pass, no explode —
     a doc's whole feature vector lives on its row, which is what lets
     :func:`train_quality_irls` compute exact Newton steps with ONE
-    aggregation per iteration. Zero-token documents carry 0s. The
+    aggregation per iteration. Zero-token documents carry 0s: empty
+    tokens are filtered out of the split array (ADVICE r11 — split of
+    an empty trimmed string yields [""], which would otherwise count
+    as one token and give such docs f_logtok ≈ 0.069, f_ttr = 1.0,
+    making the nullif zero guards dead code). The
     motivating measurement: L1-normalized token hashes make document
     LENGTH invisible (Σx = 1 for every doc), yet the Gopher weak
     labels are length/shape-driven, so first-order GD on
@@ -94,7 +98,10 @@ def dense_quality_stats(
     """
     from analyst_spark.tables import spread
 
-    ts = F.split(F.trim(F.lower(text_col)), r"\s+")
+    ts = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
     return (
         spread(docs, id_col)
         .select(F.col(id_col), ts.alias("__ts"))

@@ -480,6 +480,9 @@ def incremental_neardup_ingest(
       re-emit in the reversed (cross-probe) orientation either.
     * ``new_index`` — index ∪ sig(batch): the only state the next
       day needs; fixed k×8 bytes per document, text never rescanned.
+      Batch ids the index already holds are NOT re-appended (anti-
+      join on id), so a replayed day leaves the index unchanged
+      rather than double-inserting signature rows.
     * ``new_reported`` — reported ∪ pairs' keys: the ledger the next
       call receives. At 100 TB both state tables live as
       bucketed/partitioned storage keyed by id (index) and pair key
@@ -539,8 +542,17 @@ def incremental_neardup_ingest(
             .join(reported, ["pair_lo", "pair_hi"], "left_anti")
             .drop("pair_lo", "pair_hi")
         )
-    new_index = index.unionByName(batch_sigs)
-    pair_keys = pairs.select(lo, hi)
+    # replay idempotency for STATE too (ADVICE r11): a replayed day
+    # must not re-append its signature rows — double-inserted index
+    # rows would make later days' probes emit duplicate pair rows for
+    # new pairs against those docs. The anti-join drops batch ids the
+    # index already holds (a no-op on a fresh day, where ingest ids
+    # are new by construction); pair keys are deduplicated before
+    # extending the ledger for the same reason.
+    new_index = index.unionByName(
+        batch_sigs.join(index.select(id_col), id_col, "left_anti")
+    )
+    pair_keys = pairs.select(lo, hi).distinct()
     new_reported = (
         pair_keys if reported is None else reported.unionByName(pair_keys)
     )

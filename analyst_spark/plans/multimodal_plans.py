@@ -505,11 +505,15 @@ def multimodal_video_perceptual_dedup(
     Plant-and-recover: every 11th clip-owning doc reappears under
     doc_id + 40M with frame 0 REPLACED by a flat 123-gray frame —
     that frame's gradient bits all drop to 0 while the original's
-    rows carry ≥ 6 set bits each (pixel steps of +7 wrap mod 251 at
-    most once per 8-pixel row), so frame 0 DISAGREES by ≥ 48 bits
-    for every source: the twin must surface with n_frames_matched =
-    n_shared_frames − 1 — the majority rule observed, not just pure
-    duplication."""
+    frame 0 carries EXACTLY one set bit per 8-pixel dHash row
+    (sampled pixels step by +7, so each row either stays monotone
+    with only the row-end wraparound bit set, or wraps mod 251 once
+    and sets only the wrap bit — ADVICE r11 corrected an earlier
+    "≥ 6 set bits per row" claim): frame 0 disagrees by exactly 8
+    bits, comfortably past max_distance 3 (pinned in
+    tests/test_advice_r12.py), so the twin must surface with
+    n_frames_matched = n_shared_frames − 1 — the majority rule
+    observed, not just pure duplication."""
     from analyst_spark.functions.multimodal import (
         encode_fake_video,
         video_frame_dhash_bands,
