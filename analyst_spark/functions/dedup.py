@@ -501,60 +501,55 @@ def incremental_neardup_ingest(
     plan with every ingest and Catalyst re-plans the whole history
     each day even though every parent is cached (measured: 4.0s →
     421s per day by day 6, tools/r11_probe.py multiday --chained;
-    storage-backed state is flat). A bounded number of days inside
-    ONE query (the 3-day gated entry) is fine.
+    storage-backed state is flat). The storage backing is an API
+    since r12 (VERDICT r11 #2):
+    :func:`analyst_spark.functions.incremental.save_state` /
+    :func:`~analyst_spark.functions.incremental.load_state` write
+    and re-read (index, ledger) per day — the 10-day probe routes
+    through them and save→load→probe equivalence with the in-memory
+    form is pinned in tests/test_incremental_lifecycle.py. A bounded
+    number of days inside ONE query (the 3-day gated entry) is fine
+    without it.
     """
+    from analyst_spark.functions.incremental import lifecycle_day
+
     k = bands * rows_per_band
     batch_sigs = _fill_cache(
         minhash_signatures(batch, text_col, id_col, n, num_hashes=k)
         .persist(),
         True,
     )
-    pairs = incremental_neardup_pairs(
+    # The family-independent lifecycle (self-pair suppression,
+    # unordered-pair-key ledger anti-join — the r11-review replay
+    # hardening — and the replay-safe index append from ADVICE r11)
+    # lives in functions/incremental.py, shared with the perceptual
+    # and embedding ingests; this function contributes only the
+    # minhash probe and the intra-batch orientation.
+    pairs, new_index, new_reported = lifecycle_day(
         index,
-        batch,
-        text_col,
-        id_col,
-        n,
-        bands,
-        rows_per_band,
-        min_match,
-        batch_sigs=batch_sigs,
-    )
-    if include_intra_batch:
-        pairs = pairs.unionByName(
-            intra_batch_neardup_pairs(
-                batch_sigs, id_col, bands, rows_per_band, min_match
+        batch_sigs,
+        cross_fn=lambda idx, bs: incremental_neardup_pairs(
+            idx,
+            batch,
+            text_col,
+            id_col,
+            n,
+            bands,
+            rows_per_band,
+            min_match,
+            batch_sigs=bs,
+        ),
+        intra_fn=(
+            (
+                lambda bs: intra_batch_neardup_pairs(
+                    bs, id_col, bands, rows_per_band, min_match
+                )
             )
-        )
-    # replay hardening (r11 review): a day replayed against the
-    # POST-append index meets its own signatures — drop self-pairs,
-    # and key the ledger on the UNORDERED pair (lo, hi) so the
-    # reversed orientation of a ledgered intra-batch pair cannot
-    # re-emit either
-    pairs = pairs.filter(F.col("id_batch") != F.col("id_hist"))
-    lo = F.least("id_batch", "id_hist").alias("pair_lo")
-    hi = F.greatest("id_batch", "id_hist").alias("pair_hi")
-    if reported is not None:
-        pairs = (
-            pairs.withColumn("pair_lo", F.least("id_batch", "id_hist"))
-            .withColumn("pair_hi", F.greatest("id_batch", "id_hist"))
-            .join(reported, ["pair_lo", "pair_hi"], "left_anti")
-            .drop("pair_lo", "pair_hi")
-        )
-    # replay idempotency for STATE too (ADVICE r11): a replayed day
-    # must not re-append its signature rows — double-inserted index
-    # rows would make later days' probes emit duplicate pair rows for
-    # new pairs against those docs. The anti-join drops batch ids the
-    # index already holds (a no-op on a fresh day, where ingest ids
-    # are new by construction); pair keys are deduplicated before
-    # extending the ledger for the same reason.
-    new_index = index.unionByName(
-        batch_sigs.join(index.select(id_col), id_col, "left_anti")
-    )
-    pair_keys = pairs.select(lo, hi).distinct()
-    new_reported = (
-        pair_keys if reported is None else reported.unionByName(pair_keys)
+            if include_intra_batch
+            else None
+        ),
+        reported=reported,
+        id_col=id_col,
     )
     pairs = _with_cached_deps(pairs, batch_sigs)
     return pairs, new_index, new_reported

@@ -809,3 +809,78 @@ def incremental_hamming_pairs(
     if dropped is not None:
         out._asp_dropped_buckets = dropped  # type: ignore[attr-defined]
     return out
+
+
+def incremental_hamming_ingest(
+    index_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    reported: DataFrame | None = None,
+    max_distance: int = 3,
+    max_bucket_size: int | None = None,
+    include_intra_batch: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE DAY of the incremental PERCEPTUAL lifecycle (VERDICT r11
+    #3) — the multimodal member of the family whose text form is
+    :func:`~analyst_spark.functions.dedup.incremental_neardup_ingest`:
+    probe the new crawl batch's dHash/audio-fingerprint signatures
+    against the maintained history index, append the batch
+    signatures (16 bytes + id per asset, bytes never re-decoded),
+    extend the already-reported ledger. Returns
+    ``(pairs, new_index, new_reported)`` with pairs =
+    (id_batch, id_hist, hamming) — cross pairs against everything
+    ingested before plus, with ``include_intra_batch``, same-day
+    pairs via :func:`banded_hamming_pairs` (the earlier id plays the
+    history role, matching the family convention).
+
+    The lifecycle plumbing (self-pair suppression, unordered-pair-key
+    ledger anti-join, replay-safe append, storage-backed state via
+    save_state/load_state) is the SHARED
+    :mod:`analyst_spark.functions.incremental` implementation — this
+    function contributes only the Hamming probes. Pigeonhole
+    recall-1 per probe is unchanged; ``max_bucket_size`` caps hot
+    buckets with the usual dropped accounting on ``pairs``.
+    """
+    from analyst_spark.functions.incremental import lifecycle_day
+
+    batch_sigs = batch_sigs.persist()
+    batch_sigs.count()  # shared by cross probe, intra join, append
+    deps: list[DataFrame] = [batch_sigs]
+    dropped: list[DataFrame] = []
+
+    def cross(idx: DataFrame, bs: DataFrame) -> DataFrame:
+        out = incremental_hamming_pairs(
+            idx, bs, max_distance, max_bucket_size
+        )
+        deps.extend(getattr(out, "_asp_cached_deps", []))
+        if hasattr(out, "_asp_dropped_buckets"):
+            dropped.append(out._asp_dropped_buckets)
+        return out
+
+    def intra(bs: DataFrame) -> DataFrame:
+        out = banded_hamming_pairs(
+            bs, max_distance, max_bucket_size=max_bucket_size
+        )
+        deps.extend(getattr(out, "_asp_cached_deps", []))
+        if hasattr(out, "_asp_dropped_buckets"):
+            dropped.append(out._asp_dropped_buckets)
+        return out.select(
+            F.col("id_b").alias("id_batch"),
+            F.col("id_a").alias("id_hist"),
+            "hamming",
+        )
+
+    pairs, new_index, new_reported = lifecycle_day(
+        index_sigs,
+        batch_sigs,
+        cross_fn=cross,
+        intra_fn=intra if include_intra_batch else None,
+        reported=reported,
+        id_col="doc_id",
+    )
+    pairs._asp_cached_deps = deps  # type: ignore[attr-defined]
+    if dropped:
+        d = dropped[0]
+        for extra in dropped[1:]:
+            d = d.unionByName(extra, allowMissingColumns=True)
+        pairs._asp_dropped_buckets = d  # type: ignore[attr-defined]
+    return pairs, new_index, new_reported

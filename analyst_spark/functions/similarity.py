@@ -946,3 +946,133 @@ def incremental_embedding_pairs(
         hsigs,
         bsigs,
     )
+
+
+def embedding_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 32,
+    bits_per_band: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """The maintained STATE of the incremental embedding lifecycle:
+    (id, __v, __sig) — the vector plus its sign-LSH band signature
+    array, one row per ingested vector. At scale this is the stored,
+    id-partitioned table appended per ingest (the embedding analogue
+    of the minhash/dHash signature indexes); it carries the vector
+    itself because the verify step of a future probe looks exact
+    cosine up for CANDIDATES only, and shipping those lookups to a
+    separate vector store would add a join without removing any work.
+    Null/absent vectors are dropped (they cannot be signed)."""
+    sig = band_signature_udf(bands, bits_per_band, dim)
+    d = drop_null_vectors(df, vec_col)
+    v = spread(d, id_col).select(F.col(id_col), F.col(vec_col).alias("__v"))
+    return v.select(id_col, "__v", sig(F.col("__v")).alias("__sig"))
+
+
+def _band_cross_pairs(
+    hidx: DataFrame,
+    bidx: DataFrame,
+    threshold: float,
+    id_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Batch-vs-history candidate probe over two embedding_index
+    frames: (band, bucket) equi-join of the sign-LSH signatures,
+    exact-cosine verify via the vectors carried on the index rows.
+    Candidate mass = batch buckets x collision rate; history is
+    never all-paired."""
+    hb = hidx.select(
+        F.col(id_col).alias("id_hist"),
+        F.posexplode("__sig").alias("band", "bucket"),
+    )
+    bb = bidx.select(
+        F.col(id_col).alias("id_batch"),
+        F.posexplode("__sig").alias("band", "bucket"),
+    )
+    cand = (
+        bb.join(hb, ["band", "bucket"])
+        .select("id_batch", "id_hist")
+        .distinct()
+    )
+    ea = bidx.select(
+        F.col(id_col).alias("id_batch"),
+        F.col("__v").alias("__va"),
+        _norm(F.col("__v")).alias("__na"),
+    )
+    eb = hidx.select(
+        F.col(id_col).alias("id_hist"),
+        F.col("__v").alias("__vb"),
+        _norm(F.col("__v")).alias("__nb"),
+    )
+    sim = F.round(
+        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        round_digits,
+    )
+    return (
+        cand.join(ea, "id_batch")
+        .join(eb, "id_hist")
+        .select("id_batch", "id_hist", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def incremental_embedding_ingest(
+    index: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    reported: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 32,
+    bits_per_band: int = 12,
+    dim: int = 64,
+    round_digits: int = 6,
+    include_intra_batch: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE DAY of the incremental EMBEDDING lifecycle (VERDICT r11
+    #3) — the semantic member of the family (text:
+    incremental_neardup_ingest, perceptual:
+    incremental_hamming_ingest): sign the new vector batch once,
+    probe it against the maintained :func:`embedding_index` state,
+    append the batch's index rows, extend the already-reported
+    ledger. Returns ``(pairs, new_index, new_reported)`` with pairs =
+    (id_batch, id_hist, cosine_sim >= threshold); with
+    ``include_intra_batch`` same-day pairs are found by the bucket
+    self-join over the batch index (earlier id plays the history
+    role). Colinear duplicates share every sign bit, so recall on
+    them is exactly 1 across both the cross and the intra path.
+
+    Lifecycle plumbing (self-pair suppression, unordered-pair-key
+    ledger anti-join, replay-safe append, save_state/load_state
+    storage backing) is the shared
+    :mod:`analyst_spark.functions.incremental` implementation.
+    """
+    from pyspark import StorageLevel
+
+    from analyst_spark.functions.dedup import _with_cached_deps
+    from analyst_spark.functions.incremental import lifecycle_day
+
+    bidx = embedding_index(
+        batch, id_col, vec_col, bands, bits_per_band, dim
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bidx.count()  # one Arrow signature pass, shared by every consumer
+
+    def intra(bi: DataFrame) -> DataFrame:
+        out = _band_cross_pairs(bi, bi, threshold, id_col, round_digits)
+        # the self-join finds each pair in both orientations; keep
+        # the (later id = batch, earlier id = hist) one
+        return out.filter(F.col("id_batch") > F.col("id_hist"))
+
+    pairs, new_index, new_reported = lifecycle_day(
+        index,
+        bidx,
+        cross_fn=lambda idx, bi: _band_cross_pairs(
+            idx, bi, threshold, id_col, round_digits
+        ),
+        intra_fn=intra if include_intra_batch else None,
+        reported=reported,
+        id_col=id_col,
+    )
+    return _with_cached_deps(pairs, bidx), new_index, new_reported

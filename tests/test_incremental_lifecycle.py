@@ -1,0 +1,191 @@
+"""Shared incremental-ingest lifecycle (VERDICT r11 #7/#2):
+functions/incremental.py — one implementation of probe/append/ledger
+semantics behind the text, perceptual, and embedding ingests, plus
+the storage-backed state API (save_state/load_state) whose absence
+the r11 multiday probe measured at 421s/day by day 6 when state
+chained through cached lineage instead.
+
+Contracts pinned here:
+* each family's ingest finds cross pairs (batch vs history), intra
+  pairs (same day, earlier id = history role), and nothing for
+  unrelated items;
+* a REPLAYED day is a full no-op: no pairs, index row set unchanged
+  (no double-insert), ledger key set unchanged;
+* save_state -> load_state -> ingest is row-identical to running the
+  same ingest on the in-memory state (the storage backing changes
+  lineage, never results);
+* an empty ledger round-trips storage so day 0 saves uniformly.
+"""
+
+import shutil
+
+import pytest
+
+from analyst_spark.functions.dedup import (
+    incremental_neardup_ingest,
+    neardup_signature_index,
+    release_cached,
+)
+from analyst_spark.functions.incremental import (
+    empty_ledger,
+    load_state,
+    save_state,
+)
+
+LONG_A = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+
+
+def _drop_first(text: str) -> str:
+    return text.split(" ", 1)[1]
+
+
+class TestPerceptualIngest:
+    def _frames(self, spark):
+        idx = spark.createDataFrame(
+            [(1, 7, 7, 7, 7), (2, 100, 200, 300, 400)],
+            ["doc_id", "b0", "b1", "b2", "b3"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (100, 7, 7, 7, 6),        # hamming 1 from hist 1
+                (105, 100, 200, 300, 400),  # exact copy of hist 2
+                (106, 100, 200, 300, 401),  # hamming 1 from 2 AND 105
+                (107, 9999, 8888, 7777, 6666),  # unrelated
+            ],
+            ["doc_id", "b0", "b1", "b2", "b3"],
+        )
+        return idx, batch
+
+    def test_cross_intra_and_replay(self, spark):
+        from analyst_spark.functions.multimodal import (
+            incremental_hamming_ingest,
+        )
+
+        idx, batch = self._frames(spark)
+        p, i1, r1 = incremental_hamming_ingest(idx, batch, None)
+        got = sorted((r.id_batch, r.id_hist, r.hamming) for r in p.collect())
+        assert got == [
+            (100, 1, 1),
+            (105, 2, 0),
+            (106, 2, 1),
+            (106, 105, 1),  # intra: later id is the batch role
+        ]
+        idx_ids = sorted(r.doc_id for r in i1.collect())
+        assert idx_ids == [1, 2, 100, 105, 106, 107]
+        led = sorted(tuple(r) for r in r1.collect())
+        assert led == [(1, 100), (2, 105), (2, 106), (105, 106)]
+        # replay: no pairs, identical state
+        p2, i2, r2 = incremental_hamming_ingest(i1, batch, r1)
+        assert p2.collect() == []
+        assert sorted(r.doc_id for r in i2.collect()) == idx_ids
+        assert sorted(tuple(r) for r in r2.collect()) == led
+        release_cached(p)
+        release_cached(p2)
+
+
+class TestEmbeddingIngest:
+    def _frames(self, spark):
+        from analyst_spark.functions.similarity import embedding_index
+
+        hist = spark.createDataFrame(
+            [(1, [1.0] * 8 + [0.0] * 56), (2, [0.0] * 56 + [1.0] * 8)],
+            ["vec_id", "embedding"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (100, [2.0] * 8 + [0.0] * 56),   # colinear with hist 1
+                (105, [0.0] * 56 + [3.0] * 8),   # colinear with hist 2
+                (106, [0.0] * 56 + [6.0] * 8),   # colinear with 2 AND 105
+                (107, [1.0, -1.0] * 32),          # unrelated
+            ],
+            ["vec_id", "embedding"],
+        )
+        return embedding_index(hist), batch
+
+    def test_cross_intra_and_replay(self, spark):
+        from analyst_spark.functions.similarity import (
+            incremental_embedding_ingest,
+        )
+
+        hidx, batch = self._frames(spark)
+        p, i1, r1 = incremental_embedding_ingest(hidx, batch, 0.9)
+        got = sorted(
+            (r.id_batch, r.id_hist, r.cosine_sim) for r in p.collect()
+        )
+        assert got == [
+            (100, 1, 1.0),
+            (105, 2, 1.0),
+            (106, 2, 1.0),
+            (106, 105, 1.0),
+        ]
+        n_idx = i1.count()
+        assert n_idx == 6
+        led = sorted(tuple(r) for r in r1.collect())
+        p2, i2, r2 = incremental_embedding_ingest(i1, batch, 0.9, r1)
+        assert p2.collect() == []
+        assert i2.count() == n_idx
+        assert sorted(tuple(r) for r in r2.collect()) == led
+        release_cached(p)
+        release_cached(p2)
+
+    def test_index_drops_null_vectors(self, spark):
+        from analyst_spark.functions.similarity import embedding_index
+
+        df = spark.createDataFrame(
+            [(1, [1.0] * 64), (2, None)], "vec_id long, embedding array<double>"
+        )
+        assert [r.vec_id for r in embedding_index(df).collect()] == [1]
+
+
+class TestStorageBackedState:
+    @pytest.fixture()
+    def state_dir(self, tmp_path):
+        d = str(tmp_path / "state")
+        yield d
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_save_load_probe_equivalence(self, spark, state_dir):
+        """The VERDICT r11 #2 'Done' pin: an ingest fed storage-loaded
+        state returns exactly the rows the in-memory form returns."""
+        hist = spark.createDataFrame([(1, LONG_A)], ["doc_id", "text"])
+        index0 = neardup_signature_index(hist)
+        batch = spark.createDataFrame(
+            [(100, _drop_first(LONG_A)), (105, _drop_first(LONG_A))],
+            ["doc_id", "text"],
+        )
+        save_state(index0, None, f"{state_dir}/d0")
+        idx_l, led_l = load_state(spark, f"{state_dir}/d0")
+        p_mem, i_mem, r_mem = incremental_neardup_ingest(
+            index0, batch, None, min_match=5
+        )
+        p_st, i_st, r_st = incremental_neardup_ingest(
+            idx_l, batch, led_l, min_match=5
+        )
+        mem = sorted((r.id_batch, r.id_hist, r.n_match) for r in p_mem.collect())
+        st = sorted((r.id_batch, r.id_hist, r.n_match) for r in p_st.collect())
+        assert mem == st == [(100, 1, 8), (105, 1, 8), (105, 100, 8)]
+        assert sorted(tuple(r) for r in i_mem.collect()) == sorted(
+            tuple(r) for r in i_st.collect()
+        )
+        assert sorted(tuple(r) for r in r_mem.collect()) == sorted(
+            tuple(r) for r in r_st.collect()
+        )
+        # day 2 through storage: replay of day 1 is a no-op
+        save_state(i_st, r_st, f"{state_dir}/d1")
+        idx2, led2 = load_state(spark, f"{state_dir}/d1")
+        p2, _, _ = incremental_neardup_ingest(
+            idx2, batch, led2, min_match=5
+        )
+        assert p2.collect() == []
+        release_cached(p_mem)
+        release_cached(p_st)
+        release_cached(p2)
+
+    def test_empty_ledger_round_trip(self, spark, state_dir):
+        led = empty_ledger(spark)
+        assert led.columns == ["pair_lo", "pair_hi"]
+        hist = spark.createDataFrame([(1, LONG_A)], ["doc_id", "text"])
+        save_state(neardup_signature_index(hist), None, f"{state_dir}/d0")
+        _idx, led2 = load_state(spark, f"{state_dir}/d0")
+        assert led2.columns == ["pair_lo", "pair_hi"]
+        assert led2.count() == 0

@@ -115,20 +115,21 @@ def main_multiday() -> None:
                 reported.unpersist()
             index, reported = new_index, new_reported
         else:
-            # storage-backed state: write the day's index + ledger,
-            # read them back — lineage truncated, the shape a real
+            # storage-backed state via the r12 API (VERDICT r11 #2):
+            # save_state writes the day's index + ledger, load_state
+            # reads them back — lineage truncated, the shape a real
             # daily pipeline has (state tables on disk)
-            new_index.write.mode("overwrite").parquet(
-                f"{state_dir}/index_d{day}"
+            from analyst_spark.functions.incremental import (
+                load_state,
+                save_state,
             )
-            new_reported.write.mode("overwrite").parquet(
-                f"{state_dir}/ledger_d{day}"
-            )
+
+            save_state(new_index, new_reported, f"{state_dir}/d{day}")
             release_cached(pairs)
             index.unpersist()
-            index = spark.read.parquet(f"{state_dir}/index_d{day}").persist()
+            index, reported = load_state(spark, f"{state_dir}/d{day}")
+            index = index.persist()
             n_idx = index.count()
-            reported = spark.read.parquet(f"{state_dir}/ledger_d{day}")
             n_led = reported.count()
         dt = time.time() - t0
         print(f"{day:>4d} {n_idx:>11d} {n_led:>12d} {dt:>8.2f}s "
