@@ -291,6 +291,14 @@ _register(
     tp.dedup_incremental_embedding,
     tp.DEDUP_INCREMENTAL_EMBEDDING_ORACLE,
 )
+# r12 (VERDICT r11 #3): 3-day embedding lifecycle — probe, index
+# append, ledger threading via the shared incremental module;
+# day-boundary colinear plants prove the append
+_register(
+    "dedup_incremental_embedding_multiday",
+    tp.dedup_incremental_embedding_multiday,
+    tp.DEDUP_INCREMENTAL_EMBEDDING_MULTIDAY_ORACLE,
+)
 _register("dedup_semantic", tp.dedup_semantic, tp.DEDUP_SEMANTIC_ORACLE)
 _register("dedup_semantic_trained", tp.dedup_semantic_trained, None)  # k-means → rows-only
 _register("embeddings_pca", tp.embeddings_pca, None)  # eigendecomp → rows-only
@@ -336,6 +344,14 @@ _register(
     "multimodal_incremental_perceptual",
     mm.multimodal_incremental_perceptual,
     mm.MULTIMODAL_IPD_ORACLE,
+)
+# r12 (VERDICT r11 #3): 3-day perceptual lifecycle through the shared
+# incremental module — day-boundary 1-pixel plants prove the append,
+# same-day plants the intra-batch path
+_register(
+    "multimodal_incremental_multiday",
+    mm.multimodal_incremental_multiday,
+    mm.MULTIMODAL_IMD_ORACLE,
 )
 
 # --- structured streaming (real readStream → memory sink run) -------

@@ -58,11 +58,13 @@ CAL_REFERENCE_PY_SEC = 0.64
 PY_PATH_QUERIES = {
     "dedup_embedding",
     "dedup_incremental_embedding",
+    "dedup_incremental_embedding_multiday",
     "ann_pca_ivf",
     "multimodal_perceptual_dedup",
     "multimodal_audio_perceptual_dedup",
     "multimodal_video_perceptual_dedup",
     "multimodal_incremental_perceptual",
+    "multimodal_incremental_multiday",
 }
 
 
@@ -236,6 +238,10 @@ BENCH_QUERIES = [
     "multimodal_video_perceptual_dedup",
     "multimodal_incremental_perceptual",
     "dedup_incremental_embedding",
+    # r12 additions: the perceptual and embedding 3-day lifecycles
+    # (shared incremental module, day-boundary plants)
+    "multimodal_incremental_multiday",
+    "dedup_incremental_embedding_multiday",
 ]
 
 

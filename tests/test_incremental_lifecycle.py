@@ -189,3 +189,72 @@ class TestStorageBackedState:
         _idx, led2 = load_state(spark, f"{state_dir}/d0")
         assert led2.columns == ["pair_lo", "pair_hi"]
         assert led2.count() == 0
+
+
+class TestCatalogMultidayEntries:
+    """Plant-and-recover pins for the two r12 gated lifecycles —
+    the day-boundary plants can only surface if prior days'
+    signatures actually reached the index (the append proof), and
+    the same-day plants only via the intra-batch path."""
+
+    def test_perceptual_multiday_plants(self, spark):
+        from pyspark.sql import functions as F
+
+        from analyst_spark.plans.catalog import QUERIES
+        from analyst_spark.plans.multimodal_plans import _IPD_OFFSET
+        from analyst_spark.tables import load_tables
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["multimodal_incremental_multiday"](spark, sf)
+        got = {(r.day, r.id_batch, r.id_hist) for r in out.collect()}
+        release_cached(out)
+        docs = load_tables(spark, sf)["documents"]
+        day2_src = [
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 60 == 0).collect()
+        ]
+        day3_same = [
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 60 == 20).collect()
+        ]
+        assert day2_src and day3_same, "fixture must plant twins"
+        # perceptual recall is 1 (pigeonhole): EVERY plant surfaces
+        for h in day2_src:
+            assert (2, h + 2 * _IPD_OFFSET, h) in got, h
+        for h in day3_same:
+            assert (3, h + 4 * _IPD_OFFSET, h) in got, h
+        assert all(day in (1, 2, 3) for day, _b, _h in got)
+        # no pair points forward in time: every partner id entered on
+        # an earlier day or is a smaller same-day id (plant offsets
+        # keep batch ids above their sources)
+        assert all(b != h for _d, b, h in got)
+
+    def test_embedding_multiday_plants(self, spark):
+        from pyspark.sql import functions as F
+
+        from analyst_spark.plans.catalog import QUERIES
+        from analyst_spark.plans.text_plans import _EMB_MD_OFF
+        from analyst_spark.tables import load_tables
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["dedup_incremental_embedding_multiday"](spark, sf)
+        rows = out.collect()
+        release_cached(out)
+        got = {(r.day, r.id_batch, r.id_hist) for r in rows}
+        emb = load_tables(spark, sf)["embeddings"]
+        day2_src = [
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") % 60 == 0).collect()
+        ]
+        day3_same = [
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") % 60 == 20).collect()
+        ]
+        assert day2_src and day3_same, "fixture must plant twins"
+        # colinear twins share every sign bit: recall exactly 1
+        for h in day2_src:
+            assert (2, h + 2 * _EMB_MD_OFF, h) in got, h
+        for h in day3_same:
+            assert (3, h + 4 * _EMB_MD_OFF, h) in got, h
+        # every reported pair is a planted colinear pair: cosine 1.0
+        assert all(r.cosine_sim == 1.0 for r in rows)
