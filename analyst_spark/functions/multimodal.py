@@ -153,6 +153,10 @@ def resize_images(
 # ------------------------------------------ perceptual image dedup
 
 DHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+# 32-bit band values exceed a signed int — the wide signature frame
+# carries its bands as longs (the Hamming engine is width-agnostic:
+# xor + bit_count over whatever integer arrives)
+DHASH128_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
 
 
 def image_dhash_bands(
@@ -160,16 +164,31 @@ def image_dhash_bands(
     image_col: str = "image",
     id_col: str = "doc_id",
     decoder: str = "fake",
+    band_bits: int = 16,
 ) -> DataFrame:
     """dHash perceptual signature of a binary image column (VERDICT
-    r9 #3): decode → luma grid → nearest-neighbor resample to 8×8 →
-    64 horizontal-gradient bits (bit y*8+x is
+    r9 #3): decode → luma grid → nearest-neighbor resample →
+    horizontal-gradient bits (bit y*8+x is
     ``p[y][x] > p[y][(x+1) % 8]`` — the wraparound variant keeps a
-    full 64 bits on an 8×8 grid; classic dHash samples 9×8 for the
-    same reason) — returned as FOUR 16-bit band integers
-    (b0..b3, bits 0-15 / 16-31 / 32-47 / 48-63), never as one
-    64-bit value: the bands are the LSH join key, 16-bit ints hash
-    cleanly cross-engine, and no sign-bit arithmetic is needed.
+    full bit per grid cell; classic dHash samples one extra column
+    for the same reason) — returned as FOUR band integers (b0..b3),
+    never as one packed value: the bands are the LSH join key and
+    band ints hash cleanly cross-engine.
+
+    ``band_bits`` picks the signature WIDTH (VERDICT r11 #1 — the
+    wide-band option):
+
+    * ``16`` (default) — 8×8 grid, 64 bits, four 16-bit bands. Every
+      pre-r12 gate hash is under this default.
+    * ``32`` — 16×8 grid, 128 bits, four 32-bit bands. Same recall
+      contract (the pigeonhole proof in
+      :func:`banded_hamming_pairs` depends only on the band COUNT),
+      but the RANDOM band-collision coefficient drops from
+      4·C(n,2)/2^16 to 4·C(n,2)/2^32 — the r11 decade probe measured
+      ~62M spurious candidates at 1.43M diverse 16-bit signatures
+      (8.2s, SCALE.md), which extrapolates unworkably at ≥10M
+      signatures; at 32-bit bands the same corpus produces ~a
+      thousandth of that. Sign at 32 bits for ≥10M-asset corpora.
 
     Gradient signs survive re-encoding/brightness shifts that change
     raw bytes — the property that makes dHash a NEAR-dup key where
@@ -180,44 +199,59 @@ def image_dhash_bands(
     decoder is rejected outright like :func:`image_features`.
     """
     _require_fake_decoder(decoder)
+    if band_bits not in (16, 32):
+        raise ValueError(
+            f"band_bits={band_bits}: the 4-band split supports 16 "
+            "(64-bit dHash) or 32 (128-bit dHash)"
+        )
 
     from analyst_spark.tables import spread
 
     return spread(df, id_col).mapInPandas(
-        _dhash_worker(image_col, id_col), schema=DHASH_SCHEMA
+        _dhash_worker(image_col, id_col, band_bits),
+        schema=DHASH_SCHEMA if band_bits == 16 else DHASH128_SCHEMA,
     )
 
 
-def _dhash_worker(image_col: str, id_col: str):
+def _dhash_worker(image_col: str, id_col: str, band_bits: int = 16):
     """The dHash mapInPandas generator, factored so the batch entry
     (:func:`image_dhash_bands`) and the STREAMING twin (stateless
     per-row signatures — mapInPandas is stream-legal, spread() is
-    pointless per micro-batch) compute byte-identical signatures."""
+    pointless per micro-batch) compute byte-identical signatures.
+    ``band_bits=16`` → 8×8 grid / 64 bits; ``32`` → 16×8 grid /
+    128 bits (each band covers 4 grid rows instead of 2)."""
+    n_rows = 8 if band_bits == 16 else 16
+    n_bits = n_rows * 8
 
     def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
         import numpy as np
         import pandas as pd
 
-        # output pixel (y, x) of the 8x8 resample reads source index
-        # (y*h DIV 8)*w + (x*w DIV 8); comparison partner is x+1 mod 8
+        # output pixel (y, x) of the grid resample reads source index
+        # (y*h DIV n_rows)*w + (x*w DIV 8); comparison partner is
+        # x+1 mod 8 within the row
         for pdf in batches:
             ids, grids = [], []
             for doc_id, buf in zip(pdf[id_col], pdf[image_col]):
                 b = bytes(buf)
                 w, h, c, _ = _decode_fake(b)
                 px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=20)
-                sy = (np.arange(8) * h) // 8
+                sy = (np.arange(n_rows) * h) // n_rows
                 sx = (np.arange(8) * w) // 8
                 grids.append(px[(sy[:, None] * w + sx[None, :]).ravel()])
                 ids.append(int(doc_id))
             if not ids:
                 continue
-            g = np.stack(grids).astype(np.int32)  # (n, 64)
-            nbr = (np.arange(64) // 8) * 8 + ((np.arange(64) % 8) + 1) % 8
-            bits = (g > g[:, nbr]).astype(np.int64)  # (n, 64)
-            weights = 1 << (np.arange(64) % 16)
+            g = np.stack(grids).astype(np.int32)  # (n, n_bits)
+            idx = np.arange(n_bits)
+            nbr = (idx // 8) * 8 + ((idx % 8) + 1) % 8
+            bits = (g > g[:, nbr]).astype(np.int64)  # (n, n_bits)
+            weights = np.int64(1) << (idx % band_bits)
             bands = [
-                (bits[:, k * 16 : (k + 1) * 16] * weights[: 16]).sum(axis=1)
+                (
+                    bits[:, k * band_bits : (k + 1) * band_bits]
+                    * weights[:band_bits]
+                ).sum(axis=1)
                 for k in range(4)
             ]
             yield pd.DataFrame(
@@ -306,14 +340,26 @@ def banded_hamming_pairs(
     max_bucket_size: int | None = None,
     group_col: str | None = None,
 ) -> DataFrame:
-    """Banded Hamming self-join over ANY (doc_id, b0..b3) 64-bit
-    signature frame — the shared engine under the image dHash and
-    audio fingerprint near-dup joins. Pigeonhole recall-1: a pair at
-    distance <= 3 differs in at most 3 of the 4 disjoint 16-bit
-    bands, so at least one band is identical and the (band, value)
-    equi-join finds it; verification is 4 xor+bit_count JVM ops per
-    candidate. The signature frame is persisted and materialized
-    before the self-join plans (the _fill_cache discipline).
+    """Banded Hamming self-join over ANY (doc_id, b0..b3) signature
+    frame — the shared engine under the image dHash and audio
+    fingerprint near-dup joins. Pigeonhole recall-1: a pair at
+    distance <= 3 differs in at most 3 of the 4 disjoint bands, so at
+    least one band is identical and the (band, value) equi-join finds
+    it; verification is 4 xor+bit_count JVM ops per candidate. The
+    signature frame is persisted and materialized before the
+    self-join plans (the _fill_cache discipline).
+
+    The engine is band-WIDTH agnostic (r12, VERDICT r11 #1): the
+    recall proof depends only on the band COUNT (4), while the
+    random-collision coefficient is 4·C(n,2)/2^band_bits — width is
+    chosen where signatures are made
+    (:func:`image_dhash_bands(band_bits=32)` emits a 128-bit dHash
+    as four 32-bit long bands through this identical join). The r11
+    decade probe measured ~62M collision candidates at 1.43M diverse
+    16-bit signatures; the r12 wide-band probe (SCALE.md,
+    tools/r12_probe.py wideband) shows the 32-bit form bounded with
+    planted recall 1.0 at 10M signatures, where 16-bit banding is
+    untenable (~3.1e9 expected candidates).
 
     ``max_distance`` must be < 4 (the band count): at distance >= 4
     every band can differ and the pigeonhole guarantee evaporates —

@@ -331,6 +331,13 @@ _register(
     mm.multimodal_audio_perceptual_dedup,
     mm.MULTIMODAL_APD_ORACLE,
 )
+# r12 (VERDICT r11 #1): wide-band variant — 128-bit dHash, 4×32-bit
+# bands, identical engine; the ≥10M-signature configuration
+_register(
+    "multimodal_perceptual_dedup_wide",
+    mm.multimodal_perceptual_dedup_wide,
+    mm.MULTIMODAL_WDUP_ORACLE,
+)
 # r11 (VERDICT r10 #5): video — per-frame dHash through the same
 # engine frame-aligned, clip decision by strict frame-majority
 _register(

@@ -257,6 +257,123 @@ WHERE {ham} <= {_PDUP_MAX_DIST}
 MULTIMODAL_PDUP_ORACLE = _perceptual_oracle()
 
 
+_WDUP_OFFSET = 60_000_000
+_WDUP_STEP = 7
+_WDUP_MAX_DIST = 3
+
+
+def multimodal_perceptual_dedup_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WIDE-BAND perceptual image near-dup (r12, VERDICT r11 #1):
+    the 128-bit dHash variant — 16×8 gradient grid, four 32-bit
+    bands — through the SAME banded Hamming engine and recall
+    contract as ``multimodal_perceptual_dedup``. The point of the
+    width is scale: random band collisions cost 4·C(n,2)/2^band_bits
+    candidate pairs, so at ≥10M corpus signatures the 16-bit form
+    drowns in ~3e9 spurious candidates while the 32-bit form stays
+    bounded (tools/r12_probe.py wideband, SCALE.md r12 row). This
+    entry pins the wide path's exact semantics at gate scale.
+
+    Corpus: 8×16 fake images (so the 16-row grid is non-degenerate;
+    pixel i of doc d = (d*31 + i*7) % 251, flat index = grid index).
+    Plant-and-recover: every 7th doc reappears under doc_id + 60M
+    with pixel 0 := 255 — at most 2 of the 128 bits flip, so every
+    twin surfaces at hamming <= 2; byte-identical (d, d+251)
+    generator collisions must surface at hamming 0. Oracle derives
+    every signature arithmetically per (content-class, perturbed)
+    pair."""
+    from analyst_spark.functions.multimodal import (
+        banded_hamming_pairs,
+        encode_fake_image,
+        image_dhash_bands,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bufs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                buf = bytearray(encode_fake_image(d, 8, 16))
+                ids.append(d)
+                bufs.append(buf)
+                if d % _WDUP_STEP == 0:
+                    twin = bytearray(buf)
+                    twin[20] = 255  # pixel 0 (20-byte header) := 255
+                    ids.append(d + _WDUP_OFFSET)
+                    bufs.append(twin)
+            yield pd.DataFrame(
+                {"doc_id": ids, "mime": "image/x-fake", "image": bufs}
+            )
+
+    corpus = spread(docs, "doc_id").mapInPandas(
+        gen, "doc_id long, mime string, image binary"
+    )
+    return banded_hamming_pairs(
+        image_dhash_bands(corpus, band_bits=32),
+        max_distance=_WDUP_MAX_DIST,
+    )
+
+
+def _perceptual_wide_oracle() -> str:
+    # 8×16 image, 16×8 grid ⇒ the sampled pixel of bit b IS flat
+    # index b; neighbor = horizontal wraparound within the 8-pixel
+    # row. Signatures depend on doc_id only through (doc_id % 251,
+    # pert) — derive the 502 classes, join classes, expand to docs.
+    px1 = (
+        "CASE WHEN c.pert AND g.b = 0 THEN 255 "
+        "ELSE (c.src * 31 + g.b * 7) % 251 END"
+    )
+    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
+    px2 = (
+        f"CASE WHEN c.pert AND {nbr} = 0 THEN 255 "
+        f"ELSE (c.src * 31 + {nbr} * 7) % 251 END"
+    )
+    band_cols = ", ".join(
+        f"CAST(max(CASE WHEN band = {k} THEN v END) AS BIGINT) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    return f"""
+WITH all_docs AS (
+    SELECT doc_id, doc_id % 251 AS src, false AS pert FROM documents
+    UNION ALL
+    SELECT doc_id + {_WDUP_OFFSET}, doc_id % 251, true FROM documents
+    WHERE doc_id % {_WDUP_STEP} = 0
+), classes AS (
+    SELECT DISTINCT src, pert FROM all_docs
+), bits AS (
+    SELECT c.src, c.pert, g.b // 32 AS band, g.b % 32 AS pos,
+           CASE WHEN ({px1}) > ({px2}) THEN 1 ELSE 0 END AS bit
+    FROM classes c CROSS JOIN (SELECT unnest(range(128)) AS b) g
+), bands AS (
+    SELECT src, pert, band,
+           sum(bit * (CAST(1 AS BIGINT) << pos)) AS v
+    FROM bits GROUP BY src, pert, band
+), sigs AS (
+    SELECT src, pert, {band_cols} FROM bands GROUP BY src, pert
+), cp AS (
+    SELECT a.src AS src_a, a.pert AS pert_a,
+           b.src AS src_b, b.pert AS pert_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM sigs a CROSS JOIN sigs b
+    WHERE {ham} <= {_WDUP_MAX_DIST}
+)
+SELECT da.doc_id AS id_a, db.doc_id AS id_b, cp.hamming
+FROM cp
+JOIN all_docs da ON da.src = cp.src_a AND da.pert = cp.pert_a
+JOIN all_docs db ON db.src = cp.src_b AND db.pert = cp.pert_b
+WHERE da.doc_id < db.doc_id
+"""
+
+
+MULTIMODAL_WDUP_ORACLE = _perceptual_wide_oracle()
+
+
 _APD_OFFSET = 30_000_000
 _APD_STEP = 9
 _APD_MAX_DIST = 3

@@ -65,6 +65,7 @@ PY_PATH_QUERIES = {
     "multimodal_video_perceptual_dedup",
     "multimodal_incremental_perceptual",
     "multimodal_incremental_multiday",
+    "multimodal_perceptual_dedup_wide",
 }
 
 
@@ -239,9 +240,12 @@ BENCH_QUERIES = [
     "multimodal_incremental_perceptual",
     "dedup_incremental_embedding",
     # r12 additions: the perceptual and embedding 3-day lifecycles
-    # (shared incremental module, day-boundary plants)
+    # (shared incremental module, day-boundary plants), and the
+    # wide-band (128-bit dHash / 32-bit bands) perceptual variant —
+    # the >=10M-signature configuration
     "multimodal_incremental_multiday",
     "dedup_incremental_embedding_multiday",
+    "multimodal_perceptual_dedup_wide",
 ]
 
 
