@@ -894,6 +894,8 @@ FROM wins
 # ------------------------------------------------- BPE training
 
 _BPE_MERGES = 8
+_BPE_BATCHED_MERGES = 32
+_BPE_BATCH = 8
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,7 +934,7 @@ def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analyst_spark.functions.bpe import bpe_train
 
     docs = load_tables(spark, sf_dir)["documents"]
-    merges = bpe_train(docs, num_merges=32, batch=8)
+    merges = bpe_train(docs, num_merges=_BPE_BATCHED_MERGES, batch=_BPE_BATCH)
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_rank long, left string, right string, pair_count long",

@@ -111,6 +111,8 @@ def test_banded_gates_cover_trained_ann_family():
         "docs_stratified_sample",
         "docs_bpe_tokenize_pack",
         "docs_quality_classifier",
+        "bpe_train_merges",
+        "bpe_train_batched",
     ):
         assert name in vl.BANDED_CHECKS, name
 

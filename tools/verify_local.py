@@ -298,10 +298,17 @@ def _check_lineitem_profile_approx(con, scols, srows):
 # -- measured-recall gates for the trained/projected ANN family
 # (VERDICT r10 #4): these entries are iterative (k-means / eigen-
 # decomposition), so no hash oracle exists — but their QUALITY is
-# measurable against the exact-cosine oracle list. Floors come from
-# the measured values at both gate decades (r11): ann_pca_ivf 0.72 /
-# 0.72, ann_ivf_trained 0.84 / 1.00, twin recall 1.00 / 1.00,
-# PCA explained variance == the true top-8 eigenvalue sum exactly.
+# measurable against the exact-cosine oracle list. Floors are set at
+# the GATE-variant measured minimum across both decades minus a small
+# margin (r12 sweep, SCALE.md "r12: floor sweep"): ann_pca_ivf 0.72 /
+# 0.72 -> floor 0.68; ann_ivf_trained 0.84 / 1.00 -> floor 0.80;
+# twin recall 1.00 / 1.00; PCA explained variance == the true top-8
+# eigenvalue sum exactly. The gate corpus+query set is FIXED, so the
+# gate value is deterministic — the same pipelines measured on other
+# disjoint 5-query sets spread 0.56-0.90 (recorded in the sweep),
+# which is query-set sensitivity, not gate noise; the floor pins the
+# fixed variant and would need re-derivation if the testdata
+# generator ever changed.
 
 def _ann_recall_exact_sql() -> str:
     # derive query count / k from the catalog constants the gated
@@ -519,9 +526,10 @@ def _check_quality_classifier(con, scols, srows):
     """docs_quality_classifier: the label column must equal the
     Gopher oracle EXACTLY (weak labels are SQL-expressible — the
     gopher entry is hash-gated), and training accuracy must clear
-    the measured floor 0.70 (IRLS reaches 0.78-0.81 at the three
-    decades; the retired hashed-GD recipe sat at the 0.63 majority
-    rate, which this gate would now catch)."""
+    the measured floor 0.75 (r12 sweep: IRLS reaches 0.78-0.81 at
+    the gate decades and >= 0.759 on every doc_id%5 corpus slice,
+    SCALE.md "r12: floor sweep"; the retired hashed-GD recipe sat at
+    the 0.63 majority rate, which this gate catches with margin)."""
     from analyst_spark.plans.pipeline_plans import DOCS_GOPHER_ORACLE
 
     problems = []
@@ -552,11 +560,114 @@ def _check_quality_classifier(con, scols, srows):
     acc = sum(
         1 for r in got.values() if bool(r[idx["pred"]]) == bool(r[idx["label"]])
     ) / len(got)
-    if acc < 0.70:
+    if acc < 0.75:
         problems.append(
-            f"training accuracy {acc:.4f} below measured floor 0.70"
+            f"training accuracy {acc:.4f} below measured floor 0.75"
         )
     return problems, len(truth)
+
+
+def _bpe_replay(word_counts, num_merges, batch, min_pair_count=2):
+    """Independent replay of the documented BPE selection rule over
+    DuckDB-derived word counts (VERDICT r11 #6): per iteration, pair
+    counts under all previously applied merges; candidates sorted
+    (count desc, left asc, right asc) within the k = 8·want + 32
+    horizon; greedy non-interacting batch selection (a candidate is
+    rejected when its left/right/output collides with an
+    already-accepted merge's symbols). This is the defining argmax
+    invariant — merge i must be the top surviving candidate under
+    merges 1..i-1 — executed here without importing the trainer."""
+    from collections import Counter
+
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    while len(merges) < num_merges:
+        counts = Counter()
+        for w, s in syms.items():
+            c = word_counts[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += c
+        if not counts:
+            break
+        want = min(batch, num_merges - len(merges))
+        k = 8 * want + 32
+        cands = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        chosen, used = [], set()
+        for (a, b), n in cands:
+            if n < min_pair_count or len(chosen) >= want:
+                break
+            o = a + b
+            if a in used or b in used or o in used:
+                continue
+            chosen.append((a, b, n))
+            used.update((a, b, o))
+        if not chosen:
+            break
+        merges.extend(chosen)
+        table = {(a, b): a + b for a, b, _ in chosen}
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and (out[-1], x) in table:
+                    out[-1] = table[(out[-1], x)]
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+def _check_bpe_train(mode):
+    def check(con, scols, srows):
+        from analyst_spark.functions.bpe import MAX_BPE_WORD_CHARS
+        from analyst_spark.plans.pipeline_plans import (
+            _BPE_BATCH,
+            _BPE_BATCHED_MERGES,
+            _BPE_MERGES,
+        )
+
+        num_merges, batch = (
+            (_BPE_MERGES, 1)
+            if mode == "sequential"
+            else (_BPE_BATCHED_MERGES, _BPE_BATCH)
+        )
+
+        problems = []
+        want = {"merge_rank", "left", "right", "pair_count"}
+        scols_l = [c.lower() for c in scols]
+        if set(scols_l) != want:
+            return [f"cols spark={scols_l} want={sorted(want)}"], 0
+        wc = dict(
+            con.sql(
+                "SELECT w, CAST(count(*) AS BIGINT) FROM ("
+                "SELECT unnest(regexp_split_to_array(trim(lower(text)),"
+                " '\\s+')) AS w FROM documents)"
+                f" WHERE w <> '' AND length(w) <= {MAX_BPE_WORD_CHARS}"
+                " GROUP BY w"
+            ).fetchall()
+        )
+        expect = _bpe_replay(wc, num_merges, batch)
+        idx = {c: scols_l.index(c) for c in want}
+        got = [
+            (r[idx["left"]], r[idx["right"]], r[idx["pair_count"]])
+            for r in sorted(srows, key=lambda r: r[idx["merge_rank"]])
+        ]
+        ranks = sorted(r[idx["merge_rank"]] for r in srows)
+        if ranks != list(range(1, len(srows) + 1)):
+            problems.append("merge_rank not contiguous from 1")
+        if got != expect:
+            diff = next(
+                (i for i, (g, e) in enumerate(zip(got, expect)) if g != e),
+                min(len(got), len(expect)),
+            )
+            problems.append(
+                f"merge sequence diverges from the replayed argmax "
+                f"rule at rank {diff + 1}: spark={got[diff:diff+2]} "
+                f"replay={expect[diff:diff+2]} "
+                f"(n spark={len(got)} replay={len(expect)})"
+            )
+        return problems, len(expect)
+
+    return check
 
 
 BANDED_CHECKS = {
@@ -567,8 +678,8 @@ BANDED_CHECKS = {
     "docs_bpe_tokenize_pack": _check_bpe_pack,
     "docs_quality_classifier": _check_quality_classifier,
     # VERDICT r10 #4 — measured-recall/variance gates
-    "ann_pca_ivf": _check_ann_recall(0.60),
-    "ann_ivf_trained": _check_ann_recall(0.75),
+    "ann_pca_ivf": _check_ann_recall(0.68),
+    "ann_ivf_trained": _check_ann_recall(0.80),
     "dedup_semantic_trained": _check_semantic_trained_twins,
     "embeddings_pca": _check_pca_variance,
     "lineitem_profile_approx": _check_lineitem_profile_approx,
@@ -578,6 +689,12 @@ BANDED_CHECKS = {
     # identical contract: stream-built sketch + exact head (the blob
     # itself is pinned bit-equal to batch in tests/test_advice_r8.py)
     "streaming_heavy_hitters_cms": _check_heavy_hitters_cms,
+    # r12 (VERDICT r11 #6): the last two rows-only entries gated —
+    # the reported merge table must equal the argmax selection rule
+    # replayed over DuckDB-derived word counts (num_merges/batch
+    # mirror the catalog entries' literals)
+    "bpe_train_merges": _check_bpe_train("sequential"),
+    "bpe_train_batched": _check_bpe_train("batched"),
 }
 
 
