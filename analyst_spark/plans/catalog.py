@@ -270,6 +270,13 @@ _register(
     tp.dedup_incremental_multiday,
     tp.DEDUP_INCREMENTAL_MULTIDAY_ORACLE,
 )
+# r12: the registry the lifecycle feeds — connected components over
+# the cumulative 3-day pair set, min-id representative per group
+_register(
+    "dedup_incremental_clusters",
+    tp.dedup_incremental_clusters,
+    tp.DEDUP_INCREMENTAL_CLUSTERS_ORACLE,
+)
 # r10 streaming twin: stateless per-row signatures + stream-static
 # probe; deterministic integers => row-identical to batch, same oracle
 _register(

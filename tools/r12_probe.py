@@ -110,7 +110,162 @@ def main_wideband() -> None:
             )
 
 
+def main_hamming_days() -> None:
+    """10-day incremental PERCEPTUAL lifecycle through the storage
+    API (VERDICT r11 #3 follow-through at probe scale): history
+    starts at 1M diverse signatures; each day ingests a fixed 100k
+    batch (diverse sigs + 1k twins of history rows — last band XOR
+    1) via incremental_hamming_ingest, state written/re-read with
+    save_state/load_state per day. Claim: per-day wall FLAT as the
+    index grows by 100k/day; twin pairs recovered every day."""
+    import shutil
+
+    from analyst_spark.functions.incremental import load_state, save_state
+    from analyst_spark.functions.multimodal import incremental_hamming_ingest
+
+    n_days = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("r12_hamming_days")
+    state_dir = "/tmp/r12_hamming_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    hist = _diverse_sigs(spark, 1_000_000, 32).filter(
+        F.col("doc_id") < 1_000_000
+    )  # drop the generator's built-in twins; days plant their own
+    index = hist.persist()
+    n0 = index.count()
+    reported = None
+    print(f"initial index: {n0} sigs; 100k/day + 1k planted twins",
+          flush=True)
+    print(f"{'day':>4s} {'index rows':>11s} {'ledger rows':>12s} "
+          f"{'day wall':>9s} {'pairs':>7s} {'twins':>6s}", flush=True)
+    for day in range(1, n_days + 1):
+        base = day * 10_000_000
+        fresh = _diverse_sigs(spark, 100_000, 32).filter(
+            F.col("doc_id") < 100_000
+        ).select(
+            (F.col("doc_id") + base).alias("doc_id"),
+            # re-derive bands from the offset id so each day's corpus
+            # is distinct
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                (F.col("doc_id") + base).cast("string"),
+                                F.lit(f"|d{k}"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias(f"b{k}")
+                for k in range(4)
+            ],
+        )
+        twins = index.filter(
+            (F.col("doc_id") % 997 == day) & (F.col("doc_id") < 1_000_000)
+        ).limit(1000).select(
+            (F.col("doc_id") + base + 5_000_000).alias("doc_id"),
+            "b0",
+            "b1",
+            "b2",
+            F.expr("CAST(b3 ^ 1 AS BIGINT)").alias("b3"),
+        )
+        batch = fresh.unionByName(twins)
+        t0 = time.time()
+        pairs, new_index, new_reported = incremental_hamming_ingest(
+            index, batch, reported
+        )
+        n_pairs = pairs.count()
+        n_twins = pairs.filter(F.col("id_batch") >= base + 5_000_000).count()
+        save_state(new_index, new_reported, f"{state_dir}/d{day}")
+        release_cached(pairs)
+        index.unpersist()
+        index, reported = load_state(spark, f"{state_dir}/d{day}")
+        index = index.persist()
+        n_idx = index.count()
+        n_led = reported.count()
+        dt = time.time() - t0
+        print(f"{day:>4d} {n_idx:>11d} {n_led:>12d} {dt:>8.2f}s "
+              f"{n_pairs:>7d} {n_twins:>6d}", flush=True)
+
+
+def main_embedding_days() -> None:
+    """10-day incremental EMBEDDING lifecycle through the storage
+    API: history = the sf0.1 non-batch vectors (jittered ×hist_f);
+    each day ingests the fixed %4==0 slice re-id'd per day plus 50
+    colinear twins of history vectors. Per-day wall must stay flat;
+    the 50 plants must surface every day."""
+    import shutil
+
+    from analyst_spark.functions.incremental import load_state, save_state
+    from analyst_spark.functions.similarity import (
+        embedding_index,
+        incremental_embedding_ingest,
+    )
+    from analyst_spark.tables import load_tables
+
+    n_days = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("r12_embedding_days")
+    state_dir = "/tmp/r12_embedding_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    emb = load_tables(spark, "/root/testdata/sf0.1")["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    is_new = F.col("vec_id") % 4 == 0
+    hist = emb.filter(~is_new)
+    base_batch = emb.filter(is_new).persist()
+    n_batch = base_batch.count()
+    index = embedding_index(hist).persist()
+    n0 = index.count()
+    plants_src = hist.filter(F.col("vec_id") % 40 == 1).limit(50)
+    reported = None
+    print(f"initial index: {n0} vectors; {n_batch}/day + 50 plants",
+          flush=True)
+    print(f"{'day':>4s} {'index rows':>11s} {'ledger rows':>12s} "
+          f"{'day wall':>9s} {'pairs':>7s} {'twins':>6s}", flush=True)
+    for day in range(1, n_days + 1):
+        base = day * 10_000_000
+        day_batch = base_batch.select(
+            (F.col("vec_id") + base).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, i) -> x + {day} * (i + 1) * 1e-4)"
+            ).alias("embedding"),
+        ).unionByName(
+            plants_src.select(
+                (F.col("vec_id") + base + 5_000_000).alias("vec_id"),
+                F.expr("transform(embedding, x -> x * 2.0)").alias(
+                    "embedding"
+                ),
+            )
+        )
+        t0 = time.time()
+        pairs, new_index, new_reported = incremental_embedding_ingest(
+            index, day_batch, 0.9, reported, dim=64
+        )
+        n_pairs = pairs.count()
+        n_twins = pairs.filter(
+            F.col("id_batch") >= base + 5_000_000
+        ).count()
+        save_state(new_index, new_reported, f"{state_dir}/d{day}")
+        release_cached(pairs)
+        index.unpersist()
+        index, reported = load_state(spark, f"{state_dir}/d{day}")
+        index = index.persist()
+        n_idx = index.count()
+        n_led = reported.count()
+        dt = time.time() - t0
+        print(f"{day:>4d} {n_idx:>11d} {n_led:>12d} {dt:>8.2f}s "
+              f"{n_pairs:>7d} {n_twins:>6d}", flush=True)
+    base_batch.unpersist()
+
+
 if __name__ == "__main__":
     {
         "wideband": main_wideband,
+        "hamming_days": main_hamming_days,
+        "embedding_days": main_embedding_days,
     }[sys.argv[1]]()
