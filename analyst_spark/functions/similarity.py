@@ -1076,3 +1076,93 @@ def incremental_embedding_ingest(
         id_col=id_col,
     )
     return _with_cached_deps(pairs, bidx), new_index, new_reported
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid — ONE
+    inverted-list row (id, centroid_id, __cv) per vector, under the
+    exact tie rule the whole ANN family uses (cosine rounded to 6
+    desc, centroid_id asc). ``cents`` is a (centroid_id, __cent)
+    frame (broadcast — centroid tables are KB-sized by construction).
+
+    The maintained-serving-index contract (r12): assignment depends
+    ONLY on the centroid table, so the inverted-list frame is
+    APPEND-ONLY state — ``ivf_assign(batch) ∪ lists`` is
+    row-identical to ``ivf_assign(history ∪ batch)``, which is what
+    lets a daily ingest extend the ANN index without touching
+    history vectors (pinned in tests/test_similarity.py)."""
+    sim_to_cent = F.round(cosine(F.col("__v"), F.col("__cent")), 6)
+    c = spread(corpus, id_col).select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    )
+    return (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", sim_to_cent)
+        .withColumn(
+            "__crn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("__csim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__crn") == 1)
+        .select(id_col, "centroid_id", F.col("__v").alias("__cv"))
+    )
+
+
+def ivf_topk_from_lists(
+    inv_lists: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a MAINTAINED inverted-list frame (the output of
+    :func:`ivf_assign`, possibly grown across many ingests): each
+    query probes its ``n_probe`` nearest lists and exact-reranks the
+    candidates — identical scoring/tie rules to :func:`ivf_topk`,
+    which builds the lists inline; this form consumes them as state.
+    At scale ``inv_lists`` is a centroid_id-partitioned stored table,
+    so the probe join prunes to the probed lists' partitions."""
+    sim_to_cent = F.round(cosine(F.col("__v"), F.col("__cent")), 6)
+    q = queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", sim_to_cent)
+        .withColumn(
+            "__crn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.col("__csim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__crn") <= n_probe)
+        .select(
+            F.col("__id").alias("query_id"),
+            "centroid_id",
+            F.col("__v").alias("__qv"),
+        )
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        inv_lists.join(F.broadcast(probes), ["centroid_id"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "cosine_sim")
+    )

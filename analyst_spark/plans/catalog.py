@@ -317,6 +317,13 @@ _register("docs_quality_classifier", pp.docs_quality_classifier, None)  # iterat
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
 _register("ann_lsh_topk", tp.ann_lsh_topk, tp.ANN_LSH_ORACLE)  # planes embedded as literals
 _register("ann_ivf_topk", tp.ann_ivf_topk, tp.ANN_IVF_ORACLE)
+# r12: maintained serving index — history lists built once, batch
+# assigned against the same centroids and appended; append ≡ rebuild
+# because assignment depends only on the centroid table, so the
+# entry stays hash-gateable
+_register(
+    "ann_ivf_incremental", tp.ann_ivf_incremental, tp.ANN_IVF_INCREMENTAL_ORACLE
+)
 _register("ann_ivf_trained", tp.ann_ivf_trained, None)  # k-means lists → rows-only
 _register("knn_label_propagation", tp.knn_label_propagation, tp.KNN_LABEL_ORACLE)
 

@@ -323,3 +323,47 @@ def test_incremental_embedding_catalog_plants(spark):
     assert planted
     for v in planted:
         assert got.get((v + _IEMB_OFFSET, v)) == 1.0, v
+
+
+def test_ivf_append_equals_rebuild(spark):
+    """r12 maintained-serving-index contract: because assignment
+    depends only on the centroid table, appending a new batch's list
+    rows to the history lists is ROW-IDENTICAL to rebuilding the
+    lists over the union — and top-k from either frame matches."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk_from_lists,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = (
+        hist.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("__cent"),
+        )
+    )
+    appended = ivf_assign(hist, cents).unionByName(ivf_assign(batch, cents))
+    rebuilt = ivf_assign(emb, cents)
+    key = lambda r: (r.vec_id, r.centroid_id)
+    assert sorted(map(key, appended.collect())) == sorted(
+        map(key, rebuilt.collect())
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    got_a = ivf_topk_from_lists(appended, queries, cents, k=5, n_probe=2)
+    got_r = ivf_topk_from_lists(rebuilt, queries, cents, k=5, n_probe=2)
+    tup = lambda r: (r.query_id, r.vec_id, r.rank, r.cosine_sim)
+    assert sorted(map(tup, got_a.collect())) == sorted(
+        map(tup, got_r.collect())
+    )
