@@ -87,6 +87,21 @@ def lifecycle_day(
     lo = F.least("id_batch", "id_hist").alias("pair_lo")
     hi = F.greatest("id_batch", "id_hist").alias("pair_hi")
     if reported is not None:
+        # The ledger subtree is referenced TWICE in the returned
+        # frames (anti-join right side here, union branch of
+        # new_reported below). When both references carry the same
+        # live exchange lineage, Spark's exchange reuse + AQE can
+        # hand a codegen sort-merge join two inputs coalesced to
+        # DIFFERENT partition counts — an intermittent "Can't zip
+        # RDDs with unequal numbers of partitions" (observed ~1/6
+        # runs on the replay path; r12 review). A lazy local
+        # checkpoint materializes the ledger once on first use, so
+        # every reference scans the same RDD. Storage-backed callers
+        # (load_state) already arrive lineage-free and at 100 TB the
+        # ledger is a stored table — this only affects bounded
+        # in-query folds, whose ledgers are pair-list-sized.
+        reported = reported.localCheckpoint(eager=False)
+    if reported is not None:
         pairs = (
             pairs.withColumn("pair_lo", F.least("id_batch", "id_hist"))
             .withColumn("pair_hi", F.greatest("id_batch", "id_hist"))

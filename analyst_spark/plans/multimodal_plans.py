@@ -213,24 +213,39 @@ def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_dedup_pairs(corpus, max_distance=_PDUP_MAX_DIST)
 
 
+def _dhash_sql_fragments(alias: str, band_bits: int = 16):
+    """The dHash-arithmetic SQL fragments every image oracle shares
+    (r12 review: four inline copies had accumulated): pixel
+    expressions for a gradient bit and its wraparound neighbor under
+    the fake-codec arithmetic (pixel i of class src = (src*31 + i*7)
+    % 251; perturbed classes override pixel 0 with 255), the four
+    band-column aggregates, and the xor/bit_count Hamming sum.
+    ``alias`` is the class/doc table alias carrying src+pert;
+    ``band_bits`` picks 16 (64-bit dHash, INT bands) or 32 (128-bit,
+    BIGINT bands). Returns (px1, px2, band_cols, ham)."""
+    px1 = (
+        f"CASE WHEN {alias}.pert AND g.b = 0 THEN 255 "
+        f"ELSE ({alias}.src * 31 + g.b * 7) % 251 END"
+    )
+    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
+    px2 = (
+        f"CASE WHEN {alias}.pert AND {nbr} = 0 THEN 255 "
+        f"ELSE ({alias}.src * 31 + {nbr} * 7) % 251 END"
+    )
+    cast = "INT" if band_bits == 16 else "BIGINT"
+    band_cols = ", ".join(
+        f"CAST(max(CASE WHEN band = {k} THEN v END) AS {cast}) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    return px1, px2, band_cols, ham
+
+
 def _perceptual_oracle() -> str:
     # pixel i: originals (src*31 + i*7) % 251; twins override i=0
     # with 255. dHash bit b compares flat index b against its
     # horizontal wraparound neighbor (b DIV 8)*8 + ((b%8)+1)%8.
-    px1 = (
-        "CASE WHEN d.pert AND g.b = 0 THEN 255 "
-        "ELSE (d.src * 31 + g.b * 7) % 251 END"
-    )
-    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
-    px2 = (
-        f"CASE WHEN d.pert AND {nbr} = 0 THEN 255 "
-        f"ELSE (d.src * 31 + {nbr} * 7) % 251 END"
-    )
-    band_cols = ", ".join(
-        f"CAST(max(CASE WHEN band = {k} THEN v END) AS INT) AS b{k}"
-        for k in range(4)
-    )
-    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    px1, px2, band_cols, ham = _dhash_sql_fragments("d")
     return f"""
 WITH all_docs AS (
     SELECT doc_id, doc_id % 251 AS src, false AS pert FROM documents
@@ -324,20 +339,7 @@ def _perceptual_wide_oracle() -> str:
     # index b; neighbor = horizontal wraparound within the 8-pixel
     # row. Signatures depend on doc_id only through (doc_id % 251,
     # pert) — derive the 502 classes, join classes, expand to docs.
-    px1 = (
-        "CASE WHEN c.pert AND g.b = 0 THEN 255 "
-        "ELSE (c.src * 31 + g.b * 7) % 251 END"
-    )
-    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
-    px2 = (
-        f"CASE WHEN c.pert AND {nbr} = 0 THEN 255 "
-        f"ELSE (c.src * 31 + {nbr} * 7) % 251 END"
-    )
-    band_cols = ", ".join(
-        f"CAST(max(CASE WHEN band = {k} THEN v END) AS BIGINT) AS b{k}"
-        for k in range(4)
-    )
-    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    px1, px2, band_cols, ham = _dhash_sql_fragments("c", band_bits=32)
     return f"""
 WITH all_docs AS (
     SELECT doc_id, doc_id % 251 AS src, false AS pert FROM documents
@@ -551,20 +553,7 @@ def multimodal_incremental_perceptual(
 
 
 def _incremental_perceptual_oracle() -> str:
-    px1 = (
-        "CASE WHEN d.pert AND g.b = 0 THEN 255 "
-        "ELSE (d.src * 31 + g.b * 7) % 251 END"
-    )
-    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
-    px2 = (
-        f"CASE WHEN d.pert AND {nbr} = 0 THEN 255 "
-        f"ELSE (d.src * 31 + {nbr} * 7) % 251 END"
-    )
-    band_cols = ", ".join(
-        f"CAST(max(CASE WHEN band = {k} THEN v END) AS INT) AS b{k}"
-        for k in range(4)
-    )
-    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    px1, px2, band_cols, ham = _dhash_sql_fragments("d")
     return f"""
 WITH all_docs AS (
     SELECT doc_id, doc_id % 251 AS src, false AS pert,
@@ -710,20 +699,7 @@ def _incremental_multiday_perceptual_oracle() -> str:
     # (252k evals instead of |docs|²), then expand to doc pairs with
     # the day ordering — same result as the brute-force join, decades
     # faster in DuckDB.
-    px1 = (
-        "CASE WHEN c.pert AND g.b = 0 THEN 255 "
-        "ELSE (c.src * 31 + g.b * 7) % 251 END"
-    )
-    nbr = "((g.b // 8) * 8 + ((g.b % 8) + 1) % 8)"
-    px2 = (
-        f"CASE WHEN c.pert AND {nbr} = 0 THEN 255 "
-        f"ELSE (c.src * 31 + {nbr} * 7) % 251 END"
-    )
-    band_cols = ", ".join(
-        f"CAST(max(CASE WHEN band = {k} THEN v END) AS INT) AS b{k}"
-        for k in range(4)
-    )
-    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    px1, px2, band_cols, ham = _dhash_sql_fragments("c")
     plant = (
         "SELECT doc_id + {f} * {off} AS doc_id, doc_id % 251 AS src,\n"
         "           true AS pert, {day} AS day\n"

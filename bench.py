@@ -148,7 +148,10 @@ def _calibration_probe_py(spark):
 # bench SF, the shape v3 removed); the bench row moves to
 # agg_quantile_sketch, the default-accuracy production sketch, which
 # is the identical plan the old row measured.
-HEADLINE_VERSION = 11
+# v12 (r12): + the perceptual/embedding 3-day lifecycles, the
+# wide-band (32-bit) perceptual variant, and the maintained IVF
+# serving index — the r12 additions, each tagged below.
+HEADLINE_VERSION = 12
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -246,6 +249,12 @@ BENCH_QUERIES = [
     "multimodal_incremental_multiday",
     "dedup_incremental_embedding_multiday",
     "multimodal_perceptual_dedup_wide",
+    # r12: maintained IVF serving index (append == rebuild);
+    # dedup_incremental_clusters stays catalog-only — it is the
+    # multiday entry plus a components loop, and both halves are
+    # already measured (multiday here, components via dedup_clusters'
+    # family in the catalog gates)
+    "ann_ivf_incremental",
 ]
 
 
@@ -429,13 +438,17 @@ def _current_round(here: str) -> int | None:
 
 
 def _latest_prev_bench() -> dict | None:
-    """Most recent prior round with USABLE per-query times. For each
-    round N that the driver recorded (BENCH_r{N}.json exists), the
-    committed BENCH_DETAIL_r{N}.json is preferred — the driver
-    artifact's bounded tail capture has truncated the stdout JSON
-    twice (r5, r9/r10), and the per-round detail file is immune
-    (VERDICT r11 #5). Rounds with neither usable are skipped rather
-    than silently comparing against an empty query set."""
+    """Most recent prior round with USABLE per-query times. The
+    driver's own BENCH_r{N}.json is authoritative when its JSON
+    survived the bounded tail capture; the committed
+    BENCH_DETAIL_r{N}.json is the FALLBACK for rounds whose stdout
+    JSON was truncated (r5, r9/r10 — VERDICT r11 #5). Driver-first
+    ordering also defuses the stamp hazard of _current_round: a
+    bench rerun made AFTER the driver recorded round N would write a
+    stray BENCH_DETAIL_r{N+1}.json, which must not outrank round
+    N+1's real driver artifact (r12 review). Rounds with neither
+    usable are skipped rather than silently comparing against an
+    empty query set."""
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -445,7 +458,7 @@ def _latest_prev_bench() -> dict | None:
         if m:
             rounds.append((int(m.group(1)), fn))
     for n, fn in sorted(rounds, reverse=True):
-        for cand in (f"BENCH_DETAIL_r{n:02d}.json", fn):
+        for cand in (fn, f"BENCH_DETAIL_r{n:02d}.json"):
             try:
                 with open(os.path.join(here, cand)) as f:
                     data = json.load(f)

@@ -14,3 +14,14 @@ def spark():
 
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+# Shared near-dup text fixture (r12 review: it had been copy-pasted
+# between the incremental-lifecycle and advice suites): 36 distinct
+# tokens, long enough that dropping the first token leaves a heavily
+# overlapping shingle set.
+NEARDUP_LONG_A = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+
+
+def drop_first_token(text: str) -> str:
+    return text.split(" ", 1)[1]

@@ -21,11 +21,8 @@ from analyst_spark.functions.dedup import (
     release_cached,
 )
 
-LONG_A = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
-
-
-def _drop_first(text: str) -> str:
-    return text.split(" ", 1)[1]
+from tests.conftest import NEARDUP_LONG_A as LONG_A
+from tests.conftest import drop_first_token as _drop_first
 
 
 def test_replay_leaves_index_and_ledger_unchanged(spark):

@@ -32,11 +32,8 @@ from analyst_spark.functions.incremental import (
     save_state,
 )
 
-LONG_A = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
-
-
-def _drop_first(text: str) -> str:
-    return text.split(" ", 1)[1]
+from tests.conftest import NEARDUP_LONG_A as LONG_A
+from tests.conftest import drop_first_token as _drop_first
 
 
 class TestPerceptualIngest:

@@ -167,7 +167,7 @@ def main_hamming_days() -> None:
         )
         twins = index.filter(
             (F.col("doc_id") % 997 == day) & (F.col("doc_id") < 1_000_000)
-        ).limit(1000).select(
+        ).orderBy("doc_id").limit(1000).select(
             (F.col("doc_id") + base + 5_000_000).alias("doc_id"),
             "b0",
             "b1",
@@ -221,7 +221,9 @@ def main_embedding_days() -> None:
     n_batch = base_batch.count()
     index = embedding_index(hist).persist()
     n0 = index.count()
-    plants_src = hist.filter(F.col("vec_id") % 40 == 1).limit(50)
+    plants_src = (
+        hist.filter(F.col("vec_id") % 40 == 1).orderBy("vec_id").limit(50)
+    ).persist()
     reported = None
     print(f"initial index: {n0} vectors; {n_batch}/day + 50 plants",
           flush=True)
