@@ -256,6 +256,14 @@ _register("dedup_lsh_verified", tp.dedup_lsh_verified, tp.DEDUP_LSH_VERIFIED_ORA
 _register("dedup_pipeline_e2e", tp.dedup_pipeline_e2e, tp.DEDUP_PIPELINE_E2E_ORACLE)
 _register("dedup_embedding", tp.dedup_embedding, tp.DEDUP_EMBEDDING_ORACLE)
 _register("dedup_clusters", tp.dedup_clusters, tp.DEDUP_CLUSTERS_ORACLE)
+# r12: quality-ranked representative per near-dup cluster — the
+# retention policy a curation pipeline actually applies (frozen
+# integer classifier margin orders members; exact cross-engine)
+_register(
+    "dedup_cluster_quality_rep",
+    pp.dedup_cluster_quality_rep,
+    pp.DEDUP_CLUSTER_QUALITY_REP_ORACLE,
+)
 _register("dedup_incremental", tp.dedup_incremental, tp.DEDUP_INCREMENTAL_ORACLE)
 # r10: batch-vs-history NEAR-dup probe against a signature index
 _register(

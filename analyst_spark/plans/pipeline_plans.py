@@ -2996,3 +2996,125 @@ LIMIT {_RRF_FINAL_K}
 
 
 DOCS_RRF_MULTI_ORACLE = _rrf_multi_oracle()
+
+
+# ----------------------- quality-chosen dedup representatives (r12)
+
+
+def dedup_cluster_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection by QUALITY, not by id (r12): after
+    near-dup clustering, a curation pipeline keeps the BEST member of
+    each duplicate group — the decision policy real corpus builds use
+    (min-id is an arbitrary tie-break; quality-ranked retention is
+    the point of having a classifier). Composition: minhash near-dup
+    pairs → connected components → per-cluster argmax of the FROZEN
+    quality classifier's margin (ties → lower doc_id).
+
+    Cross-engine exactness: the margin is numer/(total·1e9) + B/1e9
+    over exact integers (functions/classifier.py
+    frozen_quality_margins) — both engines divide the same two
+    integers, so the doubles are bit-identical and the per-cluster
+    ORDERING is exact; the margin itself stays out of the output
+    (rounding a float margin could land on a half boundary where
+    Spark/DuckDB round() disagree — the _avg_micro6 lesson).
+
+    Output (cluster_id, rep_id, n_members) for every near-dup
+    cluster."""
+    from pyspark.sql import Window
+
+    from analyst_spark.functions.classifier import frozen_quality_margins
+    from analyst_spark.functions.cluster import connected_components
+    from analyst_spark.functions.dedup import minhash_pairs
+    from analyst_spark.plans.text_plans import (
+        _BANDS,
+        _ROWS_PER_BAND,
+        _SHINGLE_N,
+    )
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id").select(
+        "doc_id", "text"
+    )
+    pairs = minhash_pairs(
+        docs, n=_SHINGLE_N, bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    cc = connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    margins = frozen_quality_margins(docs)
+    m = cc.join(margins, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("margin").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+    out._asp_cached_deps = list(  # type: ignore[attr-defined]
+        getattr(pairs, "_asp_cached_deps", [])
+    ) + list(getattr(cc, "_asp_cached_deps", []))
+    return out
+
+
+def _cluster_quality_rep_oracle() -> str:
+    from analyst_spark.functions.classifier_frozen import BIAS_NANO, N_BUCKETS
+    from analyst_spark.plans.text_plans import DEDUP_MINHASH_ORACLE
+
+    return rf"""
+WITH RECURSIVE pairs AS (
+    {DEDUP_MINHASH_ORACLE}
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), walk AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+), comp AS (
+    SELECT CAST(src AS BIGINT) AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY src
+), qtok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+), qcnt AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {N_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM qtok GROUP BY 1, 2
+), qtot AS (
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total FROM qcnt GROUP BY 1
+), qw(bucket, wn) AS (VALUES {_qc_frozen_values()}),
+qnum AS (
+    SELECT c.doc_id, CAST(sum(c.cnt * qw.wn) AS BIGINT) AS numer
+    FROM qcnt c JOIN qw USING (bucket) GROUP BY 1
+), qc AS (
+    SELECT t.doc_id,
+           COALESCE(qnum.numer, 0) / (t.total * 1e9)
+             + {BIAS_NANO} / 1000000000.0 AS margin
+    FROM qtot t LEFT JOIN qnum USING (doc_id)
+), ranked AS (
+    SELECT comp.cluster_id, comp.doc_id, qc.margin,
+           row_number() OVER (
+               PARTITION BY comp.cluster_id
+               ORDER BY qc.margin DESC, comp.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+    FROM comp JOIN qc USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+DEDUP_CLUSTER_QUALITY_REP_ORACLE = _cluster_quality_rep_oracle()

@@ -25,7 +25,7 @@ DOC_ENTRIES = [
     "docs_dedup_spans", "docs_curation_funnel", "docs_curation_funnel_v2",
     "docs_bm25_topk", "docs_bm25_multi", "docs_rrf_hybrid_multi", "docs_rrf_hybrid", "documents_profile",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_lsh_verified",
-    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "dedup_incremental_multiday", "dedup_incremental_clusters", "multimodal_incremental_multiday", "multimodal_perceptual_dedup_wide", "dedup_neardup_routed", "docs_quality_classifier",
+    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "dedup_incremental_multiday", "dedup_incremental_clusters", "dedup_cluster_quality_rep", "multimodal_incremental_multiday", "multimodal_perceptual_dedup_wide", "dedup_neardup_routed", "docs_quality_classifier",
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_chunk_windows", "docs_train_test_split", "docs_stratified_sample", "docs_consistent_sample",
     "corpus_prep_pipeline",

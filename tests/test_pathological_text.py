@@ -35,7 +35,7 @@ ENTRIES = [
     "docs_dup_span", "docs_chunk_windows", "docs_pack_sequences",
     "docs_bm25_topk", "docs_bm25_multi", "docs_rrf_hybrid",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_lsh_verified",
-    "dedup_jaccard_prefix", "dedup_containment", "dedup_incremental_neardup", "dedup_incremental_multiday", "dedup_incremental_clusters", "dedup_neardup_routed", "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
+    "dedup_jaccard_prefix", "dedup_containment", "dedup_incremental_neardup", "dedup_incremental_multiday", "dedup_incremental_clusters", "dedup_cluster_quality_rep", "dedup_neardup_routed", "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "text_pii_scan", "docs_pii_scrub", "docs_bpe_tokenize_pack",
 ]
 
