@@ -306,6 +306,13 @@ _register(
     tp.dedup_incremental_embedding,
     tp.DEDUP_INCREMENTAL_EMBEDDING_ORACLE,
 )
+# r12 streaming twin — completes the incremental trio's streaming
+# coverage; stateless signatures + stream-static probe, same oracle
+_register(
+    "streaming_incremental_embedding",
+    st.streaming_incremental_embedding,
+    tp.DEDUP_INCREMENTAL_EMBEDDING_ORACLE,
+)
 # r12 (VERDICT r11 #3): 3-day embedding lifecycle — probe, index
 # append, ledger threading via the shared incremental module;
 # day-boundary colinear plants prove the append

@@ -1122,3 +1122,113 @@ def streaming_incremental_perceptual(
         shutil.rmtree(tmp, ignore_errors=True)
         index.unpersist()
     return spark.table(_IPERC_SINK)
+
+
+_IEMB_SINK = "streaming_incr_embedding_gate"
+
+
+def streaming_incremental_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``dedup_incremental_embedding`` — the LIVE
+    vector ingest, completing the incremental trio's streaming twins
+    (text: streaming_incremental_neardup, perceptual:
+    streaming_incremental_perceptual): new vectors arrive as a file
+    stream (8 staged files, maxFilesPerTrigger=2 forcing real
+    micro-batch boundaries), each micro-batch is sign-LSH-signed per
+    row (the Arrow band-signature UDF is stateless and stream-legal),
+    band buckets join STREAM-STATIC against the maintained history
+    signature index, and candidates verify with the exact-cosine
+    Catalyst expression.
+
+    Stateless pair dedup: a pair colliding in several bands would
+    emit once per band, so each pair is emitted only from its
+    SMALLEST matching band — recomputed from the two signature
+    ARRAYS carried on the candidate row (zip_with equality +
+    array_position), no dropDuplicates state. The stream side never
+    joins itself: vectors and signature arrays ride the exploded
+    band rows, and both join partners (bucket keys, history
+    payloads) are broadcast static tables. Every emitted value is a
+    deterministic function of one stream row + one static row, so
+    the streamed pair set is ROW-IDENTICAL to the batch entry
+    regardless of micro-batch boundaries — same DuckDB oracle. At
+    100 TB: index broadcast-or-bucketed static side, zero state, no
+    watermark."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.similarity import (
+        _dot,
+        _norm,
+        band_signature_udf,
+    )
+    from analyst_spark.plans.text_plans import (
+        _IEMB_OFFSET,
+        _NEARDUP_THRESHOLD,
+        _TWIN_STEP,
+    )
+    from analyst_spark.tables import spread
+
+    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    is_new = F.col("vec_id") % 4 == 0
+    hist = emb.filter(~is_new)
+    twins = hist.filter(F.col("vec_id") % _TWIN_STEP == 0).select(
+        (F.col("vec_id") + _IEMB_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    batch = emb.filter(is_new).unionByName(twins)
+    sig = band_signature_udf(32, 12, 64)
+    hsigs = hist.select(
+        "vec_id", "embedding", sig(F.col("embedding")).alias("__sig")
+    ).persist()
+    hsigs.count()  # the maintained artifact; real stats for the join
+    hb = hsigs.select(
+        F.col("vec_id").alias("id_hist"),
+        F.posexplode("__sig").alias("band", "bucket"),
+    )
+    hpay = hsigs.select(
+        F.col("vec_id").alias("id_hist"),
+        F.col("embedding").alias("__vb"),
+        F.col("__sig").alias("__sb"),
+    )
+    tmp = tempfile.mkdtemp(prefix="asp_stream_embs_")
+    try:
+        batch.coalesce(8).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(tmp)
+        )
+        ssig = stream.select(
+            F.col("vec_id").alias("id_batch"),
+            F.col("embedding").alias("__va"),
+            sig(F.col("embedding")).alias("__sa"),
+        )
+        sb = ssig.select(
+            "id_batch", "__va", "__sa",
+            F.posexplode("__sa").alias("band", "bucket"),
+        )
+        cand = sb.join(F.broadcast(hb), ["band", "bucket"]).join(
+            F.broadcast(hpay), "id_hist"
+        )
+        first_band = (
+            F.expr("array_position(zip_with(__sa, __sb, (x, y) -> x = y), true)")
+            - 1
+        )
+        sim = F.round(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+            6,
+        )
+        pairs = (
+            cand.filter(F.col("band") == first_band)
+            .select("id_batch", "id_hist", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= _NEARDUP_THRESHOLD)
+        )
+        q = run_to_memory_sink(pairs, _IEMB_SINK, output_mode="append")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        hsigs.unpersist()
+    return spark.table(_IEMB_SINK)

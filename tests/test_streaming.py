@@ -270,3 +270,25 @@ def test_streaming_incremental_perceptual_equals_batch(spark):
         ).collect()
     }
     assert b == s and b
+
+
+def test_streaming_incremental_embedding_equals_batch(spark):
+    """The streaming embedding probe must be ROW-IDENTICAL to the
+    batch entry (r12 — completes the incremental trio's streaming
+    twins): stateless Arrow signatures + stream-static band join +
+    first-matching-band dedup leave no micro-batch-boundary
+    dependence."""
+    from analyst_spark.functions.dedup import release_cached
+    from analyst_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = QUERIES["dedup_incremental_embedding"](spark, sf)
+    b = {tuple(r) for r in batch.collect()}
+    release_cached(batch)
+    s = {
+        tuple(r)
+        for r in QUERIES["streaming_incremental_embedding"](
+            spark, sf
+        ).collect()
+    }
+    assert b == s and b
