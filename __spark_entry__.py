@@ -7,17 +7,18 @@ multimodal / streaming / corpus splits / curation / LM scoring):
 entries spanning all 22 TPC-H query shapes, the reference operator
 inventory, the AQL DSL end-to-end, and the beyond-reference scale
 operators.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the hash gate;
-the rows-only remainder (see tests/test_entry_contract.py for the
-pinned list) is sketch-approximate or iterative by nature: trained
-k-means lists/clusters, PCA eigendecomposition, logistic-regression
-training, HLL sketches ×3, CMS ×2, the default-accuracy quantile
-sketch, the HLL profile, seeded sampling, sequential + batched BPE
-merge training — each carrying either a banded-error gate in
-tools/verify_local.py or a dedicated pytest reference-model twin.
-(`agg_quantile_approx` itself is hash-gated since r11: it runs the
-GK sketch in its provably-exact regime, rank error < 0.5 — VERDICT
-r10 #8.)
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the hash gate.
+The entries without a SQL twin (see tests/test_entry_contract.py for
+the pinned list) are sketch-approximate or iterative by nature:
+trained k-means lists/clusters, PCA eigendecomposition,
+logistic-regression training, HLL sketches ×3, CMS ×2, the
+default-accuracy quantile sketch, the HLL profile, seeded sampling,
+sequential + batched BPE merge training — since r12 EVERY one of them
+carries a banded-error or property gate in tools/verify_local.py
+(BANDED_CHECKS; zero rows-only entries remain), plus dedicated pytest
+reference-model twins. (`agg_quantile_approx` itself is hash-gated
+since r11: it runs the GK sketch in its provably-exact regime, rank
+error < 0.5 — VERDICT r10 #8.)
 """
 
 from __future__ import annotations
