@@ -72,6 +72,18 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
+    out = labels.select(
         F.col("node"), F.col("label").alias("component")
     )
+    # The final labels frame stays persisted (each loop round
+    # unpersists only the PREVIOUS one) and the caller's actions read
+    # through it — expose it, plus any caches the pair pipeline
+    # registered upstream, so release_cached() can reclaim them
+    # (r12 review: every components consumer was leaking one cached
+    # label table per invocation). NOTE: _asp_cached_deps does not
+    # survive .select() — consumers must collect these from THIS
+    # frame before projecting.
+    out._asp_cached_deps = list(  # type: ignore[attr-defined]
+        getattr(pairs, "_asp_cached_deps", ())
+    ) + [labels]
+    return out

@@ -1748,14 +1748,16 @@ def _qc_frozen_values() -> str:
     return ", ".join(rows) or "(0, 0)"
 
 
-def _funnel_v2_oracle() -> str:
-    from analyst_spark.functions.classifier_frozen import BIAS_NANO, N_BUCKETS
+def _qc_margin_ctes() -> str:
+    """The frozen-classifier margin CTE chain (qtok → qcnt → qtot →
+    qw → qnum) shared by every oracle that scores documents with the
+    frozen model (r12 review: three inline copies had accumulated —
+    a change to the hashing/bucketing or the exact-integer margin
+    formula must land exactly once). Ends WITHOUT a trailing comma;
+    splice as ``{_qc_margin_ctes()},``."""
+    from analyst_spark.functions.classifier_frozen import N_BUCKETS
 
-    return rf"""
-WITH g AS (SELECT doc_id, keep FROM ({DOCS_GOPHER_ORACLE})),
-dd AS (SELECT doc_id, dup_ratio FROM ({DOCS_DUP_SPAN_ORACLE})),
-lm AS (SELECT doc_id, ppl FROM ({DOCS_LM_SCORE_ORACLE})),
-qtok AS (
+    return rf"""qtok AS (
     SELECT doc_id,
            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
     FROM documents
@@ -1771,13 +1773,32 @@ qw(bucket, wn) AS (VALUES {_qc_frozen_values()}),
 qnum AS (
     SELECT c.doc_id, CAST(sum(c.cnt * qw.wn) AS BIGINT) AS numer
     FROM qcnt c JOIN qw USING (bucket) GROUP BY 1
-),
-qc AS (
+)"""
+
+
+def _qc_margin_float_cte() -> str:
+    """The float-margin CTE on top of :func:`_qc_margin_ctes` —
+    margin = numer/(total·1e9) + B/1e9, the exact-operand division
+    both engines round identically."""
+    from analyst_spark.functions.classifier_frozen import BIAS_NANO
+
+    return rf"""qc AS (
     SELECT t.doc_id,
            COALESCE(qnum.numer, 0) / (t.total * 1e9)
              + {BIAS_NANO} / 1000000000.0 AS margin
     FROM qtot t LEFT JOIN qnum USING (doc_id)
-),
+)"""
+
+
+def _funnel_v2_oracle() -> str:
+    from analyst_spark.functions.classifier_frozen import BIAS_NANO, N_BUCKETS
+
+    return rf"""
+WITH g AS (SELECT doc_id, keep FROM ({DOCS_GOPHER_ORACLE})),
+dd AS (SELECT doc_id, dup_ratio FROM ({DOCS_DUP_SPAN_ORACLE})),
+lm AS (SELECT doc_id, ppl FROM ({DOCS_LM_SCORE_ORACLE})),
+{_qc_margin_ctes()},
+{_qc_margin_float_cte()},
 t AS (
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
@@ -1925,23 +1946,7 @@ WITH base AS (
            END AS toks
     FROM documents
 ),
-qtok AS (
-    SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-    FROM documents
-),
-qcnt AS (
-    SELECT doc_id,
-           CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {N_BUCKETS} AS bucket,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM qtok GROUP BY 1, 2
-),
-qtot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total FROM qcnt GROUP BY 1),
-qw(bucket, wn) AS (VALUES {_qc_frozen_values()}),
-qnum AS (
-    SELECT c.doc_id, CAST(sum(c.cnt * qw.wn) AS BIGINT) AS numer
-    FROM qcnt c JOIN qw USING (bucket) GROUP BY 1
-),
+{_qc_margin_ctes()},
 scored AS (
     SELECT b.doc_id, b.toks, COALESCE(qnum.numer, 0) AS numer, qtot.total
     FROM base b
@@ -3037,7 +3042,8 @@ def dedup_cluster_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(
         docs, n=_SHINGLE_N, bands=_BANDS, rows_per_band=_ROWS_PER_BAND
     )
-    cc = connected_components(pairs).select(
+    cc_raw = connected_components(pairs)
+    cc = cc_raw.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),
     )
@@ -3060,8 +3066,8 @@ def dedup_cluster_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out._asp_cached_deps = list(  # type: ignore[attr-defined]
-        getattr(pairs, "_asp_cached_deps", [])
-    ) + list(getattr(cc, "_asp_cached_deps", []))
+        getattr(cc_raw, "_asp_cached_deps", [])
+    )
     return out
 
 
@@ -3084,27 +3090,10 @@ WITH RECURSIVE pairs AS (
     SELECT CAST(src AS BIGINT) AS doc_id,
            CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
     FROM walk GROUP BY src
-), qtok AS (
-    SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-    FROM documents
-), qcnt AS (
-    SELECT doc_id,
-           CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {N_BUCKETS} AS bucket,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM qtok GROUP BY 1, 2
-), qtot AS (
-    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total FROM qcnt GROUP BY 1
-), qw(bucket, wn) AS (VALUES {_qc_frozen_values()}),
-qnum AS (
-    SELECT c.doc_id, CAST(sum(c.cnt * qw.wn) AS BIGINT) AS numer
-    FROM qcnt c JOIN qw USING (bucket) GROUP BY 1
-), qc AS (
-    SELECT t.doc_id,
-           COALESCE(qnum.numer, 0) / (t.total * 1e9)
-             + {BIAS_NANO} / 1000000000.0 AS margin
-    FROM qtot t LEFT JOIN qnum USING (doc_id)
-), ranked AS (
+),
+{_qc_margin_ctes()},
+{_qc_margin_float_cte()},
+ranked AS (
     SELECT comp.cluster_id, comp.doc_id, qc.margin,
            row_number() OVER (
                PARTITION BY comp.cluster_id

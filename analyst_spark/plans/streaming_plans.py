@@ -1160,6 +1160,7 @@ def streaming_incremental_embedding(
         _dot,
         _norm,
         band_signature_udf,
+        drop_null_vectors,
     )
     from analyst_spark.plans.text_plans import (
         _IEMB_OFFSET,
@@ -1172,28 +1173,37 @@ def streaming_incremental_embedding(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     is_new = F.col("vec_id") % 4 == 0
-    hist = emb.filter(~is_new)
+    # NULL vectors are dropped on BOTH sides exactly like the batch
+    # twin's prep() (r12 review: a None element crashes the numpy
+    # signature UDF; the batch entry silently drops such rows, and
+    # the streamed pair set must stay row-identical to it)
+    hist = drop_null_vectors(emb.filter(~is_new), "embedding")
     twins = hist.filter(F.col("vec_id") % _TWIN_STEP == 0).select(
         (F.col("vec_id") + _IEMB_OFFSET).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    batch = emb.filter(is_new).unionByName(twins)
+    batch = drop_null_vectors(emb.filter(is_new), "embedding").unionByName(
+        twins
+    )
     sig = band_signature_udf(32, 12, 64)
     hsigs = hist.select(
         "vec_id", "embedding", sig(F.col("embedding")).alias("__sig")
     ).persist()
-    hsigs.count()  # the maintained artifact; real stats for the join
-    hb = hsigs.select(
-        F.col("vec_id").alias("id_hist"),
-        F.posexplode("__sig").alias("band", "bucket"),
-    )
-    hpay = hsigs.select(
-        F.col("vec_id").alias("id_hist"),
-        F.col("embedding").alias("__vb"),
-        F.col("__sig").alias("__sb"),
-    )
     tmp = tempfile.mkdtemp(prefix="asp_stream_embs_")
     try:
+        # eager jobs run INSIDE the try (r12 review: a failure in the
+        # materializing count would otherwise skip the finally-clause
+        # unpersist and pin the signature table for the session)
+        hsigs.count()  # the maintained artifact; real stats for the join
+        hb = hsigs.select(
+            F.col("vec_id").alias("id_hist"),
+            F.posexplode("__sig").alias("band", "bucket"),
+        )
+        hpay = hsigs.select(
+            F.col("vec_id").alias("id_hist"),
+            F.col("embedding").alias("__vb"),
+            F.col("__sig").alias("__sb"),
+        )
         batch.coalesce(8).write.mode("overwrite").parquet(tmp)
         stream = (
             spark.readStream.schema("vec_id long, embedding array<double>")

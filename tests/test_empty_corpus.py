@@ -25,7 +25,7 @@ DOC_ENTRIES = [
     "dedup_lsh_verified", "docs_quality_classifier",
     "multimodal_binary_dedup", "multimodal_perceptual_dedup", "multimodal_perceptual_dedup_wide", "multimodal_audio_perceptual_dedup",
     "multimodal_video_perceptual_dedup", "multimodal_incremental_perceptual", "multimodal_incremental_multiday",
-    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "dedup_incremental_multiday", "dedup_incremental_clusters", "dedup_cluster_quality_rep", "dedup_neardup_routed", "docs_chunk_windows",
+    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "streaming_incremental_neardup", "streaming_incremental_perceptual", "dedup_incremental_multiday", "dedup_incremental_clusters", "dedup_cluster_quality_rep", "dedup_neardup_routed", "docs_chunk_windows",
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_train_test_split", "docs_consistent_sample",
     "bpe_train_merges", "bpe_train_batched",
@@ -88,7 +88,7 @@ EVENT_ENTRIES = [
     "streaming_value_histogram",
 ]
 
-EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk", "dedup_incremental_embedding", "dedup_incremental_embedding_multiday",
+EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk", "dedup_incremental_embedding", "streaming_incremental_embedding", "dedup_incremental_embedding_multiday",
                "ann_lsh_topk", "ann_ivf_incremental", "dedup_embedding", "knn_label_propagation",
                "embeddings_pca", "ann_pca_ivf", "embeddings_quantize_int8"]
 

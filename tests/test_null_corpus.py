@@ -25,7 +25,7 @@ DOC_ENTRIES = [
     "docs_dedup_spans", "docs_curation_funnel", "docs_curation_funnel_v2",
     "docs_bm25_topk", "docs_bm25_multi", "docs_rrf_hybrid_multi", "docs_rrf_hybrid", "documents_profile",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_lsh_verified",
-    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "dedup_incremental_multiday", "dedup_incremental_clusters", "dedup_cluster_quality_rep", "multimodal_incremental_multiday", "multimodal_perceptual_dedup_wide", "dedup_neardup_routed", "docs_quality_classifier",
+    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_containment", "dedup_pipeline_e2e", "dedup_incremental_neardup", "streaming_incremental_neardup", "streaming_incremental_perceptual", "dedup_incremental_multiday", "dedup_incremental_clusters", "dedup_cluster_quality_rep", "multimodal_incremental_multiday", "multimodal_perceptual_dedup_wide", "dedup_neardup_routed", "docs_quality_classifier",
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_chunk_windows", "docs_train_test_split", "docs_stratified_sample", "docs_consistent_sample",
     "corpus_prep_pipeline",
@@ -33,7 +33,7 @@ DOC_ENTRIES = [
 
 EMB_ENTRIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_incremental", "ann_ivf_trained",
-    "ann_pca_ivf", "dedup_embedding", "dedup_incremental_embedding", "dedup_incremental_embedding_multiday", "dedup_semantic",
+    "ann_pca_ivf", "dedup_embedding", "dedup_incremental_embedding", "streaming_incremental_embedding", "dedup_incremental_embedding_multiday", "dedup_semantic",
     "dedup_semantic_trained", "embeddings_pca", "embeddings_quantize_int8",
     "knn_label_propagation",
 ]
