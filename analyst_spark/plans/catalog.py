@@ -403,6 +403,34 @@ _register("streaming_distinct_users_hll", st.streaming_distinct_users_hll, None)
 # stream blob pinned bit-equal to the batch blob in pytest
 _register("streaming_heavy_hitters_cms", st.streaming_heavy_hitters_cms, None)
 
+# --- r12 (session 2): decontamination + training-order additions ----
+# Bloom-pruned exact contamination: SAME oracle as contamination_ngram
+# — the hash gate proves the bloom path changes the plan, not the
+# answer (false negatives impossible; survivors exactly re-verified)
+_register("contamination_bloom", pp.contamination_bloom, pp.CONTAMINATION_ORACLE)
+# Cross-corpus fuzzy decontamination: train×bench band join (broadcast
+# bench, no self-join); oracle = shared minhash CTEs filtered to pairs
+# crossing the membership boundary
+_register(
+    "contamination_minhash", tp.contamination_minhash,
+    tp.CONTAMINATION_MINHASH_ORACLE,
+)
+# Semantic member of the decontamination trio: bench sign-LSH index
+# as "history", train corpus as the probe batch — same engine and
+# 100 TB shape as dedup_incremental_embedding; planted ×2 colinear
+# contamination (recall provably 1.0 on colinear pairs)
+_register(
+    "contamination_embedding", tp.contamination_embedding,
+    tp.CONTAMINATION_EMBEDDING_ORACLE,
+)
+# Deterministic seeded global shuffle (training order without a total
+# sort): md5 key, 32-bit-prefix shard, per-shard rank — both engines
+# compute the identical permutation
+_register(
+    "docs_global_shuffle", pp.docs_global_shuffle,
+    pp.DOCS_GLOBAL_SHUFFLE_ORACLE,
+)
+
 
 # The driver's CORRECTNESS gate compares the FIRST 50 registered
 # entries; a rows-only entry inside that window re-creates the

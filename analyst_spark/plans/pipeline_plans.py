@@ -162,6 +162,161 @@ WHERE round(n_matched / CAST(n_ngrams AS DOUBLE), 6) >= 0.5
 """
 
 
+_BLOOM_BITS = 1 << 20  # 16 Ki words broadcast — sized for the gate corpora
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination check for the regime where the benchmark
+    n-gram set is too LARGE to broadcast as an exact hash set: a
+    Bloom word table (functions/bloom.py) over the benchmark's
+    distinct 8-gram hashes prunes the corpus postings map-side, and
+    only the survivors (true matches + the bounded false-positive
+    sliver) reach the exact membership join. False negatives are
+    impossible by construction (probe = build arithmetic), so the
+    END RESULT is bit-identical to contamination_ngram — this entry
+    registers with the SAME oracle, making "the bloom path changes
+    nothing but the plan" a hash-checked claim.
+
+    Why it matters at 100 TB: contamination_ngram broadcasts the
+    benchmark's distinct n-grams, which works while the eval suite is
+    eval-suite-sized. Decontaminating against a large held-out corpus
+    (or the union of many benchmarks) breaks the broadcast; the exact
+    join must shuffle — and shuffling EVERY posting of a 100 TB
+    corpus on a 64-bit key is the dominant cost of the whole check.
+    The Bloom table stays flat (n_bits/64 longs regardless of corpus
+    size), prunes postings before they shuffle, and the surviving
+    exact join moves only ~answer-sized data. Same discipline as
+    lineitem_bloom_semijoin, applied to the curation pipeline.
+    """
+    from analyst_spark.functions.bloom import bloom_build, bloom_prune
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).select(
+        "doc_id",
+        F.transform(
+            _ngrams(F.col("t"), _NGRAM_N), lambda g: F.xxhash64(g)
+        ).alias("gs"),
+    ).persist()
+    toks.count()
+
+    # bench is consumed twice (bloom build + exact verify): persist so
+    # the distinct runs once. It is benchmark-sized, not corpus-sized.
+    bench = (
+        toks.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .persist()
+    )
+    words = bloom_build(bench, "g", n_bits=_BLOOM_BITS)
+    exploded = toks.select(
+        "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
+    )
+    # Map-side Bloom prune, then the exact join on survivors only.
+    # Deliberately NOT F.broadcast(bench): this entry models the
+    # bench-too-big-to-broadcast regime, so the verify is left to the
+    # planner (AQE broadcasts at gate scale, shuffles at 100 TB —
+    # over the pruned survivor set either way).
+    survivors = bloom_prune(exploded, "g", words, n_bits=_BLOOM_BITS)
+    scored = (
+        survivors.join(bench, "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return _with_cached_deps(
+        scored.withColumn(
+            "overlap_ratio",
+            F.round(F.col("n_matched") / F.col("n_ngrams"), 6),
+        )
+        .filter(F.col("overlap_ratio") >= 0.5)
+        .select("doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                F.col("n_matched").cast("long").alias("n_matched"),
+                "overlap_ratio"),
+        toks,
+        bench,
+    )
+
+
+# ------------------------------------------ deterministic global shuffle
+
+_SHUFFLE_SEED = "epoch0"  # training-order seed: new epoch = new seed
+_N_SHARDS = 16
+
+
+def _hex8_horner(col: str) -> str:
+    """DuckDB twin of Spark's conv(substring(x,1,8), 16, 10): parse
+    the first 8 hex digits positionally (no base-conv builtin — the
+    same Horner device the simhash/minhash oracles use)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {d + 1}, 1)) - 1)"
+        f" * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+
+
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle for training order:
+    shuffle_key = md5(seed ':' doc_id), shard = first 32 key bits mod
+    N_SHARDS, pos = rank within the shard by key. Re-running with the
+    same seed reproduces the exact order (resumable training,
+    auditable data order); a new epoch is just a new seed string.
+
+    At 100 TB this is how you randomize training order WITHOUT a
+    global sort: the md5 key decorrelates doc_id locality, the shard
+    assignment is a single hash-partitioned exchange, and each
+    position window sorts one shard independently (size corpus/N —
+    pick N so a shard fits a task's spill budget). No total order is
+    ever materialized; the training loader reads shards in shard_id
+    order and rows in pos order, which IS the seeded permutation.
+    Both engines compute identical md5 strings and identical 32-bit
+    prefixes, so the gate checks the permutation itself.
+    """
+    # No spread() here: the window's partitionBy(shard_id) exchange is
+    # the ONLY shuffle this plan needs — a balancing repartition before
+    # it would move the whole corpus twice (verified in the formatted
+    # plan: scan → project → single Exchange → Window).
+    docs = load_tables(spark, sf_dir)["documents"]
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    sharded = keyed.withColumn(
+        "shard_id",
+        (F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+         % _N_SHARDS),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shuffle_key",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+DOCS_GLOBAL_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR)))
+               AS shuffle_key
+    FROM documents
+), sharded AS (
+    SELECT doc_id, shuffle_key,
+           CAST(({_hex8_horner('shuffle_key')}) % {_N_SHARDS} AS BIGINT)
+               AS shard_id
+    FROM keyed
+)
+SELECT doc_id, shuffle_key, shard_id,
+       CAST(row_number() OVER (
+           PARTITION BY shard_id ORDER BY shuffle_key, doc_id
+       ) AS BIGINT) AS pos
+FROM sharded
+"""
+
+
 # --------------------------------------------------- PII scan / scrub
 
 def _planted_text() -> Column:

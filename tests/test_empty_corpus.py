@@ -29,6 +29,7 @@ DOC_ENTRIES = [
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_train_test_split", "docs_consistent_sample",
     "bpe_train_merges", "bpe_train_batched",
+    "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
 ]
 
 
@@ -90,7 +91,8 @@ EVENT_ENTRIES = [
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk", "dedup_incremental_embedding", "streaming_incremental_embedding", "dedup_incremental_embedding_multiday",
                "ann_lsh_topk", "ann_ivf_incremental", "dedup_embedding", "knn_label_propagation",
-               "embeddings_pca", "ann_pca_ivf", "embeddings_quantize_int8"]
+               "embeddings_pca", "ann_pca_ivf", "embeddings_quantize_int8",
+               "contamination_embedding"]
 
 
 @pytest.fixture(scope="module")

@@ -29,13 +29,14 @@ DOC_ENTRIES = [
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_chunk_windows", "docs_train_test_split", "docs_stratified_sample", "docs_consistent_sample",
     "corpus_prep_pipeline",
+    "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
 ]
 
 EMB_ENTRIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_incremental", "ann_ivf_trained",
     "ann_pca_ivf", "dedup_embedding", "dedup_incremental_embedding", "streaming_incremental_embedding", "dedup_incremental_embedding_multiday", "dedup_semantic",
     "dedup_semantic_trained", "embeddings_pca", "embeddings_quantize_int8",
-    "knn_label_propagation",
+    "knn_label_propagation", "contamination_embedding",
 ]
 
 EVENT_ENTRIES = [

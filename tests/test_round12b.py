@@ -1,0 +1,133 @@
+"""Round-12 (session 2) additions: Bloom-pruned contamination,
+cross-corpus minhash decontamination, deterministic global shuffle.
+
+Each entry is hash-gated vs DuckDB in tools/verify_local.py; the
+tests here pin the CLAIMS the gates can't see:
+- the bloom path returns the exact same frame as the broadcast path
+  (not merely the same oracle hash at one scale),
+- the cross-corpus join equals the filtered self-join,
+- the shuffle is a genuine per-shard permutation and is deterministic
+  across independent plan builds.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyst_spark.plans import pipeline_plans as pp
+from analyst_spark.plans import text_plans as tp
+from tests.conftest import SF_DIR
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_contamination_bloom_equals_ngram(spark):
+    a = _rows(
+        pp.contamination_ngram(spark, SF_DIR),
+        "doc_id", "n_ngrams", "n_matched", "overlap_ratio",
+    )
+    b = _rows(
+        pp.contamination_bloom(spark, SF_DIR),
+        "doc_id", "n_ngrams", "n_matched", "overlap_ratio",
+    )
+    assert a == b
+    assert len(a) > 0  # the synthetic corpus plants flagged docs
+
+
+def test_contamination_minhash_equals_filtered_selfjoin(spark):
+    cross = _rows(
+        tp.contamination_minhash(spark, SF_DIR),
+        "train_id", "bench_id", "n_bands",
+    )
+    pairs = tp.dedup_minhash(spark, SF_DIR)
+    m = tp._XCONTA_MOD
+    filtered = pairs.filter(
+        (F.col("id_a") % m == 0) != (F.col("id_b") % m == 0)
+    ).select(
+        F.when(F.col("id_a") % m == 0, F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("train_id"),
+        F.when(F.col("id_a") % m == 0, F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("bench_id"),
+        "n_bands",
+    )
+    assert cross == _rows(filtered, "train_id", "bench_id", "n_bands")
+
+
+def test_contamination_minhash_no_same_side_pairs(spark):
+    m = tp._XCONTA_MOD
+    out = tp.contamination_minhash(spark, SF_DIR)
+    bad = out.filter(
+        (F.col("train_id") % m == 0) | (F.col("bench_id") % m != 0)
+    ).count()
+    assert bad == 0
+
+
+def test_contamination_embedding_recovers_exactly_the_plants(spark):
+    out = _rows(
+        tp.contamination_embedding(spark, SF_DIR),
+        "train_id", "bench_id", "cosine_sim",
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    planted = sorted(
+        (r["vec_id"] + tp._XEMB_OFFSET, r["vec_id"], 1.0)
+        for r in emb.filter(
+            (F.col("vec_id") % tp._XEMB_MOD == 0)
+            & (F.col("vec_id") % tp._TWIN_STEP == 0)
+        ).select("vec_id").collect()
+    )
+    assert out == planted
+    assert len(planted) > 0
+
+
+def test_global_shuffle_is_sharded_permutation(spark):
+    out = pp.docs_global_shuffle(spark, SF_DIR).persist()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    try:
+        # every document exactly once
+        assert out.count() == n_docs
+        assert out.select("doc_id").distinct().count() == n_docs
+        # pos is contiguous 1..n within each shard
+        per_shard = out.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("nd"),
+        )
+        for r in per_shard.collect():
+            assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"])
+        # all shards in range and used (md5 spreads 32 bits; an empty
+        # shard out of 16 over >=500 docs would be a hashing bug)
+        shards = {r["shard_id"] for r in per_shard.collect()}
+        assert shards == set(range(pp._N_SHARDS))
+    finally:
+        out.unpersist()
+
+
+def test_global_shuffle_deterministic_and_decorrelated(spark):
+    a = _rows(pp.docs_global_shuffle(spark, SF_DIR),
+              "doc_id", "shard_id", "pos")
+    b = _rows(pp.docs_global_shuffle(spark, SF_DIR),
+              "doc_id", "shard_id", "pos")
+    assert a == b
+    # the permutation must not be the identity-ish doc_id order:
+    # within some shard, consecutive positions are non-consecutive ids
+    by_shard = {}
+    for doc_id, shard, pos in a:
+        by_shard.setdefault(shard, []).append((pos, doc_id))
+    monotone_shards = sum(
+        1
+        for rows in by_shard.values()
+        if [d for _, d in sorted(rows)] == sorted(d for _, d in rows)
+    )
+    assert monotone_shards < len(by_shard)
+
+
+def test_global_shuffle_seed_changes_order(spark, monkeypatch):
+    base = _rows(pp.docs_global_shuffle(spark, SF_DIR),
+                 "doc_id", "shard_id", "pos")
+    monkeypatch.setattr(pp, "_SHUFFLE_SEED", "epoch1")
+    other = _rows(pp.docs_global_shuffle(spark, SF_DIR),
+                  "doc_id", "shard_id", "pos")
+    assert base != other
+    assert {r[0] for r in base} == {r[0] for r in other}
