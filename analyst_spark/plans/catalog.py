@@ -430,6 +430,14 @@ _register(
     "docs_global_shuffle", pp.docs_global_shuffle,
     pp.DOCS_GLOBAL_SHUFFLE_ORACLE,
 )
+# Streaming twin of contamination_minhash (decontamination at ingest:
+# stream-static band join against the bench signature index, stateless
+# smallest-matching-band pair emission) — row-identical, same oracle
+_register(
+    "streaming_contamination_minhash",
+    st.streaming_contamination_minhash,
+    tp.CONTAMINATION_MINHASH_ORACLE,
+)
 
 
 # The driver's CORRECTNESS gate compares the FIRST 50 registered

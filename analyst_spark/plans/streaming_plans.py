@@ -1030,6 +1030,102 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(_INEAR_SINK)
 
 
+_XCONTA_SINK = "streaming_conta_minhash_gate"
+
+
+def streaming_contamination_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``contamination_minhash`` — decontamination
+    AT INGEST TIME: training documents arrive as a file stream (8
+    staged files, maxFilesPerTrigger=2 forcing real micro-batch
+    boundaries), each micro-batch is signed per row with the
+    stateless signature form, and band buckets join STREAM-STATIC
+    against the benchmark's maintained signature index. This is the
+    shape a production crawler wants — contaminated documents are
+    flagged before they ever land in the training lake, not by a
+    later batch sweep.
+
+    The stateless pair device from streaming_incremental_neardup: a
+    pair colliding in several bands is emitted only from its
+    SMALLEST matching band, and n_bands is recomputed from the two
+    signature vectors (bucket equality == band signature equality) —
+    no dropDuplicates state, exactly one row per pair, every value a
+    deterministic integer from one stream row + one static index
+    row. The streamed pair set is therefore ROW-IDENTICAL to the
+    batch entry regardless of micro-batch boundaries and carries the
+    SAME DuckDB oracle. At 100 TB: the bench index is the broadcast
+    static side (eval-suite-sized), state is zero, no watermark —
+    the probe sustains whatever ingest rate the signature pass
+    scans.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.dedup import (
+        band_buckets,
+        neardup_signature_index,
+        neardup_signatures_stateless,
+    )
+    from analyst_spark.plans.text_plans import _XCONTA_MOD
+    from analyst_spark.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id").select(
+        "doc_id", "text"
+    )
+    is_bench = F.col("doc_id") % _XCONTA_MOD == 0
+    index = neardup_signature_index(docs.filter(is_bench)).persist()
+    index.count()  # the maintained artifact; real stats for the join
+    k = 8
+    tmp = tempfile.mkdtemp(prefix="asp_stream_conta_")
+    try:
+        docs.filter(~is_bench).coalesce(8).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(tmp)
+        )
+        ssigs = neardup_signatures_stateless(stream, num_hashes=k)
+        sb = band_buckets(ssigs).select(
+            F.col("doc_id").alias("train_id"), "band", "bucket"
+        )
+        hb = band_buckets(index).select(
+            F.col("doc_id").alias("bench_id"), "band", "bucket"
+        )
+        cand = sb.join(F.broadcast(hb), ["band", "bucket"]).select(
+            "train_id", "bench_id", "band"
+        )
+        bsig = ssigs.select(
+            F.col("doc_id").alias("train_id"),
+            *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(k)],
+        )
+        hsig = index.select(
+            F.col("doc_id").alias("bench_id"),
+            *[F.col(f"mh{i}").alias(f"__h{i}") for i in range(k)],
+        )
+        band_match = [
+            (F.col(f"__b{2 * j}") == F.col(f"__h{2 * j}"))
+            & (F.col(f"__b{2 * j + 1}") == F.col(f"__h{2 * j + 1}"))
+            for j in range(4)
+        ]
+        first_band = F.when(band_match[0], 0)
+        for j in range(1, 4):
+            first_band = first_band.when(band_match[j], j)
+        n_bands = sum(m.cast("int") for m in band_match)
+        pairs = (
+            cand.join(bsig, "train_id")
+            .join(F.broadcast(hsig), "bench_id")
+            .filter(F.col("band") == first_band)
+            .withColumn("n_bands", n_bands.cast("long"))
+            .select("train_id", "bench_id", "n_bands")
+        )
+        q = run_to_memory_sink(pairs, _XCONTA_SINK, output_mode="append")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        index.unpersist()
+    return spark.table(_XCONTA_SINK)
+
+
 _IPERC_SINK = "streaming_incr_perceptual_gate"
 
 

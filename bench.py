@@ -255,6 +255,15 @@ BENCH_QUERIES = [
     # already measured (multiday here, components via dedup_clusters'
     # family in the catalog gates)
     "ann_ivf_incremental",
+    # r12 (session 2): the decontamination trio completion — the
+    # bloom-pruned exact path (same answer as contamination_ngram, so
+    # the pair is a live A/B of broadcast-set vs bloom+verify), the
+    # cross-corpus fuzzy member, the semantic member — plus the
+    # seeded global training-order shuffle (single exchange)
+    "contamination_bloom",
+    "contamination_minhash",
+    "contamination_embedding",
+    "docs_global_shuffle",
 ]
 
 

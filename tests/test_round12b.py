@@ -54,6 +54,20 @@ def test_contamination_minhash_equals_filtered_selfjoin(spark):
     assert cross == _rows(filtered, "train_id", "bench_id", "n_bands")
 
 
+def test_streaming_contamination_twin_row_identical(spark):
+    from analyst_spark.plans import streaming_plans as st
+
+    batch = _rows(
+        tp.contamination_minhash(spark, SF_DIR),
+        "train_id", "bench_id", "n_bands",
+    )
+    stream = _rows(
+        st.streaming_contamination_minhash(spark, SF_DIR),
+        "train_id", "bench_id", "n_bands",
+    )
+    assert stream == batch
+
+
 def test_contamination_minhash_no_same_side_pairs(spark):
     m = tp._XCONTA_MOD
     out = tp.contamination_minhash(spark, SF_DIR)
