@@ -631,6 +631,61 @@ def minhash_pairs(
     return out
 
 
+def cross_corpus_minhash_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Fuzzy DECONTAMINATION candidates: training documents whose
+    MinHash bands collide with a benchmark document — the cross-corpus
+    form of :func:`minhash_pairs`, with the candidate space train ×
+    bench instead of corpus × corpus.
+
+    Why a separate function rather than "self-join and filter": the
+    structure is what scales. The bench side (an eval suite, bounded
+    by definition — the caller's contract) signs into a bucket table
+    small enough to BROADCAST, so the training corpus streams through
+    one scan → signature → broadcast-probe pipeline with no self-join
+    and no corpus-sized shuffle anywhere; candidate mass tracks true
+    cross-corpus overlap. Output ``(train_id, bench_id, n_bands)``
+    where n_bands counts the matching bands (same vote the self-join
+    form reports).
+
+    Both sides use the shared md5/affine arithmetic, so the result is
+    reproducible cross-engine (the contamination_minhash catalog
+    entry hash-gates this function against a DuckDB twin).
+    """
+    k = bands * rows_per_band
+    # Each side is consumed exactly once (one signature pass per
+    # corpus, one join) — nothing to persist, unlike the self-join
+    # form whose bucket table feeds both sides.
+    tb = band_buckets(
+        minhash_signatures(train, text_col, id_col, n, num_hashes=k),
+        id_col, bands, rows_per_band,
+    )
+    bb = band_buckets(
+        minhash_signatures(bench, text_col, id_col, n, num_hashes=k),
+        id_col, bands, rows_per_band,
+    )
+    return (
+        tb.alias("t")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("t.band") == F.col("b.band"))
+            & (F.col("t.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(
+            F.col(f"t.{id_col}").alias("train_id"),
+            F.col(f"b.{id_col}").alias("bench_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
 def neardup_route_probe(
     df: DataFrame,
     text_col: str = "text",

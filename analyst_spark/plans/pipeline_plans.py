@@ -162,9 +162,6 @@ WHERE round(n_matched / CAST(n_ngrams AS DOUBLE), 6) >= 0.5
 """
 
 
-_BLOOM_BITS = 1 << 20  # 16 Ki words broadcast — sized for the gate corpora
-
-
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The contamination check for the regime where the benchmark
     n-gram set is too LARGE to broadcast as an exact hash set: a
@@ -188,7 +185,11 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join moves only ~answer-sized data. Same discipline as
     lineitem_bloom_semijoin, applied to the curation pipeline.
     """
-    from analyst_spark.functions.bloom import bloom_build, bloom_prune
+    from analyst_spark.functions.bloom import (
+        bloom_build,
+        bloom_prune,
+        sized_bits,
+    )
 
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
     toks = docs.select(
@@ -209,7 +210,14 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    words = bloom_build(bench, "g", n_bits=_BLOOM_BITS)
+    # Size the filter from the ACTUAL bench key count (~16 bits/key,
+    # ~1% FP) instead of a fixed constant: a fixed 2^20-bit table
+    # saturates one decade up (770k bench grams at x100 ⇒ FP ~50%,
+    # pruning gone). The count doubles as the eager materialization
+    # of the persisted bench set, and n_bits only changes how much is
+    # pruned, never the answer — same oracle hash at every size.
+    n_bits = sized_bits(bench.count())
+    words = bloom_build(bench, "g", n_bits=n_bits)
     exploded = toks.select(
         "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
     )
@@ -218,7 +226,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench-too-big-to-broadcast regime, so the verify is left to the
     # planner (AQE broadcasts at gate scale, shuffles at 100 TB —
     # over the pruned survivor set either way).
-    survivors = bloom_prune(exploded, "g", words, n_bits=_BLOOM_BITS)
+    survivors = bloom_prune(exploded, "g", words, n_bits=n_bits)
     scored = (
         survivors.join(bench, "g")
         .groupBy("doc_id", "n_ngrams")
@@ -272,28 +280,14 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines compute identical md5 strings and identical 32-bit
     prefixes, so the gate checks the permutation itself.
     """
-    # No spread() here: the window's partitionBy(shard_id) exchange is
-    # the ONLY shuffle this plan needs — a balancing repartition before
-    # it would move the whole corpus twice (verified in the formatted
-    # plan: scan → project → single Exchange → Window).
+    from analyst_spark.functions.shuffle import seeded_shuffle
+
+    # No spread() here: seeded_shuffle's window exchange is the ONLY
+    # shuffle this plan needs (verified in the formatted plan: scan →
+    # project → single Exchange → Window).
     docs = load_tables(spark, sf_dir)["documents"]
-    keyed = docs.select(
-        "doc_id",
-        F.md5(
-            F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
-        ).alias("shuffle_key"),
-    )
-    sharded = keyed.withColumn(
-        "shard_id",
-        (F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
-         % _N_SHARDS),
-    )
-    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
-    return sharded.select(
-        "doc_id",
-        "shuffle_key",
-        "shard_id",
-        F.row_number().over(w).cast("long").alias("pos"),
+    return seeded_shuffle(
+        docs, "doc_id", seed=_SHUFFLE_SEED, n_shards=_N_SHARDS
     )
 
 
