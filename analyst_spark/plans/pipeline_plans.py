@@ -185,11 +185,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join moves only ~answer-sized data. Same discipline as
     lineitem_bloom_semijoin, applied to the curation pipeline.
     """
-    from analyst_spark.functions.bloom import (
-        bloom_build,
-        bloom_prune,
-        sized_bits,
-    )
+    from analyst_spark.functions.bloom import bloom_semi_join
 
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
     toks = docs.select(
@@ -202,33 +198,29 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     toks.count()
 
-    # bench is consumed twice (bloom build + exact verify): persist so
-    # the distinct runs once. It is benchmark-sized, not corpus-sized.
+    # bench is consumed three times inside bloom_semi_join (sizing
+    # count, filter build, exact verify): persist so the distinct runs
+    # once. It is benchmark-sized, not corpus-sized.
     bench = (
         toks.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))
         .distinct()
         .persist()
     )
-    # Size the filter from the ACTUAL bench key count (~16 bits/key,
-    # ~1% FP) instead of a fixed constant: a fixed 2^20-bit table
-    # saturates one decade up (770k bench grams at x100 ⇒ FP ~50%,
-    # pruning gone). The count doubles as the eager materialization
-    # of the persisted bench set, and n_bits only changes how much is
-    # pruned, never the answer — same oracle hash at every size.
-    n_bits = sized_bits(bench.count())
-    words = bloom_build(bench, "g", n_bits=n_bits)
     exploded = toks.select(
         "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
     )
-    # Map-side Bloom prune, then the exact join on survivors only.
-    # Deliberately NOT F.broadcast(bench): this entry models the
-    # bench-too-big-to-broadcast regime, so the verify is left to the
-    # planner (AQE broadcasts at gate scale, shuffles at 100 TB —
-    # over the pruned survivor set either way).
-    survivors = bloom_prune(exploded, "g", words, n_bits=n_bits)
+    # bloom_semi_join = word-table prune (auto-sized from the measured
+    # bench key count at ~16 bits/key — a fixed size saturates one
+    # decade up; n_bits never changes the answer) + exact verify on
+    # the survivors only. Because bench grams are DISTINCT, the exact
+    # semi-join is row-for-row the inner join the broadcast entry
+    # runs, so each surviving posting counts exactly once. The verify
+    # join is deliberately NOT broadcast-hinted: this entry models the
+    # bench-too-big-to-broadcast regime (AQE broadcasts at gate scale,
+    # shuffles at 100 TB — over the pruned survivors either way).
     scored = (
-        survivors.join(bench, "g")
+        bloom_semi_join(exploded, "g", bench, "g")
         .groupBy("doc_id", "n_ngrams")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
