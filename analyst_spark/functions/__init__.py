@@ -5,6 +5,7 @@ from analyst_spark.functions.text import (
     token_count,
 )
 from analyst_spark.functions.dedup import (
+    cross_corpus_minhash_pairs,
     exact_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -12,6 +13,7 @@ from analyst_spark.functions.dedup import (
     shingle_tokens,
     simhash_signatures,
 )
+from analyst_spark.functions.shuffle import seeded_shuffle
 from analyst_spark.functions.multimodal import (
     audio_features,
     image_features,
@@ -29,6 +31,8 @@ __all__ = [
     "minhash_pairs",
     "simhash_signatures",
     "ngram_jaccard_pairs",
+    "cross_corpus_minhash_pairs",
+    "seeded_shuffle",
     "release_cached",
     "cosine_topk",
     "ivf_topk",

@@ -37,16 +37,19 @@ def seeded_shuffle(
     seed: str = "epoch0",
     n_shards: int = 16,
 ) -> DataFrame:
-    """Append ``(shuffle_key, shard_id, pos)`` to ``df``'s id column:
-    the deterministic seeded permutation, exposed as shard + rank so
-    a training loader can consume it without any global sort.
+    """Append ``(shuffle_key, shard_id, pos)`` to ``df``: the
+    deterministic seeded permutation, exposed as shard + rank so a
+    training loader can consume it without any global sort. All of
+    ``df``'s columns pass through (Catalyst prunes the ones a
+    downstream projection drops), so payload — token counts, packed
+    ids — rides the one exchange instead of re-joining afterwards.
 
     The plan is scan → project → ONE exchange (the window's
     partitionBy) → per-shard sort; adding a balancing repartition
     before it would move the corpus twice for nothing.
     """
     keyed = df.select(
-        F.col(id_col),
+        "*",
         F.md5(
             F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
         ).alias("shuffle_key"),
@@ -57,9 +60,6 @@ def seeded_shuffle(
          % n_shards),
     )
     w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
-    return sharded.select(
-        id_col,
-        "shuffle_key",
-        "shard_id",
-        F.row_number().over(w).cast("long").alias("pos"),
+    return sharded.withColumn(
+        "pos", F.row_number().over(w).cast("long")
     )

@@ -430,6 +430,14 @@ _register(
     "docs_global_shuffle", pp.docs_global_shuffle,
     pp.DOCS_GLOBAL_SHUFFLE_ORACLE,
 )
+# Shuffle-then-pack composition: seeded permutation order packed into
+# fixed-length sequences, prefix sum bucketed BY SHARD (reuses the
+# shuffle's own exchange); order inside sequences pinned via
+# min_by/max_by over the unique slot integer
+_register(
+    "docs_shuffled_pack", pp.docs_shuffled_pack,
+    pp.DOCS_SHUFFLED_PACK_ORACLE,
+)
 # Streaming twin of contamination_minhash (decontamination at ingest:
 # stream-static band join against the bench signature index, stateless
 # smallest-matching-band pair emission) — row-identical, same oracle

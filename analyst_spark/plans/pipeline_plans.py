@@ -276,11 +276,12 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # No spread() here: seeded_shuffle's window exchange is the ONLY
     # shuffle this plan needs (verified in the formatted plan: scan →
-    # project → single Exchange → Window).
+    # project → single Exchange → Window; the projection below prunes
+    # the text payload out of the scan).
     docs = load_tables(spark, sf_dir)["documents"]
     return seeded_shuffle(
         docs, "doc_id", seed=_SHUFFLE_SEED, n_shards=_N_SHARDS
-    )
+    ).select("doc_id", "shuffle_key", "shard_id", "pos")
 
 
 DOCS_GLOBAL_SHUFFLE_ORACLE = f"""
@@ -301,6 +302,7 @@ SELECT doc_id, shuffle_key, shard_id,
        ) AS BIGINT) AS pos
 FROM sharded
 """
+
 
 
 # --------------------------------------------------- PII scan / scrub
@@ -769,6 +771,101 @@ SELECT seq_id,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
+FROM placed
+GROUP BY seq_id
+"""
+
+def docs_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle THEN pack — the composed training-prep path: documents
+    take their seeded-permutation order (functions/shuffle.py), then
+    pack greedily into fixed _SEQ_LEN-token sequences in THAT order.
+    docs_pack_sequences packs in storage (doc_id) order, which
+    preserves crawl locality inside every sequence; real pre-training
+    packs the epoch's shuffled order so each sequence mixes the
+    corpus — this entry is that composition, end to end.
+
+    The distributed prefix sum runs in shuffled order with the SHARDS
+    as the buckets (the place_into_sequences two-phase device, one
+    level up): each shard cumulates token counts under its own
+    (pos-ordered) window — the same exchange the shuffle already
+    made, so no extra corpus shuffle — and the 16 per-shard totals
+    cumulate into shard base offsets that broadcast-join back.
+    seq_id = global offset DIV _SEQ_LEN; sequences legitimately span
+    shard boundaries (the global shuffled order is what's packed).
+    first/last docs are taken by min_by/max_by over the slot integer
+    shard·2⁴⁰+pos (unique by construction), so the gate pins the
+    ORDER inside every sequence, not just the sizes.
+    """
+    from analyst_spark.functions.shuffle import seeded_shuffle
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    order = seeded_shuffle(
+        toks, "doc_id", seed=_SHUFFLE_SEED, n_shards=_N_SHARDS
+    )
+    w_in = (
+        Window.partitionBy("shard_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = order.withColumn(
+        "local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
+    )
+    shard_totals = order.groupBy("shard_id").agg(
+        F.sum("n_tok").alias("stot")
+    )
+    w_b = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # one row per shard — tiny by construction
+    bases = shard_totals.withColumn(
+        "base", F.coalesce(F.sum("stot").over(w_b), F.lit(0))
+    ).select("shard_id", "base")
+    placed = within.join(bases, "shard_id").select(
+        "doc_id",
+        "n_tok",
+        ((F.col("base") + F.col("local_off")) / _SEQ_LEN)
+        .cast("long")
+        .alias("seq_id"),
+        (F.col("shard_id") * F.lit(1 << 40) + F.col("pos")).alias("slot"),
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min_by("doc_id", "slot").alias("first_doc"),
+        F.max_by("doc_id", "slot").alias("last_doc"),
+    )
+
+
+DOCS_SHUFFLED_PACK_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))) AS k
+    FROM documents
+), sharded AS (
+    SELECT doc_id, n_tok, k,
+           CAST(({_hex8_horner('k')}) % {_N_SHARDS} AS BIGINT) AS shard_id
+    FROM keyed
+), placed AS (
+    SELECT doc_id, n_tok,
+           CAST(COALESCE(sum(n_tok) OVER (
+                    ORDER BY shard_id, k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_SEQ_LEN} AS BIGINT) AS seq_id,
+           shard_id * {1 << 40}
+               + row_number() OVER (
+                     PARTITION BY shard_id ORDER BY k, doc_id
+                 ) AS slot
+    FROM sharded
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, slot) AS first_doc,
+       arg_max(doc_id, slot) AS last_doc
 FROM placed
 GROUP BY seq_id
 """

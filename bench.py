@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "contamination_minhash",
     "contamination_embedding",
     "docs_global_shuffle",
+    "docs_shuffled_pack",
 ]
 
 

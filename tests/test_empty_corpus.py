@@ -30,7 +30,7 @@ DOC_ENTRIES = [
     "docs_train_test_split", "docs_consistent_sample",
     "bpe_train_merges", "bpe_train_batched",
     "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
-    "streaming_contamination_minhash",
+    "streaming_contamination_minhash", "docs_shuffled_pack",
 ]
 
 

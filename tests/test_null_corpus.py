@@ -30,7 +30,7 @@ DOC_ENTRIES = [
     "docs_chunk_windows", "docs_train_test_split", "docs_stratified_sample", "docs_consistent_sample",
     "corpus_prep_pipeline",
     "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
-    "streaming_contamination_minhash",
+    "streaming_contamination_minhash", "docs_shuffled_pack",
 ]
 
 EMB_ENTRIES = [

@@ -137,6 +137,33 @@ def test_global_shuffle_deterministic_and_decorrelated(spark):
     assert monotone_shards < len(by_shard)
 
 
+def test_shuffled_pack_conserves_tokens_and_reorders(spark):
+    out = pp.docs_shuffled_pack(spark, SF_DIR).persist()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    try:
+        total = docs.select(
+            F.sum(F.size(F.split("text", " ")).cast("long"))
+        ).first()[0]
+        agg = out.agg(
+            F.sum("n_tokens").alias("tok"),
+            F.sum("n_docs").alias("docs"),
+            F.max("seq_id").alias("hi"),
+            F.countDistinct("seq_id").alias("nd"),
+        ).first()
+        # every token and every document packed exactly once
+        assert agg["tok"] == total
+        assert agg["docs"] == docs.count()
+        # sequence ids contiguous from 0
+        assert agg["nd"] == agg["hi"] + 1
+        assert out.filter(F.col("seq_id") == 0).count() == 1
+        # the shuffled packing genuinely reorders: sequence 0 does not
+        # start at the minimum doc_id (p = 1/n_docs for a false alarm)
+        first = out.filter(F.col("seq_id") == 0).first()["first_doc"]
+        assert first != docs.agg(F.min("doc_id")).first()[0]
+    finally:
+        out.unpersist()
+
+
 def test_global_shuffle_seed_changes_order(spark, monkeypatch):
     base = _rows(pp.docs_global_shuffle(spark, SF_DIR),
                  "doc_id", "shard_id", "pos")
