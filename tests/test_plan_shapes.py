@@ -177,3 +177,26 @@ def test_dup_span_no_cartesian(spark):
     release_cached(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_global_shuffle_single_exchange(spark):
+    """seeded_shuffle's contract: ONE exchange (the window's
+    partitionBy), no join, no global sort of the corpus — the
+    SCALE.md claim the r12 plan audit records."""
+    plan = _plan(QUERIES["docs_global_shuffle"](spark, SF))
+    # count numbered node headers, not tree+details duplicates
+    assert plan.count(") Exchange") == 1, plan
+    assert "Join" not in plan
+    assert plan.count(") Window") == 1
+
+
+def test_shuffled_pack_no_extra_corpus_exchange(spark):
+    """The pack's prefix sum buckets BY SHARD, so the corpus-sized
+    exchanges are exactly: the shuffle's shard partition (reused by
+    the within-shard window) plus the final per-seq aggregation;
+    the shard-totals side is 16 rows. No CartesianProduct, no
+    sort-merge join (bases join broadcasts)."""
+    plan = _plan(QUERIES["docs_shuffled_pack"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
