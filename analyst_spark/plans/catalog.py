@@ -430,6 +430,14 @@ _register(
     "docs_global_shuffle", pp.docs_global_shuffle,
     pp.DOCS_GLOBAL_SHUFFLE_ORACLE,
 )
+# Funnel v3 = v2 + the decontamination stage real pipelines run last
+# (8-gram overlap >= 0.5 vs the benchmark set, which also drops bench
+# members — eval prompts must not be trained on); all six stages from
+# ONE shared corpus scan, fully hash-gated
+_register(
+    "docs_curation_funnel_v3", pp.docs_curation_funnel_v3,
+    pp.DOCS_FUNNEL_V3_ORACLE,
+)
 # Shuffle-then-pack composition: seeded permutation order packed into
 # fixed-length sequences, prefix sum bucketed BY SHARD (reuses the
 # shuffle's own exchange); order inside sequences pinned via

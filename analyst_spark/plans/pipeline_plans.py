@@ -2078,6 +2078,208 @@ SELECT 5, 'lm', CAST(count(*) FILTER (p4) AS BIGINT),
 DOCS_FUNNEL_V2_ORACLE = _funnel_v2_oracle()
 
 
+def docs_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the stage real pre-training pipelines run
+    LAST: benchmark DECONTAMINATION. raw → Gopher rules → frozen
+    classifier → duplicate-span ceiling → LM perplexity ceiling →
+    drop every document whose 8-gram overlap with the benchmark set
+    is ≥ 50% (contamination_ngram's exact rule — note this also
+    drops the benchmark members themselves, which is precisely what
+    a training run wants: eval prompts must not be trained on).
+
+    The decontamination stage derives from the SAME shared corpus
+    scan as the other five (the ``ts`` space-split is the
+    contamination tokenization), so the whole 6-stage report still
+    costs one parquet read and two tokenizations; the stage adds the
+    n-gram projection, the broadcast bench-gram join, and one
+    doc-keyed aggregation — the contamination_ngram shape fused into
+    the funnel. All six stages remain exact-integer, so the composed
+    report is fully hash-gated.
+    """
+    from analyst_spark.functions.classifier import (
+        frozen_quality_margins_from_tokens,
+    )
+
+    base_tok = _funnel_token_base(spark, sf_dir)
+    g0 = gopher_features_from_tokens(base_tok.select("doc_id", "t"))
+    d0 = dup_span_from_tokens(
+        base_tok.select("doc_id", F.col("ts").alias("t"))
+    )
+    lm0 = lm_score_from_tokens(base_tok.select("doc_id", "t"))
+    g = g0.select("doc_id", "keep")
+    d = d0.select("doc_id", "dup_ratio")
+    lm = lm0.select("doc_id", "ppl")
+    qc = frozen_quality_margins_from_tokens(
+        base_tok.select("doc_id", F.explode("t").alias("tok"))
+    )
+    toks = base_tok.select(
+        "doc_id", F.size("t").cast("long").alias("toks")
+    )
+    # decontamination flags from the shared ts split (persisted: the
+    # hashed-gram frame feeds both the bench side and the corpus side
+    # — the contamination_ngram device)
+    grams = base_tok.select(
+        "doc_id",
+        F.transform(
+            _ngrams(F.col("ts"), _NGRAM_N), lambda x: F.xxhash64(x)
+        ).alias("gs"),
+    ).persist()
+    grams.count()
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    flagged = (
+        grams.select(
+            "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
+        )
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(
+            F.round(F.col("n_matched") / F.col("n_ngrams"), 6) >= 0.5
+        )
+        .select("doc_id", F.lit(True).alias("contam"))
+    )
+    pass1 = F.col("keep")
+    pass2 = pass1 & F.coalesce(
+        F.col("margin") >= F.lit(_FUNNEL_QC_MARGIN_MIN), F.lit(False)
+    )
+    pass3 = pass2 & F.coalesce(
+        F.col("dup_ratio") < F.lit(_FUNNEL_DUP_MAX), F.lit(False)
+    )
+    pass4 = pass3 & F.coalesce(
+        F.col("ppl") <= F.lit(_FUNNEL_PPL_MAX), F.lit(False)
+    )
+    pass5 = pass4 & ~F.coalesce(F.col("contam"), F.lit(False))
+    base = (
+        toks.join(g, "doc_id")
+        .join(qc, "doc_id", "left")
+        .join(d, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "toks",
+            pass1.alias("p1"),
+            pass2.alias("p2"),
+            pass3.alias("p3"),
+            pass4.alias("p4"),
+            pass5.alias("p5"),
+        )
+    )
+    stages = base.select(
+        "toks",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("r"), F.lit("raw").alias("s"), F.lit(True).alias("p")),
+                F.struct(F.lit(2).alias("r"), F.lit("gopher").alias("s"), F.col("p1").alias("p")),
+                F.struct(F.lit(3).alias("r"), F.lit("classifier").alias("s"), F.col("p2").alias("p")),
+                F.struct(F.lit(4).alias("r"), F.lit("dedup").alias("s"), F.col("p3").alias("p")),
+                F.struct(F.lit(5).alias("r"), F.lit("lm").alias("s"), F.col("p4").alias("p")),
+                F.struct(F.lit(6).alias("r"), F.lit("decontaminate").alias("s"), F.col("p5").alias("p")),
+            )
+        ).alias("st"),
+    )
+    agg = (
+        stages.groupBy(
+            F.col("st.r").cast("long").alias("stage_rank"),
+            F.col("st.s").alias("stage"),
+        )
+        .agg(
+            F.sum(F.when(F.col("st.p"), 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("st.p"), F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    stage_names = spark.createDataFrame(
+        [(1, "raw"), (2, "gopher"), (3, "classifier"), (4, "dedup"),
+         (5, "lm"), (6, "decontaminate")],
+        "stage_rank long, stage string",
+    )
+    out = stage_names.join(agg, ["stage_rank", "stage"], "left").select(
+        "stage_rank",
+        "stage",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    deps = [base_tok, grams]
+    for comp in (g0, d0, lm0):
+        deps.extend(getattr(comp, "_asp_cached_deps", []))
+    return _with_cached_deps(out, *deps)
+
+
+def _funnel_v3_oracle() -> str:
+    return rf"""
+WITH g AS (SELECT doc_id, keep FROM ({DOCS_GOPHER_ORACLE})),
+dd AS (SELECT doc_id, dup_ratio FROM ({DOCS_DUP_SPAN_ORACLE})),
+lm AS (SELECT doc_id, ppl FROM ({DOCS_LM_SCORE_ORACLE})),
+{_qc_margin_ctes()},
+{_qc_margin_float_cte()},
+cng AS (
+    SELECT doc_id, {_duck_ngrams(_NGRAM_N)} AS gs
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+cbench AS (
+    SELECT DISTINCT unnest(gs) AS g FROM cng WHERE doc_id % {_BENCH_MOD} = 0
+),
+cflag AS (
+    SELECT e.doc_id, TRUE AS contam
+    FROM (SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM cng) e
+    JOIN cbench b ON e.g = b.g
+    GROUP BY e.doc_id, e.n_ngrams
+    HAVING round(count(*) / CAST(e.n_ngrams AS DOUBLE), 6) >= 0.5
+),
+t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+    FROM documents
+),
+base AS (
+    SELECT t.toks,
+           g.keep AS p1,
+           g.keep AND COALESCE(qc.margin >= {_FUNNEL_QC_MARGIN_MIN}, FALSE) AS p2,
+           g.keep AND COALESCE(qc.margin >= {_FUNNEL_QC_MARGIN_MIN}, FALSE)
+                  AND COALESCE(dd.dup_ratio < {_FUNNEL_DUP_MAX}, FALSE) AS p3,
+           g.keep AND COALESCE(qc.margin >= {_FUNNEL_QC_MARGIN_MIN}, FALSE)
+                  AND COALESCE(dd.dup_ratio < {_FUNNEL_DUP_MAX}, FALSE)
+                  AND COALESCE(lm.ppl <= {_FUNNEL_PPL_MAX}, FALSE) AS p4,
+           g.keep AND COALESCE(qc.margin >= {_FUNNEL_QC_MARGIN_MIN}, FALSE)
+                  AND COALESCE(dd.dup_ratio < {_FUNNEL_DUP_MAX}, FALSE)
+                  AND COALESCE(lm.ppl <= {_FUNNEL_PPL_MAX}, FALSE)
+                  AND NOT COALESCE(cf.contam, FALSE) AS p5
+    FROM t
+    JOIN g USING (doc_id)
+    LEFT JOIN qc USING (doc_id)
+    LEFT JOIN dd USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+    LEFT JOIN cflag cf USING (doc_id)
+)
+SELECT CAST(1 AS BIGINT) AS stage_rank, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(COALESCE(sum(toks), 0) AS BIGINT) AS n_tokens
+FROM base
+UNION ALL
+SELECT 2, 'gopher', CAST(count(*) FILTER (p1) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p1), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 3, 'classifier', CAST(count(*) FILTER (p2) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p2), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 4, 'dedup', CAST(count(*) FILTER (p3) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p3), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 5, 'lm', CAST(count(*) FILTER (p4) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p4), 0) AS BIGINT) FROM base
+UNION ALL
+SELECT 6, 'decontaminate', CAST(count(*) FILTER (p5) AS BIGINT),
+       CAST(COALESCE(sum(toks) FILTER (p5), 0) AS BIGINT) FROM base
+"""
+
+
+DOCS_FUNNEL_V3_ORACLE = _funnel_v3_oracle()
+
+
 # --------------------------------------------- quality prune curve
 
 # classifier-margin milli cuts: coarse anchors plus fine steps across

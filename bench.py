@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "contamination_embedding",
     "docs_global_shuffle",
     "docs_shuffled_pack",
+    "docs_curation_funnel_v3",
 ]
 
 

@@ -31,6 +31,7 @@ DOC_ENTRIES = [
     "bpe_train_merges", "bpe_train_batched",
     "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
     "streaming_contamination_minhash", "docs_shuffled_pack",
+    "docs_curation_funnel_v3",
 ]
 
 
@@ -56,6 +57,10 @@ def test_entry_survives_empty_corpus(spark, empty_sf, name):
     elif name == "docs_curation_funnel_v2":
         assert sorted(r.stage for r in rows) == [
             "classifier", "dedup", "gopher", "lm", "raw"]
+        assert all(r.n_docs == 0 for r in rows)
+    elif name == "docs_curation_funnel_v3":
+        assert sorted(r.stage for r in rows) == [
+            "classifier", "decontaminate", "dedup", "gopher", "lm", "raw"]
         assert all(r.n_docs == 0 for r in rows)
     elif name == "dedup_pipeline_e2e":
         assert sorted(r.stage for r in rows) == [

@@ -31,6 +31,7 @@ DOC_ENTRIES = [
     "corpus_prep_pipeline",
     "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
     "streaming_contamination_minhash", "docs_shuffled_pack",
+    "docs_curation_funnel_v3",
 ]
 
 EMB_ENTRIES = [

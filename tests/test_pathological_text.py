@@ -32,6 +32,7 @@ ENTRIES = [
     "text_stats", "text_quality", "text_repetition", "text_top_tokens", "text_heavy_hitters_cms",
     "doc_fingerprints", "doc_winnow_fingerprints", "contamination_ngram",
     "contamination_bloom", "contamination_minhash", "docs_shuffled_pack",
+    "docs_curation_funnel_v3",
     "docs_gopher_filter", "docs_lm_score", "docs_dsir_weights",
     "docs_dup_span", "docs_chunk_windows", "docs_pack_sequences",
     "docs_bm25_topk", "docs_bm25_multi", "docs_rrf_hybrid",

@@ -137,6 +137,25 @@ def test_global_shuffle_deterministic_and_decorrelated(spark):
     assert monotone_shards < len(by_shard)
 
 
+def test_funnel_v3_extends_v2_and_decontaminate_bites(spark):
+    v2 = {
+        r["stage_rank"]: (r["stage"], r["n_docs"], r["n_tokens"])
+        for r in pp.docs_curation_funnel_v2(spark, SF_DIR).collect()
+    }
+    v3 = {
+        r["stage_rank"]: (r["stage"], r["n_docs"], r["n_tokens"])
+        for r in pp.docs_curation_funnel_v3(spark, SF_DIR).collect()
+    }
+    # stages 1-5 are bit-identical to v2 (same shared scan, same
+    # thresholds); v3 only appends the decontamination stage
+    assert {k: v2[k] for k in range(1, 6)} == {k: v3[k] for k in range(1, 6)}
+    assert v3[6][0] == "decontaminate"
+    # monotone and genuinely biting on the synthetic corpus (it
+    # plants near-copies of benchmark members that survive to lm)
+    assert v3[6][1] < v3[5][1]
+    assert v3[6][2] < v3[5][2]
+
+
 def test_shuffled_pack_conserves_tokens_and_reorders(spark):
     out = pp.docs_shuffled_pack(spark, SF_DIR).persist()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
