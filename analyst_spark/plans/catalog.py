@@ -454,6 +454,13 @@ _register(
     st.streaming_contamination_minhash,
     tp.CONTAMINATION_MINHASH_ORACLE,
 )
+# ...and the semantic member's streaming twin (train vectors streamed
+# against the bench sign-LSH index; stateless, row-identical)
+_register(
+    "streaming_contamination_embedding",
+    st.streaming_contamination_embedding,
+    tp.CONTAMINATION_EMBEDDING_ORACLE,
+)
 
 
 # The driver's CORRECTNESS gate compares the FIRST 50 registered

@@ -1338,3 +1338,112 @@ def streaming_incremental_embedding(
         shutil.rmtree(tmp, ignore_errors=True)
         hsigs.unpersist()
     return spark.table(_IEMB_SINK)
+
+
+_XCEMB_SINK = "streaming_conta_embedding_gate"
+
+
+def streaming_contamination_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``contamination_embedding`` — SEMANTIC
+    decontamination at ingest time, completing the decontamination
+    family's streaming pair (text: streaming_contamination_minhash):
+    training vectors arrive as a file stream, each micro-batch is
+    sign-LSH-signed per row, band buckets join STREAM-STATIC against
+    the benchmark's signature index, and candidates verify with the
+    exact-cosine Catalyst expression. A contaminated vector is
+    flagged before it lands in the training lake.
+
+    Same stateless devices as streaming_incremental_embedding
+    (smallest-matching-band emission recomputed from the signature
+    arrays riding the candidate row; both join partners broadcast
+    static tables; NULL vectors dropped on both sides exactly like
+    the batch entry's prep). Every emitted value is a deterministic
+    function of one stream row + one static row, so the streamed
+    pair set is ROW-IDENTICAL to the batch entry and carries the
+    SAME DuckDB oracle. At 100 TB: the bench index is the
+    eval-suite-sized broadcast side, state is zero, no watermark.
+    """
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.similarity import (
+        _dot,
+        _norm,
+        band_signature_udf,
+        drop_null_vectors,
+    )
+    from analyst_spark.plans.text_plans import (
+        _NEARDUP_THRESHOLD,
+        _TWIN_STEP,
+        _XEMB_MOD,
+        _XEMB_OFFSET,
+    )
+    from analyst_spark.tables import spread
+
+    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    is_bench = F.col("vec_id") % _XEMB_MOD == 0
+    bench = drop_null_vectors(emb.filter(is_bench), "embedding")
+    plants = bench.filter(F.col("vec_id") % _TWIN_STEP == 0).select(
+        (F.col("vec_id") + _XEMB_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    train = drop_null_vectors(emb.filter(~is_bench), "embedding").unionByName(
+        plants
+    )
+    sig = band_signature_udf(32, 12, 64)
+    bsigs = bench.select(
+        "vec_id", "embedding", sig(F.col("embedding")).alias("__sig")
+    ).persist()
+    tmp = tempfile.mkdtemp(prefix="asp_stream_xemb_")
+    try:
+        bsigs.count()  # the maintained artifact; real stats for the join
+        bb = bsigs.select(
+            F.col("vec_id").alias("bench_id"),
+            F.posexplode("__sig").alias("band", "bucket"),
+        )
+        bpay = bsigs.select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("__vb"),
+            F.col("__sig").alias("__sb"),
+        )
+        train.coalesce(8).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(tmp)
+        )
+        ssig = stream.select(
+            F.col("vec_id").alias("train_id"),
+            F.col("embedding").alias("__va"),
+            sig(F.col("embedding")).alias("__sa"),
+        )
+        sb = ssig.select(
+            "train_id", "__va", "__sa",
+            F.posexplode("__sa").alias("band", "bucket"),
+        )
+        cand = sb.join(F.broadcast(bb), ["band", "bucket"]).join(
+            F.broadcast(bpay), "bench_id"
+        )
+        first_band = (
+            F.expr("array_position(zip_with(__sa, __sb, (x, y) -> x = y), true)")
+            - 1
+        )
+        sim = F.round(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+            6,
+        )
+        pairs = (
+            cand.filter(F.col("band") == first_band)
+            .select("train_id", "bench_id", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= _NEARDUP_THRESHOLD)
+        )
+        q = run_to_memory_sink(pairs, _XCEMB_SINK, output_mode="append")
+        _await_or_raise(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        bsigs.unpersist()
+    return spark.table(_XCEMB_SINK)

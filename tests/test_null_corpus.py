@@ -39,6 +39,7 @@ EMB_ENTRIES = [
     "ann_pca_ivf", "dedup_embedding", "dedup_incremental_embedding", "streaming_incremental_embedding", "dedup_incremental_embedding_multiday", "dedup_semantic",
     "dedup_semantic_trained", "embeddings_pca", "embeddings_quantize_int8",
     "knn_label_propagation", "contamination_embedding",
+    "streaming_contamination_embedding",
 ]
 
 EVENT_ENTRIES = [

@@ -68,6 +68,21 @@ def test_streaming_contamination_twin_row_identical(spark):
     assert stream == batch
 
 
+def test_streaming_contamination_embedding_twin_row_identical(spark):
+    from analyst_spark.plans import streaming_plans as st
+
+    batch = _rows(
+        tp.contamination_embedding(spark, SF_DIR),
+        "train_id", "bench_id", "cosine_sim",
+    )
+    stream = _rows(
+        st.streaming_contamination_embedding(spark, SF_DIR),
+        "train_id", "bench_id", "cosine_sim",
+    )
+    assert stream == batch
+    assert len(batch) > 0
+
+
 def test_contamination_minhash_no_same_side_pairs(spark):
     m = tp._XCONTA_MOD
     out = tp.contamination_minhash(spark, SF_DIR)
