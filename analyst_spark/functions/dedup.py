@@ -209,13 +209,21 @@ def band_buckets(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    keep_signature: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) rows from a signature frame: the LSH bucket
     key of band b is md5 of that band's minhash values joined with
     '|' — the banding device shared by :func:`minhash_pairs` (batch
     self-join) and :func:`incremental_neardup_pairs` (batch-vs-history
     probe), factored so both join on EXACTLY the same bucket ids and
-    an index built by one is probe-compatible with the other."""
+    an index built by one is probe-compatible with the other.
+
+    ``keep_signature=True`` carries the mh0..mh{k-1} columns through
+    onto every band row. Streaming probes need this: a stream-side
+    frame cannot join back to its own signature table (that is a
+    stream-stream join, which buffers unbounded state), so the
+    signature must RIDE the exploded band rows and every downstream
+    join stays stream-static."""
     band_rows = []
     for b in range(bands):
         cols = [
@@ -228,9 +236,11 @@ def band_buckets(
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
             )
         )
+    k = bands * rows_per_band
+    carry = [f"mh{i}" for i in range(k)] if keep_signature else []
     return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+        F.col(id_col), *carry, F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, *carry, "bb.band", "bb.bucket")
 
 
 def neardup_signature_index(

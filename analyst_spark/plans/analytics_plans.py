@@ -212,13 +212,9 @@ def md5_bucket_sql(expr: str) -> str:
     """DuckDB twin of _md5_bucket_spark for any SQL expression —
     single definition so Spark plans and their oracles can never
     drift on the bucketing formula (the _CMS_EPS lesson)."""
-    d = (
-        "(strpos('0123456789abcdef', "
-        f"substr(md5(CAST({expr} AS VARCHAR)), {{i}}, 1)) - 1)"
-    )
-    v4 = " + ".join(
-        f"{d.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
-    )
+    from analyst_spark.plans.oracle_sql import hex_prefix_horner
+
+    v4 = hex_prefix_horner(f"md5(CAST({expr} AS VARCHAR))", 4)
     return f"({v4}) % 100"
 
 

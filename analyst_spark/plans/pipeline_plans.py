@@ -245,14 +245,11 @@ _N_SHARDS = 16
 
 
 def _hex8_horner(col: str) -> str:
-    """DuckDB twin of Spark's conv(substring(x,1,8), 16, 10): parse
-    the first 8 hex digits positionally (no base-conv builtin — the
-    same Horner device the simhash/minhash oracles use)."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({col}, {d + 1}, 1)) - 1)"
-        f" * {16 ** (7 - d)}"
-        for d in range(8)
-    )
+    """DuckDB twin of Spark's conv(substring(x,1,8), 16, 10) — the
+    shared device in plans/oracle_sql.py."""
+    from analyst_spark.plans.oracle_sql import hex_prefix_horner
+
+    return hex_prefix_horner(col, 8)
 
 
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,34 +681,49 @@ _SEQ_LEN = 2048
 _PACK_BUCKET = 64  # docs per prefix-sum bucket
 
 
-def place_into_sequences(toks: DataFrame, seq_len: int) -> DataFrame:
-    """(doc_id, n_tok) → (doc_id, n_tok, seq_id): sequence assignment
-    via the distributed two-phase prefix sum. RANGE buckets (doc_id
-    DIV size) — bucket order IS global doc_id order; a modulo bucket
-    would interleave ids and corrupt the prefix. Shared by the
-    whitespace packer and the BPE tokenize+pack composite."""
-    toks = toks.withColumn(
-        "bucket", (F.col("doc_id") / _PACK_BUCKET).cast("long")
-    )
+def place_into_sequences(
+    toks: DataFrame,
+    seq_len: int,
+    bucket_col: str | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Input columns + ``seq_id``: sequence assignment via the
+    distributed two-phase prefix sum in (bucket, order) order. With
+    the defaults, buckets are doc_id RANGES (doc_id DIV size) —
+    bucket order IS global doc_id order; a modulo bucket would
+    interleave ids and corrupt the prefix. ``bucket_col``/
+    ``order_col`` generalize the device to any pre-bucketed order —
+    docs_shuffled_pack passes (shard_id, pos) so the prefix runs in
+    the seeded-shuffle order over the shuffle's own exchange (r12
+    review: the pack had re-implemented this device inline). Shared
+    by the whitespace packer and the BPE tokenize+pack composite."""
+    cols = list(toks.columns)
+    if bucket_col is None:
+        toks = toks.withColumn(
+            "__bucket", (F.col("doc_id") / _PACK_BUCKET).cast("long")
+        )
+        bucket_col = "__bucket"
     w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        Window.partitionBy(bucket_col)
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = toks.withColumn(
-        "local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
+        "__local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
     )
-    bucket_totals = toks.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    bucket_totals = toks.groupBy(bucket_col).agg(
+        F.sum("n_tok").alias("__btot")
+    )
     w_b = (
-        Window.orderBy("bucket")
+        Window.orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )  # one row per bucket — tiny by construction, safe to order globally
     bases = bucket_totals.withColumn(
-        "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
-    ).select("bucket", "base")
-    return within.join(bases, "bucket").select(
-        "doc_id", "n_tok",
-        ((F.col("base") + F.col("local_off")) / seq_len)
+        "__base", F.coalesce(F.sum("__btot").over(w_b), F.lit(0))
+    ).select(bucket_col, "__base")
+    return within.join(bases, bucket_col).select(
+        *cols,
+        ((F.col("__base") + F.col("__local_off")) / seq_len)
         .cast("long").alias("seq_id"),
     )
 
@@ -803,39 +815,29 @@ def docs_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
+    # Consumed by BOTH the within-shard window and the shard-totals
+    # aggregation: persist, or the corpus scan + tokenize + md5 key
+    # pass runs once per consumer (the contamination_ngram lesson;
+    # r12 review caught this entry re-deriving it).
     order = seeded_shuffle(
         toks, "doc_id", seed=_SHUFFLE_SEED, n_shards=_N_SHARDS
-    )
-    w_in = (
-        Window.partitionBy("shard_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = order.withColumn(
-        "local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
-    )
-    shard_totals = order.groupBy("shard_id").agg(
-        F.sum("n_tok").alias("stot")
-    )
-    w_b = Window.orderBy("shard_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # one row per shard — tiny by construction
-    bases = shard_totals.withColumn(
-        "base", F.coalesce(F.sum("stot").over(w_b), F.lit(0))
-    ).select("shard_id", "base")
-    placed = within.join(bases, "shard_id").select(
+    ).persist()
+    placed = place_into_sequences(
+        order, _SEQ_LEN, bucket_col="shard_id", order_col="pos"
+    ).select(
         "doc_id",
         "n_tok",
-        ((F.col("base") + F.col("local_off")) / _SEQ_LEN)
-        .cast("long")
-        .alias("seq_id"),
+        "seq_id",
         (F.col("shard_id") * F.lit(1 << 40) + F.col("pos")).alias("slot"),
     )
-    return placed.groupBy("seq_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-        F.min_by("doc_id", "slot").alias("first_doc"),
-        F.max_by("doc_id", "slot").alias("last_doc"),
+    return _with_cached_deps(
+        placed.groupBy("seq_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min_by("doc_id", "slot").alias("first_doc"),
+            F.max_by("doc_id", "slot").alias("last_doc"),
+        ),
+        order,
     )
 
 
@@ -1876,6 +1878,98 @@ SELECT 4, 'lm', CAST(count(*) FILTER (p3) AS BIGINT),
 _FUNNEL_QC_MARGIN_MIN = 0.545
 
 
+
+def _funnel_scored_base(spark: SparkSession, sf_dir: str):
+    """The funnel's shared per-document scored frame (r12 review:
+    v2 and v3 had accumulated two ~95-line copies of this wiring):
+    ONE corpus scan/tokenization, the four component frames joined on
+    doc_id into (doc_id, toks, keep, margin, dup_ratio, ppl), plus
+    the cached deps the caller must register. The pass chain and the
+    stage report are built on top by _funnel_pass_chain /
+    _funnel_stage_report."""
+    from analyst_spark.functions.classifier import (
+        frozen_quality_margins_from_tokens,
+    )
+
+    base_tok = _funnel_token_base(spark, sf_dir)
+    g0 = gopher_features_from_tokens(base_tok.select("doc_id", "t"))
+    d0 = dup_span_from_tokens(
+        base_tok.select("doc_id", F.col("ts").alias("t"))
+    )
+    lm0 = lm_score_from_tokens(base_tok.select("doc_id", "t"))
+    qc = frozen_quality_margins_from_tokens(
+        base_tok.select("doc_id", F.explode("t").alias("tok"))
+    )
+    toks = base_tok.select(
+        "doc_id", F.size("t").cast("long").alias("toks")
+    )
+    joined = (
+        toks.join(g0.select("doc_id", "keep"), "doc_id")
+        .join(qc, "doc_id", "left")
+        .join(d0.select("doc_id", "dup_ratio"), "doc_id", "left")
+        .join(lm0.select("doc_id", "ppl"), "doc_id", "left")
+    )
+    deps = [base_tok]
+    for comp in (g0, d0, lm0):
+        deps.extend(getattr(comp, "_asp_cached_deps", []))
+    return base_tok, joined, deps
+
+
+def _funnel_pass_chain():
+    """p1..p4: the gopher / classifier / dup-span / LM pass columns
+    (each cumulative), shared verbatim by v2 and v3."""
+    pass1 = F.col("keep")
+    pass2 = pass1 & F.coalesce(
+        F.col("margin") >= F.lit(_FUNNEL_QC_MARGIN_MIN), F.lit(False)
+    )
+    pass3 = pass2 & F.coalesce(
+        F.col("dup_ratio") < F.lit(_FUNNEL_DUP_MAX), F.lit(False)
+    )
+    pass4 = pass3 & F.coalesce(
+        F.col("ppl") <= F.lit(_FUNNEL_PPL_MAX), F.lit(False)
+    )
+    return [pass1, pass2, pass3, pass4]
+
+
+def _funnel_stage_report(spark, base, stage_specs):
+    """Survivor accounting over a (toks, p1..pN) frame: one explode
+    into per-stage rows, one aggregation, anchored on a literal
+    stage table so an EMPTY corpus still reports every stage
+    (the empty-corpus contract). ``stage_specs`` is
+    [(rank, name, pass_col_name-or-None)] with None meaning the
+    unconditional raw stage."""
+    structs = [
+        F.struct(
+            F.lit(r).alias("r"),
+            F.lit(s).alias("s"),
+            (F.lit(True) if p is None else F.col(p)).alias("p"),
+        )
+        for r, s, p in stage_specs
+    ]
+    stages = base.select("toks", F.explode(F.array(*structs)).alias("st"))
+    agg = (
+        stages.groupBy(
+            F.col("st.r").cast("long").alias("stage_rank"),
+            F.col("st.s").alias("stage"),
+        )
+        .agg(
+            F.sum(F.when(F.col("st.p"), 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("st.p"), F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    stage_names = spark.createDataFrame(
+        [(r, s) for r, s, _ in stage_specs], "stage_rank long, stage string"
+    )
+    return stage_names.join(agg, ["stage_rank", "stage"], "left").select(
+        "stage_rank",
+        "stage",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+
 def docs_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel with the CCNet-style classifier deployed
     as a STAGE (VERDICT r6 #4): raw → Gopher rules → frozen quality
@@ -1895,85 +1989,16 @@ def docs_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_funnel_token_base, VERDICT r7 #1) instead of each re-loading
     and re-splitting `documents`.
     """
-    from analyst_spark.functions.classifier import (
-        frozen_quality_margins_from_tokens,
-    )
-
-    base_tok = _funnel_token_base(spark, sf_dir)
-    g0 = gopher_features_from_tokens(base_tok.select("doc_id", "t"))
-    d0 = dup_span_from_tokens(
-        base_tok.select("doc_id", F.col("ts").alias("t"))
-    )
-    lm0 = lm_score_from_tokens(base_tok.select("doc_id", "t"))
-    g = g0.select("doc_id", "keep")
-    d = d0.select("doc_id", "dup_ratio")
-    lm = lm0.select("doc_id", "ppl")
-    qc = frozen_quality_margins_from_tokens(
-        base_tok.select("doc_id", F.explode("t").alias("tok"))
-    )
-    toks = base_tok.select(
-        "doc_id", F.size("t").cast("long").alias("toks")
-    )
-    pass1 = F.col("keep")
-    pass2 = pass1 & F.coalesce(
-        F.col("margin") >= F.lit(_FUNNEL_QC_MARGIN_MIN), F.lit(False)
-    )
-    pass3 = pass2 & F.coalesce(
-        F.col("dup_ratio") < F.lit(_FUNNEL_DUP_MAX), F.lit(False)
-    )
-    pass4 = pass3 & F.coalesce(
-        F.col("ppl") <= F.lit(_FUNNEL_PPL_MAX), F.lit(False)
-    )
-    base = (
-        toks.join(g, "doc_id")
-        .join(qc, "doc_id", "left")
-        .join(d, "doc_id", "left")
-        .join(lm, "doc_id", "left")
-        .select(
-            "toks",
-            pass1.alias("p1"),
-            pass2.alias("p2"),
-            pass3.alias("p3"),
-            pass4.alias("p4"),
-        )
-    )
-    stages = base.select(
+    base_tok, joined, deps = _funnel_scored_base(spark, sf_dir)
+    p1, p2, p3, p4 = _funnel_pass_chain()
+    base = joined.select(
         "toks",
-        F.explode(
-            F.array(
-                F.struct(F.lit(1).alias("r"), F.lit("raw").alias("s"), F.lit(True).alias("p")),
-                F.struct(F.lit(2).alias("r"), F.lit("gopher").alias("s"), F.col("p1").alias("p")),
-                F.struct(F.lit(3).alias("r"), F.lit("classifier").alias("s"), F.col("p2").alias("p")),
-                F.struct(F.lit(4).alias("r"), F.lit("dedup").alias("s"), F.col("p3").alias("p")),
-                F.struct(F.lit(5).alias("r"), F.lit("lm").alias("s"), F.col("p4").alias("p")),
-            )
-        ).alias("st"),
+        p1.alias("p1"), p2.alias("p2"), p3.alias("p3"), p4.alias("p4"),
     )
-    agg = (
-        stages.groupBy(
-            F.col("st.r").cast("long").alias("stage_rank"),
-            F.col("st.s").alias("stage"),
-        )
-        .agg(
-            F.sum(F.when(F.col("st.p"), 1).otherwise(0)).cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("st.p"), F.col("toks")).otherwise(0))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-    )
-    stage_names = spark.createDataFrame(
-        [(1, "raw"), (2, "gopher"), (3, "classifier"), (4, "dedup"), (5, "lm")],
-        "stage_rank long, stage string",
-    )
-    out = stage_names.join(agg, ["stage_rank", "stage"], "left").select(
-        "stage_rank",
-        "stage",
-        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-    )
-    deps = [base_tok]
-    for comp in (g0, d0, lm0):
-        deps.extend(getattr(comp, "_asp_cached_deps", []))
+    out = _funnel_stage_report(spark, base, [
+        (1, "raw", None), (2, "gopher", "p1"), (3, "classifier", "p2"),
+        (4, "dedup", "p3"), (5, "lm", "p4"),
+    ])
     return _with_cached_deps(out, *deps)
 
 
@@ -2096,25 +2121,7 @@ def docs_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     the funnel. All six stages remain exact-integer, so the composed
     report is fully hash-gated.
     """
-    from analyst_spark.functions.classifier import (
-        frozen_quality_margins_from_tokens,
-    )
-
-    base_tok = _funnel_token_base(spark, sf_dir)
-    g0 = gopher_features_from_tokens(base_tok.select("doc_id", "t"))
-    d0 = dup_span_from_tokens(
-        base_tok.select("doc_id", F.col("ts").alias("t"))
-    )
-    lm0 = lm_score_from_tokens(base_tok.select("doc_id", "t"))
-    g = g0.select("doc_id", "keep")
-    d = d0.select("doc_id", "dup_ratio")
-    lm = lm0.select("doc_id", "ppl")
-    qc = frozen_quality_margins_from_tokens(
-        base_tok.select("doc_id", F.explode("t").alias("tok"))
-    )
-    toks = base_tok.select(
-        "doc_id", F.size("t").cast("long").alias("toks")
-    )
+    base_tok, joined, deps = _funnel_scored_base(spark, sf_dir)
     # decontamination flags from the shared ts split (persisted: the
     # hashed-gram frame feeds both the bench side and the corpus side
     # — the contamination_ngram device)
@@ -2142,71 +2149,18 @@ def docs_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.lit(True).alias("contam"))
     )
-    pass1 = F.col("keep")
-    pass2 = pass1 & F.coalesce(
-        F.col("margin") >= F.lit(_FUNNEL_QC_MARGIN_MIN), F.lit(False)
-    )
-    pass3 = pass2 & F.coalesce(
-        F.col("dup_ratio") < F.lit(_FUNNEL_DUP_MAX), F.lit(False)
-    )
-    pass4 = pass3 & F.coalesce(
-        F.col("ppl") <= F.lit(_FUNNEL_PPL_MAX), F.lit(False)
-    )
-    pass5 = pass4 & ~F.coalesce(F.col("contam"), F.lit(False))
-    base = (
-        toks.join(g, "doc_id")
-        .join(qc, "doc_id", "left")
-        .join(d, "doc_id", "left")
-        .join(lm, "doc_id", "left")
-        .join(flagged, "doc_id", "left")
-        .select(
-            "toks",
-            pass1.alias("p1"),
-            pass2.alias("p2"),
-            pass3.alias("p3"),
-            pass4.alias("p4"),
-            pass5.alias("p5"),
-        )
-    )
-    stages = base.select(
+    p1, p2, p3, p4 = _funnel_pass_chain()
+    p5 = p4 & ~F.coalesce(F.col("contam"), F.lit(False))
+    base = joined.join(flagged, "doc_id", "left").select(
         "toks",
-        F.explode(
-            F.array(
-                F.struct(F.lit(1).alias("r"), F.lit("raw").alias("s"), F.lit(True).alias("p")),
-                F.struct(F.lit(2).alias("r"), F.lit("gopher").alias("s"), F.col("p1").alias("p")),
-                F.struct(F.lit(3).alias("r"), F.lit("classifier").alias("s"), F.col("p2").alias("p")),
-                F.struct(F.lit(4).alias("r"), F.lit("dedup").alias("s"), F.col("p3").alias("p")),
-                F.struct(F.lit(5).alias("r"), F.lit("lm").alias("s"), F.col("p4").alias("p")),
-                F.struct(F.lit(6).alias("r"), F.lit("decontaminate").alias("s"), F.col("p5").alias("p")),
-            )
-        ).alias("st"),
+        p1.alias("p1"), p2.alias("p2"), p3.alias("p3"), p4.alias("p4"),
+        p5.alias("p5"),
     )
-    agg = (
-        stages.groupBy(
-            F.col("st.r").cast("long").alias("stage_rank"),
-            F.col("st.s").alias("stage"),
-        )
-        .agg(
-            F.sum(F.when(F.col("st.p"), 1).otherwise(0)).cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("st.p"), F.col("toks")).otherwise(0))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-    )
-    stage_names = spark.createDataFrame(
-        [(1, "raw"), (2, "gopher"), (3, "classifier"), (4, "dedup"),
-         (5, "lm"), (6, "decontaminate")],
-        "stage_rank long, stage string",
-    )
-    out = stage_names.join(agg, ["stage_rank", "stage"], "left").select(
-        "stage_rank",
-        "stage",
-        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-    )
-    deps = [base_tok, grams]
-    for comp in (g0, d0, lm0):
-        deps.extend(getattr(comp, "_asp_cached_deps", []))
+    out = _funnel_stage_report(spark, base, [
+        (1, "raw", None), (2, "gopher", "p1"), (3, "classifier", "p2"),
+        (4, "dedup", "p3"), (5, "lm", "p4"), (6, "decontaminate", "p5"),
+    ])
+    deps = deps + [grams]
     return _with_cached_deps(out, *deps)
 
 

@@ -980,25 +980,26 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(tmp)
         )
         ssigs = neardup_signatures_stateless(stream, num_hashes=k)
-        sb = band_buckets(ssigs).select(
-            F.col("doc_id").alias("id_batch"), "band", "bucket"
+        # keep_signature=True: the stream's signature RIDES the band
+        # rows instead of joining back to ssigs — that join was a
+        # stream-stream join (both sides derive from the source),
+        # which Spark plans as a symmetric hash join buffering
+        # UNBOUNDED state with no watermark (r12 review), quietly
+        # contradicting the zero-state contract this docstring
+        # claims. With the signature carried, both remaining joins
+        # are stream-static broadcasts and state is genuinely zero.
+        sb = band_buckets(ssigs, keep_signature=True).withColumnRenamed(
+            "doc_id", "id_batch"
         )
-        hb = band_buckets(index).select(
-            F.col("doc_id").alias("id_hist"), "band", "bucket"
-        )
-        cand = sb.join(F.broadcast(hb), ["band", "bucket"]).select(
-            "id_batch", "id_hist", "band"
-        )
-        bsig = ssigs.select(
-            F.col("doc_id").alias("id_batch"),
-            *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(k)],
-        )
-        hsig = index.select(
+        hb = band_buckets(index, keep_signature=True).select(
             F.col("doc_id").alias("id_hist"),
             *[F.col(f"mh{i}").alias(f"__h{i}") for i in range(k)],
+            "band",
+            "bucket",
         )
+        cand = sb.join(F.broadcast(hb), ["band", "bucket"])
         n_match = sum(
-            (F.col(f"__b{i}") == F.col(f"__h{i}")).cast("int")
+            (F.col(f"mh{i}") == F.col(f"__h{i}")).cast("int")
             for i in range(k)
         )
         # STATELESS pair dedup: a pair colliding in several bands
@@ -1007,17 +1008,15 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         # (bucket equality == band signature equality) — no
         # dropDuplicates state, exactly one row per pair.
         band_match = [
-            (F.col(f"__b{2 * j}") == F.col(f"__h{2 * j}"))
-            & (F.col(f"__b{2 * j + 1}") == F.col(f"__h{2 * j + 1}"))
+            (F.col(f"mh{2 * j}") == F.col(f"__h{2 * j}"))
+            & (F.col(f"mh{2 * j + 1}") == F.col(f"__h{2 * j + 1}"))
             for j in range(4)
         ]
         first_band = F.when(band_match[0], 0)
         for j in range(1, 4):
             first_band = first_band.when(band_match[j], j)
         pairs = (
-            cand.join(bsig, "id_batch")
-            .join(F.broadcast(hsig), "id_hist")
-            .filter(F.col("band") == first_band)
+            cand.filter(F.col("band") == first_band)
             .withColumn("n_match", n_match.cast("long"))
             .filter(F.col("n_match") >= _INEAR_MIN_MATCH)
             .select("id_batch", "id_hist", "n_match")
@@ -1066,16 +1065,24 @@ def streaming_contamination_minhash(
         neardup_signature_index,
         neardup_signatures_stateless,
     )
-    from analyst_spark.plans.text_plans import _XCONTA_MOD
+    from analyst_spark.plans.text_plans import (
+        _BANDS,
+        _ROWS_PER_BAND,
+        _XCONTA_MOD,
+    )
     from analyst_spark.tables import spread
 
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id").select(
         "doc_id", "text"
     )
     is_bench = F.col("doc_id") % _XCONTA_MOD == 0
-    index = neardup_signature_index(docs.filter(is_bench)).persist()
+    index = neardup_signature_index(
+        docs.filter(is_bench), bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    ).persist()
     index.count()  # the maintained artifact; real stats for the join
-    k = 8
+    # geometry SHARED with the batch entry and the oracle (r12 review:
+    # a hardcoded k here would silently diverge on a _BANDS retune)
+    k = _BANDS * _ROWS_PER_BAND
     tmp = tempfile.mkdtemp(prefix="asp_stream_conta_")
     try:
         docs.filter(~is_bench).coalesce(8).write.mode("overwrite").parquet(tmp)
@@ -1085,36 +1092,38 @@ def streaming_contamination_minhash(
             .parquet(tmp)
         )
         ssigs = neardup_signatures_stateless(stream, num_hashes=k)
-        sb = band_buckets(ssigs).select(
-            F.col("doc_id").alias("train_id"), "band", "bucket"
-        )
-        hb = band_buckets(index).select(
-            F.col("doc_id").alias("bench_id"), "band", "bucket"
-        )
-        cand = sb.join(F.broadcast(hb), ["band", "bucket"]).select(
-            "train_id", "bench_id", "band"
-        )
-        bsig = ssigs.select(
-            F.col("doc_id").alias("train_id"),
-            *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(k)],
-        )
-        hsig = index.select(
+        # keep_signature=True: the stream's signature RIDES the band
+        # rows, so the stream side never joins itself — a join back to
+        # ssigs would be a stream-stream join buffering unbounded
+        # state (r12 review), contradicting the zero-state contract.
+        # Both remaining joins are stream-static broadcasts.
+        sb = band_buckets(
+            ssigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND,
+            keep_signature=True,
+        ).withColumnRenamed("doc_id", "train_id")
+        hb = band_buckets(
+            index, bands=_BANDS, rows_per_band=_ROWS_PER_BAND,
+            keep_signature=True,
+        ).select(
             F.col("doc_id").alias("bench_id"),
             *[F.col(f"mh{i}").alias(f"__h{i}") for i in range(k)],
+            "band",
+            "bucket",
         )
-        band_match = [
-            (F.col(f"__b{2 * j}") == F.col(f"__h{2 * j}"))
-            & (F.col(f"__b{2 * j + 1}") == F.col(f"__h{2 * j + 1}"))
-            for j in range(4)
-        ]
+        cand = sb.join(F.broadcast(hb), ["band", "bucket"])
+        band_match = []
+        for b in range(_BANDS):
+            m = F.lit(True)
+            for r in range(_ROWS_PER_BAND):
+                i = b * _ROWS_PER_BAND + r
+                m = m & (F.col(f"mh{i}") == F.col(f"__h{i}"))
+            band_match.append(m)
         first_band = F.when(band_match[0], 0)
-        for j in range(1, 4):
-            first_band = first_band.when(band_match[j], j)
+        for b in range(1, _BANDS):
+            first_band = first_band.when(band_match[b], b)
         n_bands = sum(m.cast("int") for m in band_match)
         pairs = (
-            cand.join(bsig, "train_id")
-            .join(F.broadcast(hsig), "bench_id")
-            .filter(F.col("band") == first_band)
+            cand.filter(F.col("band") == first_band)
             .withColumn("n_bands", n_bands.cast("long"))
             .select("train_id", "bench_id", "n_bands")
         )
