@@ -1068,6 +1068,7 @@ def streaming_contamination_minhash(
     from analyst_spark.plans.text_plans import (
         _BANDS,
         _ROWS_PER_BAND,
+        _SHINGLE_N,
         _XCONTA_MOD,
     )
     from analyst_spark.tables import spread
@@ -1077,7 +1078,10 @@ def streaming_contamination_minhash(
     )
     is_bench = F.col("doc_id") % _XCONTA_MOD == 0
     index = neardup_signature_index(
-        docs.filter(is_bench), bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+        docs.filter(is_bench),
+        n=_SHINGLE_N,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
     ).persist()
     index.count()  # the maintained artifact; real stats for the join
     # geometry SHARED with the batch entry and the oracle (r12 review:
@@ -1091,7 +1095,10 @@ def streaming_contamination_minhash(
             .option("maxFilesPerTrigger", "2")
             .parquet(tmp)
         )
-        ssigs = neardup_signatures_stateless(stream, num_hashes=k)
+        # n=_SHINGLE_N threaded like _BANDS/_ROWS_PER_BAND: relying on
+        # the default would silently desynchronize this twin from its
+        # batch entry and shared oracle on a _SHINGLE_N retune.
+        ssigs = neardup_signatures_stateless(stream, n=_SHINGLE_N, num_hashes=k)
         # keep_signature=True: the stream's signature RIDES the band
         # rows, so the stream side never joins itself — a join back to
         # ssigs would be a stream-stream join buffering unbounded

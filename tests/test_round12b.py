@@ -103,6 +103,10 @@ def test_contamination_embedding_recovers_exactly_the_plants(spark):
         for r in emb.filter(
             (F.col("vec_id") % tp._XEMB_MOD == 0)
             & (F.col("vec_id") % tp._TWIN_STEP == 0)
+            # mirror the entry's drop_null_vectors prep: a null
+            # embedding at a qualifying vec_id would otherwise put a
+            # row in `planted` the entry can never emit (r12 advisor).
+            & F.col("embedding").isNotNull()
         ).select("vec_id").collect()
     )
     assert out == planted
