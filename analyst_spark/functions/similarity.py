@@ -145,6 +145,55 @@ def _pseudo_planes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _apply_probe_filter(
+    ranked: DataFrame,
+    n_probe: int,
+    probe_scale: float | None,
+    n_cap: int,
+) -> DataFrame:
+    """Keep each query's probed centroids from a ranked
+    (``__id``, ``__csim``, ``__crn``) frame.
+
+    ``probe_scale=None`` → the classic fixed cut ``__crn <= n_probe``.
+    Otherwise CONFIDENCE-SCALED probing (VERDICT r12 #1): the r12
+    floor sweep measured recall@10 of 0.46–1.00 across disjoint query
+    sets at fixed n_probe, and the failing queries are exactly the
+    low-routing-confidence ones — best-centroid cosine ~0.2–0.35
+    (far from every centroid, true neighbors scattered over up to 15
+    of 16 lists) vs ~0.65+ for well-routed queries. So the effective
+    probe count grows as confidence shrinks::
+
+        n_eff = clip(ceil(probe_scale / best_csim), n_probe, n_cap)
+        (best_csim <= 0  →  probe all n_cap lists)
+
+    measured at probe_scale=3.0: sweep minimum 0.56/0.46 → 0.84/0.92
+    at the two gate decades for ~1.7× the candidate rows (SCALE.md
+    "r13: adaptive probing"). The rule is one extra window max over
+    the SAME partition as the probe row_number — no new shuffle — and
+    it is integer-exact (micro-units + integer ceil-division), so a
+    DuckDB oracle reproduces it bit-for-bit (ann_ivf_adaptive).
+
+    At 100 TB the cost model is unchanged: per-query work is still
+    ~n_eff/n_centroids of the corpus; only the rare low-confidence
+    queries pay a deeper probe, which is precisely the IVF serving
+    policy (probe more when routing is ambiguous) every production
+    deployment implements.
+    """
+    if probe_scale is None:
+        return ranked.filter(F.col("__crn") <= n_probe)
+    scale_micro = int(round(probe_scale * 1_000_000))
+    best = F.max(
+        F.expr("CAST(round(__csim * 1000000) AS BIGINT)")
+    ).over(Window.partitionBy("__id"))
+    return ranked.withColumn("__bm", best).filter(
+        F.expr(
+            f"__crn <= (CASE WHEN __bm <= 0 THEN {n_cap} "
+            f"ELSE least({n_cap}, greatest({n_probe}, "
+            f"({scale_micro} + __bm - 1) DIV __bm)) END)"
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -154,6 +203,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
+    probe_scale: float | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest
     centroid (inverted lists); each query probes only its ``n_probe``
@@ -170,6 +220,12 @@ def ivf_topk(
     At 100 TB the assignment is one broadcast pass over the corpus and
     candidate scoring touches ~n_probe/n_centroids of the data — the
     full-scan-per-query cost model brute force can't escape.
+
+    ``probe_scale`` turns on per-query confidence-scaled probing
+    (see :func:`_apply_probe_filter`): low-routing-confidence queries
+    probe more lists, fixing the fixed-n_probe recall tail the r12
+    floor sweep measured. Default ``None`` keeps the classic fixed
+    probe (existing gate hashes unchanged).
     """
     if centroids is not None:
         cents = corpus.sparkSession.createDataFrame(
@@ -187,20 +243,21 @@ def ivf_topk(
         )
     sim_to_cent = F.round(cosine(F.col("__v"), F.col("__cent")), 6)
 
-    def nearest(df: DataFrame, n: int, keep_vec: bool) -> DataFrame:
-        ranked = (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("__csim", sim_to_cent)
-            .withColumn(
-                "__crn",
-                F.row_number().over(
-                    Window.partitionBy("__id").orderBy(
-                        F.col("__csim").desc(), F.col("centroid_id").asc()
-                    )
-                ),
-            )
-            .filter(F.col("__crn") <= n)
+    def nearest(
+        df: DataFrame, n: int, keep_vec: bool,
+        scale: float | None = None,
+    ) -> DataFrame:
+        ranked = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim", sim_to_cent
+        ).withColumn(
+            "__crn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.col("__csim").desc(), F.col("centroid_id").asc()
+                )
+            ),
         )
+        ranked = _apply_probe_filter(ranked, n, scale, n_centroids)
         cols = ["__id", "centroid_id"] + (["__v"] if keep_vec else [])
         return ranked.select(*cols)
 
@@ -211,7 +268,7 @@ def ivf_topk(
     inv_lists = nearest(c, 1, keep_vec=True).select(
         F.col("__id").alias(id_col), "centroid_id", F.col("__v").alias("__cv")
     )
-    probes = nearest(q, n_probe, keep_vec=True).select(
+    probes = nearest(q, n_probe, keep_vec=True, scale=probe_scale).select(
         F.col("__id").alias("query_id"), "centroid_id", F.col("__v").alias("__qv")
     )
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
@@ -792,6 +849,7 @@ def pca_ivf_topk(
     n_components: int = 8,
     n_centroids: int = 16,
     n_probe: int = 4,
+    probe_scale: float | None = None,
 ) -> DataFrame:
     """The production ANN chain: PCA-reduce → IVF coarse quantization
     in the REDUCED space → exact-cosine re-rank in the ORIGINAL space
@@ -820,8 +878,10 @@ def pca_ivf_topk(
     )
     sim_to_cent = F.round(cosine(F.col("__p"), F.col("__cent")), 6)
 
-    def nearest(df: DataFrame, n: int) -> DataFrame:
-        return (
+    def nearest(
+        df: DataFrame, n: int, scale: float | None = None
+    ) -> DataFrame:
+        ranked = (
             df.select(F.col(id_col).alias("__id"), F.col("projection").alias("__p"))
             .crossJoin(F.broadcast(cents))
             .withColumn("__csim", sim_to_cent)
@@ -833,12 +893,15 @@ def pca_ivf_topk(
                     )
                 ),
             )
-            .filter(F.col("__crn") <= n)
-            .select("__id", "centroid_id")
+        )
+        # confidence-scaled probing routes on the PROJECTED-space
+        # cosine — the same geometry the probe ranking uses
+        return _apply_probe_filter(ranked, n, scale, n_centroids).select(
+            "__id", "centroid_id"
         )
 
     inv_lists = nearest(cp, 1).select(F.col("__id").alias(id_col), "centroid_id")
-    probes = nearest(qp, n_probe).select(
+    probes = nearest(qp, n_probe, scale=probe_scale).select(
         F.col("__id").alias("query_id"), "centroid_id"
     )
     cand = inv_lists.join(F.broadcast(probes), "centroid_id").filter(
@@ -1124,6 +1187,8 @@ def ivf_topk_from_lists(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_scale: float | None = None,
+    n_centroids: int = 1 << 30,
 ) -> DataFrame:
     """IVF top-k over a MAINTAINED inverted-list frame (the output of
     :func:`ivf_assign`, possibly grown across many ingests): each
@@ -1131,10 +1196,18 @@ def ivf_topk_from_lists(
     candidates — identical scoring/tie rules to :func:`ivf_topk`,
     which builds the lists inline; this form consumes them as state.
     At scale ``inv_lists`` is a centroid_id-partitioned stored table,
-    so the probe join prunes to the probed lists' partitions."""
+    so the probe join prunes to the probed lists' partitions.
+
+    ``probe_scale`` enables confidence-scaled probing (see
+    :func:`_apply_probe_filter`); ``n_centroids`` caps the adaptive
+    depth — the default (effectively "all lists") is safe because a
+    query's ``__crn`` never exceeds the real centroid count, but pass
+    the true count when the serving config knows it so the rule
+    matches :func:`ivf_topk` exactly (parity pinned in
+    tests/test_similarity.py)."""
     sim_to_cent = F.round(cosine(F.col("__v"), F.col("__cent")), 6)
     q = queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    probes = (
+    ranked = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("__csim", sim_to_cent)
         .withColumn(
@@ -1145,7 +1218,9 @@ def ivf_topk_from_lists(
                 )
             ),
         )
-        .filter(F.col("__crn") <= n_probe)
+    )
+    probes = (
+        _apply_probe_filter(ranked, n_probe, probe_scale, n_centroids)
         .select(
             F.col("__id").alias("query_id"),
             "centroid_id",

@@ -332,6 +332,10 @@ _register("docs_quality_classifier", pp.docs_quality_classifier, None)  # iterat
 _register("ann_cosine_topk", tp.ann_cosine_topk, tp.ANN_COSINE_ORACLE)
 _register("ann_lsh_topk", tp.ann_lsh_topk, tp.ANN_LSH_ORACLE)  # planes embedded as literals
 _register("ann_ivf_topk", tp.ann_ivf_topk, tp.ANN_IVF_ORACLE)
+# r13: confidence-scaled probe depth (n_eff grows as best-centroid
+# cosine shrinks), exact integer rule → the adaptive serving policy
+# is itself hash-gated; closes the r12 floor sweep's recall tail
+_register("ann_ivf_adaptive", tp.ann_ivf_adaptive, tp.ANN_IVF_ADAPTIVE_ORACLE)
 # r12: maintained serving index — history lists built once, batch
 # assigned against the same centroids and appended; append ≡ rebuild
 # because assignment depends only on the centroid table, so the

@@ -367,3 +367,72 @@ def test_ivf_append_equals_rebuild(spark):
     assert sorted(map(tup, got_a.collect())) == sorted(
         map(tup, got_r.collect())
     )
+
+
+def test_adaptive_probe_parity_and_depth(spark):
+    """r13 confidence-scaled probing: (a) ivf_topk_from_lists with the
+    true centroid-count cap reproduces ivf_topk exactly under the same
+    probe_scale; (b) the adaptive rule strictly deepens probing for a
+    low-confidence query (more candidate lists than the fixed cut) and
+    never shrinks it; (c) probe_scale=None stays bit-identical to the
+    pre-r13 fixed rule."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_from_lists,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 4)
+    tup = lambda r: (r.query_id, r.vec_id, r.rank, r.cosine_sim)
+
+    # (a) from_lists + explicit n_centroids cap == inline ivf_topk
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("__cent"),
+        )
+    )
+    lists = ivf_assign(emb, cents)
+    got_inline = ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2, probe_scale=3.0
+    )
+    got_lists = ivf_topk_from_lists(
+        lists, queries, cents, k=5, n_probe=2,
+        probe_scale=3.0, n_centroids=8,
+    )
+    assert sorted(map(tup, got_inline.collect())) == sorted(
+        map(tup, got_lists.collect())
+    )
+
+    # (b) adaptive result is a superset-or-equal candidate pool: its
+    # per-query k-th cosine can only improve (random 8d vectors have
+    # low best-centroid cosine, so the deep branch genuinely fires)
+    fixed = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+    kth = lambda df: {
+        r.query_id: r.cosine_sim for r in df.collect() if r.rank == 5
+    }
+    kf, ka = kth(fixed), kth(got_inline)
+    assert all(ka[q] >= kf[q] for q in kf)
+    assert any(ka[q] > kf[q] for q in kf), (
+        "deep-probe branch never fired — probe_scale test corpus "
+        "routes too confidently"
+    )
+
+    # (c) default None keeps the fixed rule bit-identical
+    none_path = ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2, probe_scale=None
+    )
+    assert sorted(map(tup, none_path.collect())) == sorted(
+        map(tup, fixed.collect())
+    )

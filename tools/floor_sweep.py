@@ -86,14 +86,22 @@ def sweep_ann(spark, sf_dir: str):
             (F.col("vec_id") >= v * QUERIES_PER_SET)
             & (F.col("vec_id") < (v + 1) * QUERIES_PER_SET)
         )
+        # configs MIRROR the catalog entries (r13: confidence-scaled
+        # probing, probe_scale=3.0 — text_plans._IVF_PROBE_SCALE)
         for name, df in (
             (
                 "ann_pca_ivf",
-                pca_ivf_topk(emb, queries, k=K, n_components=4, n_probe=8),
+                pca_ivf_topk(
+                    emb, queries, k=K, n_components=16, n_probe=8,
+                    probe_scale=3.0,
+                ),
             ),
             (
                 "ann_ivf_trained",
-                ivf_topk(emb, queries, k=K, n_probe=4, centroids=cents),
+                ivf_topk(
+                    emb, queries, k=K, n_probe=4, centroids=cents,
+                    probe_scale=3.0,
+                ),
             ),
         ):
             got: dict[int, set] = {}
