@@ -302,16 +302,34 @@ def perceptual_dedup_pairs(
 
 
 def signature_bands(
-    sigs: DataFrame, id_alias: str = "doc_id", group_cols: tuple = ()
+    sigs: DataFrame,
+    id_alias: str = "doc_id",
+    group_cols: tuple = (),
+    keep_signature: bool = False,
+    sig_prefix: str = "b",
 ) -> DataFrame:
     """(id, [groups...], band, val) rows from a (doc_id, b0..b3)
     signature frame — THE banding step, factored once (r11 review:
     it had grown three inline copies) for the self-join engine, the
     incremental cross probe, and the streaming twin, so a banding
-    change cannot silently diverge between them."""
+    change cannot silently diverge between them.
+
+    ``keep_signature=True`` carries the four signature bands on every
+    exploded row as ``{sig_prefix}0..{sig_prefix}3`` — the
+    stream-static device (functions/dedup.py band_buckets, r12/r13
+    review): a streaming probe that later needs the full signature
+    must NOT join band rows back to the signature frame, because both
+    derive from the stream and Spark plans that as a symmetric hash
+    join buffering unbounded state."""
+    carry = (
+        [F.col(f"b{k}").alias(f"{sig_prefix}{k}") for k in range(4)]
+        if keep_signature
+        else []
+    )
     return sigs.select(
         F.col("doc_id").alias(id_alias),
         *group_cols,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -322,7 +340,13 @@ def signature_bands(
                 ]
             )
         ).alias("bb"),
-    ).select(id_alias, *group_cols, "bb.band", "bb.val")
+    ).select(
+        id_alias,
+        *group_cols,
+        *([f"{sig_prefix}{k}" for k in range(4)] if keep_signature else []),
+        "bb.band",
+        "bb.val",
+    )
 
 
 def hamming_expr(a_prefix: str = "__a", b_prefix: str = "__b"):

@@ -28,6 +28,18 @@ from analyst_spark.tables import load_tables
 
 _SINK = "streaming_hourly_rollup_gate"
 
+# State-contract audit trail (VERDICT r12 #2). Every streaming entry
+# funnels through _await_or_raise, which appends the finished query's
+# (name, stateOperators) here. The r11 unbounded stream-stream join
+# shipped a full round of green gates precisely because bounded gate
+# runs never notice unbounded state — tests/test_streaming_state.py
+# replays every catalog streaming entry against this trail and asserts
+# the set of STATEFUL operators equals the entry's declared contract
+# (most entries: none; aggregation entries: exactly their one
+# aggregation). A reintroduced symmetric hash join / accidental
+# dropDuplicates shows up as an undeclared operator at test time.
+STATE_AUDIT: list[tuple[str | None, list[dict]]] = []
+
 
 def _await_or_raise(q, timeout: int = 600) -> None:
     """awaitTermination returns FALSE on timeout — silently
@@ -42,6 +54,9 @@ def _await_or_raise(q, timeout: int = 600) -> None:
                 f"streaming query {q.name or q.id} did not finish its "
                 f"availableNow run within {timeout}s"
             )
+    prog = q.lastProgress
+    if prog is not None:
+        STATE_AUDIT.append((q.name, prog.get("stateOperators") or []))
 
 
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,18 +1215,21 @@ def streaming_incremental_perceptual(
         ssigs = stream.mapInPandas(
             _dhash_worker("image", "doc_id"), schema=DHASH_SCHEMA
         )
-        sb = signature_bands(ssigs, "id_batch")
-        hb = signature_bands(index, "id_hist")
-        cand = sb.join(F.broadcast(hb), ["band", "val"]).select(
-            "id_batch", "id_hist", "band"
+        # keep_signature: the stream's four bands RIDE the exploded
+        # band rows. The previous shape joined the candidate rows
+        # back to ssigs — a stream-stream join Spark plans as a
+        # symmetric hash join buffering UNBOUNDED state with no
+        # watermark (the r12 minhash-twin bug class; this third
+        # member was caught by the r13 state-contract fence,
+        # tests/test_streaming_state.py: symmetricHashJoin holding
+        # 94k rows on the sf0.001 gate corpus alone). With both
+        # signatures carried, the single remaining join is
+        # stream-static broadcast and state is genuinely zero.
+        sb = signature_bands(
+            ssigs, "id_batch", keep_signature=True, sig_prefix="__a"
         )
-        bsig = ssigs.select(
-            F.col("doc_id").alias("id_batch"),
-            *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
-        )
-        hsig = index.select(
-            F.col("doc_id").alias("id_hist"),
-            *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
+        hb = signature_bands(
+            index, "id_hist", keep_signature=True, sig_prefix="__b"
         )
         hamming = hamming_expr()
         band_match = [
@@ -1221,8 +1239,7 @@ def streaming_incremental_perceptual(
         for k in range(1, 4):
             first_band = first_band.when(band_match[k], k)
         pairs = (
-            cand.join(bsig, "id_batch")
-            .join(F.broadcast(hsig), "id_hist")
+            sb.join(F.broadcast(hb), ["band", "val"])
             .filter(F.col("band") == first_band)
             .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= _IPD_MAX_DIST)
