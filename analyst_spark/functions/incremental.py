@@ -118,6 +118,58 @@ def lifecycle_day(
     return pairs, new_index, new_reported
 
 
+def compact_ledger(
+    reported: DataFrame,
+    live_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop ledger keys that can never suppress anything again
+    (VERDICT r12 #4): keep only pairs whose BOTH endpoints are still
+    in ``live_ids`` (normally the maintained index's id column). The
+    embedding 10-day probe showed the ledger absorbing linearly
+    growing pair keys; at years of daily ingest the per-day anti-join
+    scans unbounded history unless dead keys are retired.
+
+    **Replay-safety argument.** A pair (a, b) can only be re-emitted
+    if some future ``lifecycle_day`` regenerates it as a candidate:
+
+    * ``cross_fn`` candidates need one endpoint in the ingest batch
+      and the other in the INDEX — impossible once the non-batch
+      endpoint has left ``live_ids`` (the caller removes departed
+      docs from the index in the same maintenance pass).
+    * ``intra_fn`` candidates need both endpoints in the SAME
+      replayed batch. A replay of the batch that originally carried a
+      departed doc would regenerate the pair from the original batch
+      file — so compaction is only safe for docs whose ingest batch
+      is beyond the REPLAY HORIZON (the bounded at-least-once window
+      every real ingest pipeline has). Compact on the maintenance
+      cadence, not inside the horizon: ``retired docs' batches are
+      older than any batch that can still be replayed`` is the
+      caller's contract, stated here because nothing in the frames
+      can check it.
+
+    Under that contract the compacted ledger suppresses exactly the
+    same emissions as the uncompacted one (pinned over a 30-day
+    replay/deletion simulation in tests/test_incremental_lifecycle.py
+    and measured flat in SCALE.md "r13: ledger compaction"). If a
+    departed doc is later RE-ingested under the same id, its pairs
+    re-emit — correct, since the downstream action was undone by the
+    deletion.
+
+    Cost: two semi-joins of the ledger against the id column — at
+    cluster scale both sides are id-bucketed stored tables, so the
+    compaction is a co-partitioned scan of the ledger, run on the
+    maintenance cadence (e.g. every N days), not per ingest.
+    """
+    lo_ids = live_ids.select(F.col(id_col).alias("pair_lo"))
+    hi_ids = live_ids.select(F.col(id_col).alias("pair_hi"))
+    return (
+        reported.join(lo_ids, "pair_lo", "left_semi")
+        .join(hi_ids, "pair_hi", "left_semi")
+        .select("pair_lo", "pair_hi")
+    )
+
+
 def empty_ledger(spark: SparkSession) -> DataFrame:
     """The (pair_lo, pair_hi) frame a lifecycle starts from when no
     pairs have been reported yet — storage-friendly twin of passing

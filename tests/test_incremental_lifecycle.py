@@ -255,3 +255,120 @@ class TestCatalogMultidayEntries:
             assert (3, h + 4 * _EMB_MD_OFF, h) in got, h
         # every reported pair is a planted colinear pair: cosine 1.0
         assert all(r.cosine_sim == 1.0 for r in rows)
+
+
+class TestLedgerCompaction:
+    """VERDICT r12 #4: compact_ledger retires pair keys whose docs
+    left the corpus. The pin: a 30-day ingest with a 10-day retention
+    window, compacting every 10 days, emits EXACTLY the pairs the
+    uncompacted run emits — including on replays of days inside the
+    replay horizon — while the compacted ledger stays bounded by the
+    retention window instead of growing with corpus lifetime."""
+
+    DAY_SIZE = 12
+    DAYS = 30
+    RETENTION = 10  # days a doc stays in the corpus / replay horizon
+
+    def _day_batch(self, spark, day):
+        """Deterministic signature batch for one day: doc ids are
+        day*DAY_SIZE + i; every third doc is a hamming-0 member of the
+        LINEAGE seeded by day-0 doc i (same signature every day), so
+        each day's twins pair with every still-live earlier member of
+        their lineage — cross pairs every day for the whole 30-day
+        run, with candidate volume bounded by the retention window.
+        The rest are unique. Pure integers — no image decode."""
+        rows = []
+        for i in range(self.DAY_SIZE):
+            doc_id = day * self.DAY_SIZE + i
+            base = i if (day > 0 and i % 3 == 0) else doc_id
+            sig = [base * 4 + k for k in range(4)]
+            rows.append((doc_id,) + tuple(sig))
+        return spark.createDataFrame(
+            rows, ["doc_id", "b0", "b1", "b2", "b3"]
+        )
+
+    def test_30_day_compaction_equivalence(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from analyst_spark.functions.incremental import (
+            compact_ledger,
+            load_state,
+            save_state,
+        )
+        from analyst_spark.functions.multimodal import (
+            incremental_hamming_ingest,
+        )
+
+        state_u = str(tmp_path / "uncompacted")
+        state_c = str(tmp_path / "compacted")
+        day0 = self._day_batch(spark, 0)
+        # per-day state paths: save_state(overwrite) to the path the
+        # new state's lineage is lazily READING deletes its own input
+        for p in (state_u, state_c):
+            save_state(day0, None, f"{p}/s0")
+
+        ledger_sizes = {"u": [], "c": []}
+        all_emitted: set = set()
+        horizon_ids = {}
+        for day in range(1, self.DAYS):
+            batch = self._day_batch(spark, day)
+            emitted = {}
+            for tag, path in (("u", state_u), ("c", state_c)):
+                idx, led = load_state(spark, f"{path}/s{day - 1}")
+                pairs, new_idx, new_led = incremental_hamming_ingest(
+                    idx, batch, led, max_distance=0
+                )
+                emitted[tag] = sorted(
+                    (r.id_batch, r.id_hist) for r in pairs.collect()
+                )
+                release_cached(pairs)
+                # shared corpus event in BOTH runs: docs older than
+                # RETENTION days leave the corpus (drop from index)
+                horizon_id = (day - self.RETENTION + 1) * self.DAY_SIZE
+                new_idx = new_idx.filter(F.col("doc_id") >= horizon_id)
+                # only the compacted run also retires ledger keys;
+                # departed docs' batches are beyond the replay
+                # horizon, so the contract at compact_ledger's
+                # definition holds
+                if tag == "c" and day % 10 == 0:
+                    new_led = compact_ledger(
+                        new_led, new_idx.select("doc_id")
+                    )
+                save_state(new_idx, new_led, f"{path}/s{day}")
+                ledger_sizes[tag].append(
+                    load_state(spark, f"{path}/s{day}")[1].count()
+                )
+            assert emitted["u"] == emitted["c"], f"day {day} diverged"
+            assert emitted["u"], f"day {day} found no twins (fixture)"
+            all_emitted.update(emitted["u"])
+            horizon_ids[day] = (day - self.RETENTION + 1) * self.DAY_SIZE
+            # replay the SAME day right after each compaction point:
+            # a no-op in both runs (suppression keys for live docs
+            # survive compaction)
+            if day % 10 == 1 and day > 1:
+                for tag, path in (("u", state_u), ("c", state_c)):
+                    idx, led = load_state(spark, f"{path}/s{day}")
+                    p_r, _, _ = incremental_hamming_ingest(
+                        idx, batch, led, max_distance=0
+                    )
+                    assert p_r.collect() == [], f"{tag} replay day {day}"
+                    release_cached(p_r)
+        # the uncompacted ledger carries every pair ever emitted...
+        assert ledger_sizes["u"][-1] == len(all_emitted), ledger_sizes
+        # ...while right after each compaction the compacted ledger
+        # holds EXACTLY the emitted pairs both of whose endpoints are
+        # still live — retention-window-bounded, lifetime-independent
+        # per-compaction expectation recomputed from the pair ids:
+        # live = id >= that day's horizon; pairs emitted after day d
+        # are excluded via the batch id (batch ids grow with the day)
+        for day, sc in zip(range(1, self.DAYS), ledger_sizes["c"]):
+            if day % 10 == 0:
+                horizon = horizon_ids[day]
+                expect = {
+                    (b, h)
+                    for (b, h) in all_emitted
+                    if b >= horizon and h >= horizon
+                    and b < (day + 1) * self.DAY_SIZE
+                }
+                assert sc == len(expect), (day, sc, len(expect))
+        assert ledger_sizes["c"][-1] < ledger_sizes["u"][-1]
