@@ -30,12 +30,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Default per-shard row budget when n_shards is derived: sized so one
+# shard's (key, payload) rows sort comfortably inside a single task's
+# memory at production row widths (~100 B/row ⇒ ~400 MB). Gate
+# entries override this downward so BOTH gate decades exercise real
+# multi-shard auto-sizing (pipeline_plans._ROWS_PER_SHARD).
+DEFAULT_ROWS_PER_SHARD = 4_000_000
+
+
+def shard_count_for(n_rows: int, rows_per_shard: int) -> int:
+    """ceil(n_rows / rows_per_shard), floor 1 — shared with the
+    DuckDB oracle SQL (same integer arithmetic), so an auto-sized
+    permutation is reproducible from the corpus count alone."""
+    return max(1, (n_rows + rows_per_shard - 1) // rows_per_shard)
+
 
 def seeded_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
     seed: str = "epoch0",
-    n_shards: int = 16,
+    n_shards: int | None = None,
+    rows_per_shard: int = DEFAULT_ROWS_PER_SHARD,
 ) -> DataFrame:
     """Append ``(shuffle_key, shard_id, pos)`` to ``df``: the
     deterministic seeded permutation, exposed as shard + rank so a
@@ -47,7 +62,20 @@ def seeded_shuffle(
     The plan is scan → project → ONE exchange (the window's
     partitionBy) → per-shard sort; adding a balancing repartition
     before it would move the corpus twice for nothing.
+
+    ``n_shards=None`` (the default since r13, VERDICT r12 #5) derives
+    the shard count as ``ceil(count / rows_per_shard)`` — one cheap
+    count pass (parquet metadata at scale) buys a per-shard sort
+    bounded by ``rows_per_shard`` no matter how the corpus grows,
+    instead of the fixed-16 shape whose per-shard sort share the
+    ×1000 probe measured growing super-linearly. The derivation is
+    plain integer arithmetic over the corpus count, so the DuckDB
+    twin reproduces the IDENTICAL permutation from the same count
+    (hash-gated at both decades). Pass an explicit ``n_shards`` to
+    pin the layout (e.g. resuming an epoch whose shard files exist).
     """
+    if n_shards is None:
+        n_shards = shard_count_for(df.count(), rows_per_shard)
     keyed = df.select(
         "*",
         F.md5(

@@ -241,7 +241,15 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ deterministic global shuffle
 
 _SHUFFLE_SEED = "epoch0"  # training-order seed: new epoch = new seed
-_N_SHARDS = 16
+# per-shard row budget for the AUTO-SIZED seeded shuffle (r13,
+# VERDICT r12 #5): n_shards = ceil(corpus / _ROWS_PER_SHARD), derived
+# identically in the entry (functions/shuffle.py shard_count_for) and
+# the oracle SQL (scalar count subquery) so both engines compute the
+# same permutation. 256 keeps BOTH gate decades multi-shard (sf0.01:
+# 500 docs -> 2 shards, sf0.1: 5000 -> 20) and bounds the ×1000
+# probe's per-shard sort at 256 rows; production uses
+# shuffle.DEFAULT_ROWS_PER_SHARD (4M rows ≈ one task's spill budget).
+_ROWS_PER_SHARD = 256
 
 
 def _hex8_horner(col: str) -> str:
@@ -277,7 +285,8 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the text payload out of the scan).
     docs = load_tables(spark, sf_dir)["documents"]
     return seeded_shuffle(
-        docs, "doc_id", seed=_SHUFFLE_SEED, n_shards=_N_SHARDS
+        docs, "doc_id", seed=_SHUFFLE_SEED,
+        rows_per_shard=_ROWS_PER_SHARD,
     ).select("doc_id", "shuffle_key", "shard_id", "pos")
 
 
@@ -289,7 +298,8 @@ WITH keyed AS (
     FROM documents
 ), sharded AS (
     SELECT doc_id, shuffle_key,
-           CAST(({_hex8_horner('shuffle_key')}) % {_N_SHARDS} AS BIGINT)
+           CAST(({_hex8_horner('shuffle_key')})
+                % (SELECT greatest(1, (count(*) + 255) // 256) FROM documents) AS BIGINT)
                AS shard_id
     FROM keyed
 )
@@ -820,7 +830,8 @@ def docs_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass runs once per consumer (the contamination_ngram lesson;
     # r12 review caught this entry re-deriving it).
     order = seeded_shuffle(
-        toks, "doc_id", seed=_SHUFFLE_SEED, n_shards=_N_SHARDS
+        toks, "doc_id", seed=_SHUFFLE_SEED,
+        rows_per_shard=_ROWS_PER_SHARD,
     ).persist()
     placed = place_into_sequences(
         order, _SEQ_LEN, bucket_col="shard_id", order_col="pos"
@@ -849,7 +860,8 @@ WITH keyed AS (
     FROM documents
 ), sharded AS (
     SELECT doc_id, n_tok, k,
-           CAST(({_hex8_horner('k')}) % {_N_SHARDS} AS BIGINT) AS shard_id
+           CAST(({_hex8_horner('k')})
+                % (SELECT greatest(1, (count(*) + 255) // 256) FROM documents) AS BIGINT) AS shard_id
     FROM keyed
 ), placed AS (
     SELECT doc_id, n_tok,

@@ -53,7 +53,13 @@ def test_global_shuffle_random_vs_model(spark, tmp_path, seed):
         .select("doc_id", "shuffle_key", "shard_id", "pos")
         .collect()
     )
-    assert got == _shuffle_model(ids, pp._SHUFFLE_SEED, pp._N_SHARDS)
+    from analyst_spark.functions.shuffle import shard_count_for
+
+    # r13 auto-sizing: the entry derives n_shards from the corpus
+    # count; the model must derive the same value
+    assert got == _shuffle_model(
+        ids, pp._SHUFFLE_SEED, shard_count_for(len(ids), pp._ROWS_PER_SHARD)
+    )
 
 
 # ------------------------------------------ contamination_minhash

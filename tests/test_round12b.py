@@ -129,10 +129,15 @@ def test_global_shuffle_is_sharded_permutation(spark):
         )
         for r in per_shard.collect():
             assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"])
-        # all shards in range and used (md5 spreads 32 bits; an empty
-        # shard out of 16 over >=500 docs would be a hashing bug)
+        # all shards in range and used (md5 spreads 32 bits; an
+        # empty auto-sized shard over thousands of docs would be a
+        # hashing bug) — r13: n_shards derives from the corpus count
+        from analyst_spark.functions.shuffle import shard_count_for
+
+        n_shards = shard_count_for(n_docs, pp._ROWS_PER_SHARD)
+        assert n_shards >= 2, "gate corpus must exercise multi-shard"
         shards = {r["shard_id"] for r in per_shard.collect()}
-        assert shards == set(range(pp._N_SHARDS))
+        assert shards == set(range(n_shards))
     finally:
         out.unpersist()
 
