@@ -1241,3 +1241,61 @@ def ivf_topk_from_lists(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "cosine_sim")
     )
+
+
+def assignment_quality(
+    lists: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+) -> float:
+    """Mean cosine between each indexed vector and its assigned
+    centroid — the routing-quality statistic the drift monitor
+    tracks. One broadcast join + one aggregation over the inverted
+    lists (the stored artifact, not the raw corpus); at ingest time
+    compute it per APPEND BATCH instead, where the assignment join
+    already ran and the mean is a free aggregate.
+    """
+    sim = F.round(cosine(F.col("__cv"), F.col("__cent")), 6)
+    row = (
+        lists.join(F.broadcast(cents), "centroid_id")
+        .select(sim.alias("__s"))
+        .agg(F.avg("__s"))
+        .first()
+    )
+    return float(row[0]) if row[0] is not None else float("nan")
+
+
+def needs_rebuild(
+    trained_quality: float,
+    batch_quality: float,
+    appended_fraction: float,
+    quality_ratio_floor: float = 0.85,
+    appended_fraction_ceiling: float = 1.0,
+) -> bool:
+    """Rebuild trigger for a maintained IVF index that appends
+    against FROZEN centroids (VERDICT r12 #6). Two independent
+    signals, both free at ingest time:
+
+    * ``batch_quality / trained_quality`` — mean assignment cosine of
+      the newest append batch vs the same statistic at train time. The
+      r13 drift probe (tools/ivf_drift_probe.py, SCALE.md "r13: IVF
+      serving-index drift") walked a mean-shift drift to 2× the
+      trained corpus: recall@10 stays within noise of the rebuilt
+      index while the ratio holds >= ~0.9, and by the time it crosses
+      ~0.85 the frozen-centroid recall has fallen >= 10 points below a
+      rebuild — 0.85 is the measured knee, not a guess.
+    * ``appended_fraction`` — appended rows / trained rows. Even
+      WITHOUT quality drift, once appends exceed the trained mass the
+      centroids describe a minority of the index; the probe's
+      no-drift control shows recall flat through 1.0× (so the default
+      ceiling re-trains at parity, the cheap-insurance point).
+
+    Pure function of maintained statistics — the caller persists
+    ``trained_quality`` (train time) and folds ``batch_quality`` /
+    row counts per ingest, so the trigger costs no extra scan.
+    """
+    if trained_quality <= 0:
+        return True
+    if appended_fraction >= appended_fraction_ceiling:
+        return True
+    return batch_quality / trained_quality < quality_ratio_floor

@@ -151,7 +151,12 @@ def _calibration_probe_py(spark):
 # v12 (r12): + the perceptual/embedding 3-day lifecycles, the
 # wide-band (32-bit) perceptual variant, and the maintained IVF
 # serving index — the r12 additions, each tagged below.
-HEADLINE_VERSION = 12
+# v13 (r13): + the confidence-scaled adaptive IVF entry (25-query
+# sweep set incl. the low-confidence neighborhoods). Existing rows
+# ann_pca_ivf / ann_ivf_trained / ann_ivf_incremental now run
+# adaptive probing and docs_global_shuffle/_shuffled_pack auto-size
+# their shards — same keys, measured as the new defaults.
+HEADLINE_VERSION = 13
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -266,6 +271,8 @@ BENCH_QUERIES = [
     "docs_global_shuffle",
     "docs_shuffled_pack",
     "docs_curation_funnel_v3",
+    # r13: the adaptive probe rule as its own hash-gated measurement
+    "ann_ivf_adaptive",
 ]
 
 
