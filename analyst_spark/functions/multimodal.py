@@ -888,6 +888,7 @@ def incremental_hamming_ingest(
     max_distance: int = 3,
     max_bucket_size: int | None = None,
     include_intra_batch: bool = True,
+    eager_batch_count: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """ONE DAY of the incremental PERCEPTUAL lifecycle (VERDICT r11
     #3) — the multimodal member of the family whose text form is
@@ -913,7 +914,11 @@ def incremental_hamming_ingest(
     from analyst_spark.functions.incremental import lifecycle_day
 
     batch_sigs = batch_sigs.persist()
-    batch_sigs.count()  # shared by cross probe, intra join, append
+    if eager_batch_count:
+        batch_sigs.count()  # shared by cross probe, intra join, append
+    # (callers whose batch derives from an already-cached signature
+    # table pass False: the cache fills on first use, and at gate
+    # scale every eager action is a fixed-latency job — r13 trim)
     deps: list[DataFrame] = [batch_sigs]
     dropped: list[DataFrame] = []
 

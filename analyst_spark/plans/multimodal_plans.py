@@ -629,10 +629,20 @@ def multimodal_incremental_multiday(
         incremental_hamming_ingest,
     )
 
-    fc = _fake_corpus(spark, sf_dir)
+    # ONE corpus materialization + ONE signing pass (r13, VERDICT r12
+    # #7 profiling): filters cannot push through mapInPandas, so the
+    # lazy corpus used to REGENERATE (and the day slices re-decode)
+    # once per consumer — 7 referencing branches across the three
+    # days. Generating once and signing once is also the plan shape
+    # the docstring promises at 100 TB (decode each asset once; day
+    # slices are signature-table reads).
+    fc = _fake_corpus(spark, sf_dir).persist()
     is_new = F.col("doc_id") % 4 == 0
     day_of = F.expr("doc_id DIV 4") % 3
     hist = fc.filter(~is_new)
+    sigs_all = image_dhash_bands(fc).persist()
+    sigs_all.count()
+    sig_of = lambda cond: sigs_all.filter(cond)  # noqa: E731
 
     def perturb(src: DataFrame, factor: int) -> DataFrame:
         def run(batches):
@@ -654,26 +664,40 @@ def multimodal_incremental_multiday(
 
         return src.mapInPandas(run, "doc_id long, mime string, image binary")
 
-    batches = [
-        fc.filter(is_new & (day_of == 0)).unionByName(
-            perturb(hist.filter(F.col("doc_id") % _IPD_STEP == 0), 1)
+    # per-day batch SIGNATURES: unperturbed slices come from the one
+    # signed table; only the perturbed twins (modified bytes) decode
+    batch_sigs = [
+        sig_of(is_new & (day_of == 0)).unionByName(
+            image_dhash_bands(
+                perturb(hist.filter(F.col("doc_id") % _IPD_STEP == 0), 1)
+            )
         ),
-        fc.filter(is_new & (day_of == 1)).unionByName(
-            perturb(fc.filter(F.col("doc_id") % 60 == 0), 2)
+        sig_of(is_new & (day_of == 1)).unionByName(
+            image_dhash_bands(
+                perturb(fc.filter(F.col("doc_id") % 60 == 0), 2)
+            )
         ),
-        fc.filter(is_new & (day_of == 2))
-        .unionByName(perturb(fc.filter(F.col("doc_id") % 60 == 40), 3))
-        .unionByName(perturb(fc.filter(F.col("doc_id") % 60 == 20), 4)),
+        sig_of(is_new & (day_of == 2))
+        .unionByName(
+            image_dhash_bands(
+                perturb(fc.filter(F.col("doc_id") % 60 == 40), 3)
+            )
+        )
+        .unionByName(
+            image_dhash_bands(
+                perturb(fc.filter(F.col("doc_id") % 60 == 20), 4)
+            )
+        ),
     ]
-    index = image_dhash_bands(hist).persist()
+    index = sig_of(~is_new).persist()
     index.count()
-    deps = [index]
+    deps = [index, fc, sigs_all]
     reported = None
     out = None
-    for day, batch in enumerate(batches, start=1):
+    for day, bsig in enumerate(batch_sigs, start=1):
         pairs, index, reported = incremental_hamming_ingest(
             index,
-            image_dhash_bands(batch),
+            bsig,
             reported,
             max_distance=_IPD_MAX_DIST,
         )
@@ -685,6 +709,17 @@ def multimodal_incremental_multiday(
         pairs = pairs.persist()
         pairs.count()
         deps.append(pairs)
+        # Day-boundary lineage truncation (VERDICT r12 #7): the wall
+        # of this entry is nearly constant across decades, i.e.
+        # PLANNING dominates — each day's ingest re-plans the whole
+        # prior-day index/ledger construction chain. An eager
+        # localCheckpoint materializes day state once and hands the
+        # next day storage-rooted lineage (the in-query analog of
+        # save_state), cutting the sf0.01 gate wall well below the
+        # 60% target with hashes unchanged (SCALE.md "r13: multiday
+        # planning trim").
+        index = index.localCheckpoint(eager=True)
+        reported = reported.localCheckpoint(eager=True)
         tagged = pairs.select(
             F.lit(day).alias("day"), "id_batch", "id_hist", "hamming"
         )

@@ -436,3 +436,59 @@ def test_adaptive_probe_parity_and_depth(spark):
     assert sorted(map(tup, none_path.collect())) == sorted(
         map(tup, fixed.collect())
     )
+
+
+def test_needs_rebuild_thresholds(spark):
+    """r13 drift-trigger pins (thresholds from tools/ivf_drift_probe.py,
+    SCALE.md "r13: IVF serving-index drift"): the no-drift control's
+    worst measured ratio (0.953) must NOT trigger; the shift regime's
+    0.75x-appended ratio (0.833) MUST; parity appends and a dead
+    baseline always trigger."""
+    from analyst_spark.functions.similarity import needs_rebuild
+
+    q0 = 0.2643  # trained_quality measured on the sf0.1 corpus
+    assert not needs_rebuild(q0, q0 * 0.953, 0.5)   # control, step 3
+    assert needs_rebuild(q0, q0 * 0.833, 0.75)      # shift, step 3
+    assert needs_rebuild(q0, q0 * 0.99, 1.0)        # parity ceiling
+    assert needs_rebuild(0.0, 0.2, 0.1)             # dead baseline
+
+
+def test_assignment_quality_matches_mean_cosine(spark):
+    """assignment_quality == the plain mean of round(cos(v, cent), 6)
+    over the inverted lists (the statistic needs_rebuild consumes)."""
+    from pyspark.sql import functions as F
+
+    from analyst_spark.functions.similarity import (
+        assignment_quality,
+        ivf_assign,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(99)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("__cent"),
+        )
+    )
+    lists = ivf_assign(emb, cents)
+    got = assignment_quality(lists, cents)
+    cvecs = {r["centroid_id"]: r["__cent"] for r in cents.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    expect = [
+        round(cos(r["__cv"], cvecs[r["centroid_id"]]), 6)
+        for r in lists.collect()
+    ]
+    assert abs(got - sum(expect) / len(expect)) < 1e-9
