@@ -178,22 +178,38 @@ def bloom_semi_join(
     dim-side job; callers that already know the cardinality (or need
     a fully-lazy plan) pass ``n_bits`` explicitly.
 
-    The word table is materialized ONCE with a bounded collect (at
-    most ``n_bits/64`` longs — 64 KiB per 2^19 bits, independent of
-    row count) and re-broadcast as a local relation: without this,
-    each of the ``n_hashes`` probe joins would re-run the dim-side
-    aggregation, because the per-probe projections defeat Spark's
-    canonicalized-plan exchange reuse.
+    The word table is materialized ONCE. Small tables (≤ 2^22 bits,
+    64 KiB per 2^19) collect to the driver and re-broadcast as a
+    local relation — the historical device that stops each of the
+    ``n_hashes`` probe joins from re-running the dim-side aggregation
+    (per-probe projections defeat canonicalized-plan exchange reuse).
+    LARGE tables (per-key sizing at tens of millions of keys → 2^28+
+    bits = millions of words) must NOT round-trip through the driver:
+    the r13 bloom-regime probe measured the py4j collect dominating
+    the whole bloom path at 2^28 — those persist executor-side and
+    the probes broadcast the cached frame directly (same recompute
+    protection, no driver copy; at 100 TB a 2^30 table is a 128 MiB
+    executor broadcast, never a driver round-trip).
     """
     spark = fact.sparkSession
     if n_bits is None:
         n_bits = sized_bits(
             dim_keys.filter(F.col(dim_key).isNotNull()).count()
         )
-    rows = bloom_build(dim_keys, dim_key, n_bits, n_hashes).collect()
-    words = spark.createDataFrame(rows, "word_idx long, bits long")
+    built = bloom_build(dim_keys, dim_key, n_bits, n_hashes)
+    if n_bits <= (1 << 22):
+        rows = built.collect()
+        words = spark.createDataFrame(rows, "word_idx long, bits long")
+    else:
+        words = built.persist()
+        words.count()
     candidates = bloom_prune(fact, fact_key, words, n_bits, n_hashes)
     dim = dim_keys.select(F.col(dim_key).alias(fact_key)).filter(
         F.col(fact_key).isNotNull()
     )
-    return candidates.join(dim, on=fact_key, how="left_semi")
+    out = candidates.join(dim, on=fact_key, how="left_semi")
+    if n_bits > (1 << 22):
+        # expose the persisted word table so release_cached callers
+        # can unpersist it with the rest of the plan's caches
+        out._asp_cached_deps = [words]  # type: ignore[attr-defined]
+    return out
