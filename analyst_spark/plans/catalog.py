@@ -412,6 +412,18 @@ _register("streaming_heavy_hitters_cms", st.streaming_heavy_hitters_cms, None)
 # — the hash gate proves the bloom path changes the plan, not the
 # answer (false negatives impossible; survivors exactly re-verified)
 _register("contamination_bloom", pp.contamination_bloom, pp.CONTAMINATION_ORACLE)
+# r13: eval-suite UPDATE lifecycle — probe only the delta grams the
+# new suite version introduced; the newly-contaminated review queue
+_register(
+    "contamination_delta", pp.contamination_delta,
+    pp.CONTAMINATION_DELTA_ORACLE,
+)
+# r13: curriculum ordering — Gopher-tier quality bands, seeded-shuffle
+# randomization within each band, one (tier, shard) exchange
+_register(
+    "docs_curriculum_order", pp.docs_curriculum_order,
+    pp.DOCS_CURRICULUM_ORACLE,
+)
 # Cross-corpus fuzzy decontamination: train×bench band join (broadcast
 # bench, no self-join); oracle = shared minhash CTEs filtered to pairs
 # crossing the membership boundary

@@ -238,6 +238,104 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# v2 of the benchmark suite adds the doc_id % _BENCH_MOD2 members; the
+# DELTA entry probes only the grams the update introduced
+_BENCH_MOD2 = 89
+
+
+def contamination_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL decontamination for a benchmark-suite UPDATE: when
+    the eval suite grows (v2 = v1 ∪ the doc_id % _BENCH_MOD2 members),
+    re-running the full check rescans the corpus against the whole v2
+    gram set for answers the v1 run already produced. This entry
+    probes the corpus against ONLY the DELTA grams (v2-only docs'
+    distinct 8-grams minus v1's), returning the NEWLY contaminated
+    training docs — the review queue the suite update actually
+    creates. Already-benchmark docs (either version) are excluded
+    from the scored side.
+
+    At 100 TB this is the eval-suite-lifecycle shape of
+    contamination_ngram: the maintained state is the v1 gram set (an
+    eval-suite-sized table), the delta is smaller still → broadcast;
+    the corpus is scanned once per suite update instead of once per
+    suite VERSION-SIZE, exactly the incremental-lifecycle discipline
+    the dedup families follow. Oracle: the identical arithmetic in
+    DuckDB (shared _NGRAM_N / xxhash64 / ≥0.5 threshold), exact.
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).select(
+        "doc_id",
+        F.transform(
+            _ngrams(F.col("t"), _NGRAM_N), lambda g: F.xxhash64(g)
+        ).alias("gs"),
+    ).persist()
+    toks.count()  # shared by v1 grams, delta grams, and the scan
+
+    is_v1 = F.col("doc_id") % _BENCH_MOD == 0
+    is_new = (F.col("doc_id") % _BENCH_MOD2 == 0) & ~is_v1
+    old_grams = (
+        toks.filter(is_v1).select(F.explode("gs").alias("g")).distinct()
+    )
+    delta_grams = (
+        toks.filter(is_new)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .join(old_grams, "g", "left_anti")
+    ).persist()
+    delta_grams.count()  # the broadcast side; real stats for the join
+    exploded = toks.filter(~is_v1 & ~is_new).select(
+        "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
+    )
+    scored = (
+        exploded.join(F.broadcast(delta_grams), "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return _with_cached_deps(
+        scored.withColumn(
+            "overlap_ratio",
+            F.round(F.col("n_matched") / F.col("n_ngrams"), 6),
+        )
+        .filter(F.col("overlap_ratio") >= 0.5)
+        .select("doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                F.col("n_matched").cast("long").alias("n_matched"),
+                "overlap_ratio"),
+        toks,
+        delta_grams,
+    )
+
+
+CONTAMINATION_DELTA_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), ng AS (
+    SELECT doc_id, {_duck_ngrams(_NGRAM_N)} AS gs FROM toks
+), old_grams AS (
+    SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % {_BENCH_MOD} = 0
+), delta_grams AS (
+    SELECT DISTINCT unnest(gs) AS g FROM ng
+    WHERE doc_id % {_BENCH_MOD2} = 0 AND doc_id % {_BENCH_MOD} <> 0
+    EXCEPT SELECT g FROM old_grams
+), exploded AS (
+    SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM ng
+    WHERE doc_id % {_BENCH_MOD} <> 0 AND doc_id % {_BENCH_MOD2} <> 0
+), scored AS (
+    SELECT e.doc_id, e.n_ngrams, count(*) AS n_matched
+    FROM exploded e JOIN delta_grams d ON e.g = d.g
+    GROUP BY e.doc_id, e.n_ngrams
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       round(n_matched / CAST(n_ngrams AS DOUBLE), 6) AS overlap_ratio
+FROM scored
+WHERE round(n_matched / CAST(n_ngrams AS DOUBLE), 6) >= 0.5
+"""
+
+
 # ------------------------------------------ deterministic global shuffle
 
 _SHUFFLE_SEED = "epoch0"  # training-order seed: new epoch = new seed
@@ -309,6 +407,7 @@ SELECT doc_id, shuffle_key, shard_id,
        ) AS BIGINT) AS pos
 FROM sharded
 """
+
 
 
 
@@ -1506,6 +1605,119 @@ SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_word_ratio,
         AND n_stopwords >= {_GOPHER_MIN_STOPS}) AS keep
 FROM feat
 """
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM training order: documents grouped into quality
+    TIERS (the count of Gopher rules passed, 0..5 — an ordinal,
+    integer-exact quality signal from the already-gated rule battery),
+    randomized WITHIN each tier by the seeded md5 permutation. A
+    curriculum loader consumes tiers descending (cleanest text first)
+    and, inside a tier, shards in shard_id order and rows in pos
+    order — deterministic, reproducible, auditable, exactly like
+    docs_global_shuffle but with the tier as the leading sort key.
+
+    Plan shape: the Gopher features are map-side Catalyst
+    expressions, so the ONLY shuffle is the position window's hash
+    exchange on (tier, shard_id) — the same single-exchange contract
+    as the global shuffle (shards auto-sized from the corpus count,
+    functions/shuffle.py shard_count_for). No total order is ever
+    materialized: within-tier order is per-shard rank, and tiers are
+    a 6-value leading key the loader iterates. Oracle: DuckDB
+    recomputes the identical tier arithmetic (shared thresholds),
+    md5 keys, shard assignment, and per-(tier, shard) ranks.
+    """
+    from analyst_spark.functions.shuffle import shard_count_for
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # no spread(): the position window's (tier, shard_id) exchange is
+    # the ONLY shuffle this plan needs (the docs_global_shuffle rule)
+    feats = gopher_features(docs)
+    # F.when(..., 1).otherwise(0): a NULL feature row (null text) must
+    # count as rule-failed on BOTH engines, not poison the sum
+    rules = [
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS),
+        F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL),
+        F.col("alpha_word_ratio") >= _GOPHER_MIN_ALPHA,
+        F.col("symbol_word_ratio") <= _GOPHER_MAX_SYMBOL,
+        F.col("n_stopwords") >= _GOPHER_MIN_STOPS,
+    ]
+    tier = sum(
+        (F.when(r, F.lit(1)).otherwise(F.lit(0)) for r in rules),
+        F.lit(0),
+    ).cast("long")
+    n_shards = shard_count_for(docs.count(), _ROWS_PER_SHARD)
+    keyed = feats.select(
+        "doc_id",
+        tier.alias("tier"),
+        F.md5(
+            F.concat(
+                F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("shuffle_key"),
+    ).withColumn(
+        "shard_id",
+        (F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+         % n_shards),
+    )
+    w = Window.partitionBy("tier", "shard_id").orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return keyed.select(
+        "doc_id", "tier", "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+DOCS_CURRICULUM_ORACLE = rf"""
+WITH base AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), feat AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           round(CAST(list_sum([length(x) for x in t]) AS BIGINT)
+                 / CAST(len(t) AS BIGINT), 6) AS mean_word_len,
+           round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                 / CAST(len(t) AS BIGINT), 6) AS alpha_word_ratio,
+           round(len(list_filter(t, x -> regexp_matches(x, '#|\.\.\.')))
+                 / CAST(len(t) AS BIGINT), 6) AS symbol_word_ratio,
+           CAST(len(list_intersect(list_distinct(t),
+                                   [{_GOPHER_STOP_LIST}])) AS BIGINT)
+               AS n_stopwords
+    FROM base
+), tiered AS (
+    SELECT doc_id,
+           CAST(
+             (CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS}
+                        AND {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END)
+           + (CASE WHEN mean_word_len BETWEEN {_GOPHER_MIN_MWL}
+                        AND {_GOPHER_MAX_MWL} THEN 1 ELSE 0 END)
+           + (CASE WHEN alpha_word_ratio >= {_GOPHER_MIN_ALPHA}
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN symbol_word_ratio <= {_GOPHER_MAX_SYMBOL}
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN n_stopwords >= {_GOPHER_MIN_STOPS}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tier,
+           md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR)))
+               AS shuffle_key
+    FROM feat
+), sharded AS (
+    SELECT doc_id, tier, shuffle_key,
+           CAST(({_hex8_horner('shuffle_key')})
+                % (SELECT greatest(1, (count(*) + {_ROWS_PER_SHARD} - 1)
+                                      // {_ROWS_PER_SHARD})
+                   FROM documents) AS BIGINT) AS shard_id
+    FROM tiered
+)
+SELECT doc_id, tier, shard_id,
+       CAST(row_number() OVER (
+           PARTITION BY tier, shard_id ORDER BY shuffle_key, doc_id
+       ) AS BIGINT) AS pos
+FROM sharded
+"""
+
 
 
 # ------------------------------------------------- DSIR importance weights

@@ -271,8 +271,12 @@ BENCH_QUERIES = [
     "docs_global_shuffle",
     "docs_shuffled_pack",
     "docs_curation_funnel_v3",
-    # r13: the adaptive probe rule as its own hash-gated measurement
+    # r13: the adaptive probe rule as its own hash-gated measurement,
+    # the eval-suite-update delta decontamination, and the
+    # quality-tier curriculum ordering
     "ann_ivf_adaptive",
+    "contamination_delta",
+    "docs_curriculum_order",
 ]
 
 
