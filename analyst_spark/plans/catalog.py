@@ -424,6 +424,12 @@ _register(
     "docs_curriculum_order", pp.docs_curriculum_order,
     pp.DOCS_CURRICULUM_ORACLE,
 )
+# r13 streaming twin: the delta set broadcast to a zero-state intake
+# stream; row-identical to the batch entry, same oracle
+_register(
+    "streaming_contamination_delta", st.streaming_contamination_delta,
+    pp.CONTAMINATION_DELTA_ORACLE,
+)
 # Cross-corpus fuzzy decontamination: train×bench band join (broadcast
 # bench, no self-join); oracle = shared minhash CTEs filtered to pairs
 # crossing the membership boundary

@@ -95,3 +95,18 @@ def test_curriculum_order_deterministic(spark):
     a = tup(pp.docs_curriculum_order(spark, SF_DIR))
     b = tup(pp.docs_curriculum_order(spark, SF_DIR))
     assert a == b
+
+
+def test_streaming_contamination_delta_twin_row_identical(spark):
+    from analyst_spark.plans import streaming_plans as st
+
+    tup = lambda df: sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id", "n_ngrams", "n_matched", "overlap_ratio"
+        ).collect()
+    )
+    batch = tup(pp.contamination_delta(spark, SF_DIR))
+    stream = tup(st.streaming_contamination_delta(spark, SF_DIR))
+    assert stream == batch
+    assert len(batch) > 0

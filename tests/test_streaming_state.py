@@ -39,6 +39,7 @@ STATE_CONTRACTS = {
     # zero-state probes: per-row signatures + stream-static broadcast
     # joins against a maintained index / frozen stats
     "streaming_classifier_gate": set(),
+    "streaming_contamination_delta": set(),
     "streaming_contamination_embedding": set(),
     "streaming_contamination_minhash": set(),
     "streaming_incremental_embedding": set(),
