@@ -52,7 +52,16 @@ def _ngrams(toks: Column, n: int) -> Column:
     and Catalyst re-evaluates a captured outer expression for EVERY
     element — an inline split turns O(tokens) into O(tokens²)
     (measured 223s vs 0.6s on one 60k-token document; found by the
-    r7 pathological-text sweep)."""
+    r7 pathological-text sweep). Enforced: any composite expression
+    (anything with a '(' in its string form) is rejected here, after
+    the same trap shipped three times (r7, r12, r13)."""
+    if "(" in str(toks):
+        raise ValueError(
+            "_ngrams requires a materialized column reference; got "
+            f"expression {toks} — select the split into a column "
+            "first (inline expressions are re-evaluated per element: "
+            "O(tokens²) on long documents; see docstring)"
+        )
     return F.when(
         F.size(toks) >= n,
         F.transform(

@@ -1490,14 +1490,24 @@ def streaming_contamination_delta(
 ) -> DataFrame:
     """Streaming twin of ``contamination_delta`` — the LIVE intake
     shape of the eval-suite-update lifecycle: the delta gram set
-    (v2-only benchmark docs' distinct 8-gram hashes minus v1's) is
-    the maintained, eval-suite-delta-sized artifact; training
-    documents arrive as a file stream (8 staged files,
-    maxFilesPerTrigger=2 forcing real micro-batch boundaries) and
-    each row is scored per micro-batch by an Arrow-batched pandas
-    pass against the BROADCAST delta set — occurrence counts, not a
-    streaming aggregation, so the plan holds ZERO state (declared in
+    (v2-only benchmark docs' distinct 8-grams minus v1's) is the
+    maintained, eval-suite-delta-sized artifact; training documents
+    arrive as a file stream (8 staged files, maxFilesPerTrigger=2
+    forcing real micro-batch boundaries) and each row is scored per
+    micro-batch by an Arrow-batched pandas pass against the
+    BROADCAST delta set — occurrence counts, not a streaming
+    aggregation, so the plan holds ZERO state (declared in
     tests/test_streaming_state.py) and needs no watermark.
+
+    Gram extraction happens INSIDE the pandas scorer (split + join,
+    linear in tokens), not as a JVM array expression: the r14
+    pathological sweep measured the nested
+    ``transform(_ngrams(...), xxhash64)`` shape at O(tokens²) when
+    it is NOT materialized through a persisted cache (228 s for ONE
+    60k-token document vs 2 s persisted) — the batch twin is linear
+    only because of its ``toks.persist()``, and a stream cannot
+    persist. String membership against the delta set gives the same
+    counts as hash membership, so no hashing is needed at all.
 
     Each emitted value is a deterministic integer from one stream row
     + the frozen delta set, so the streamed result is ROW-IDENTICAL
@@ -1522,25 +1532,20 @@ def streaming_contamination_delta(
         "doc_id", "text"
     )
 
-    def gram_hashes(df: DataFrame) -> DataFrame:
+    def gram_strings(df: DataFrame) -> DataFrame:
+        # raw gram strings, split materialized into a column first;
+        # explode of the un-hashed _ngrams array is the measured
+        # LINEAR shape (0.5 s at 60k tokens) — no outer transform
         return df.select(
-            "doc_id",
-            F.transform(
-                _ngrams(F.split(F.col("text"), " "), _NGRAM_N),
-                lambda g: F.xxhash64(g),
-            ).alias("gs"),
-        )
+            "doc_id", F.split(F.col("text"), " ").alias("__t")
+        ).select("doc_id", F.explode(_ngrams(F.col("__t"), _NGRAM_N)).alias("g"))
 
     is_v1 = F.col("doc_id") % _BENCH_MOD == 0
     is_new = (F.col("doc_id") % _BENCH_MOD2 == 0) & ~is_v1
-    old_grams = (
-        gram_hashes(docs.filter(is_v1))
-        .select(F.explode("gs").alias("g"))
-        .distinct()
-    )
+    old_grams = gram_strings(docs.filter(is_v1)).select("g").distinct()
     delta = (
-        gram_hashes(docs.filter(is_new))
-        .select(F.explode("gs").alias("g"))
+        gram_strings(docs.filter(is_new))
+        .select("g")
         .distinct()
         .join(old_grams, "g", "left_anti")
     )
@@ -1548,6 +1553,7 @@ def streaming_contamination_delta(
     # entry's whole premise); frozen for the stream's lifetime
     delta_set = frozenset(r.g for r in delta.collect())
     bc = spark.sparkContext.broadcast(delta_set)
+    n = _NGRAM_N
 
     def score(batches):
         import pandas as pd
@@ -1555,13 +1561,26 @@ def streaming_contamination_delta(
         dv = bc.value
         for pdf in batches:
             ids, ns, ms = [], [], []
-            for doc_id, gs in zip(pdf["doc_id"], pdf["gs"]):
-                lst = [] if gs is None else list(gs)
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # same tokenization as F.split(text, " "): single-space
+                # separator, no run-collapsing, empty text -> [""]
+                toks = [] if text is None else text.split(" ")
+                k = len(toks) - n + 1
                 ids.append(int(doc_id))
-                ns.append(len(lst))
+                if k <= 0:
+                    ns.append(0)
+                    ms.append(0)
+                    continue
+                ns.append(k)
                 # occurrence count (the batch entry's exploded-join
                 # semantics), not distinct-gram count
-                ms.append(sum(1 for x in lst if x in dv))
+                ms.append(
+                    sum(
+                        1
+                        for i in range(k)
+                        if " ".join(toks[i : i + n]) in dv
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": ids, "n_ngrams": ns, "n_matched": ms}
             )
@@ -1577,7 +1596,7 @@ def streaming_contamination_delta(
             .parquet(tmp)
         )
         scored = (
-            gram_hashes(stream)
+            stream.select("doc_id", "text")
             .mapInPandas(
                 score, "doc_id long, n_ngrams long, n_matched long"
             )
