@@ -185,9 +185,13 @@ def _apply_probe_filter(
     best = F.max(
         F.expr("CAST(round(__csim * 1000000) AS BIGINT)")
     ).over(Window.partitionBy("__id"))
+    # NULL best-cosine (zero-norm query: csim NULL against every
+    # centroid) means zero routing confidence — probe all lists, like
+    # __bm <= 0; without this the CASE is NULL and the query VANISHES
+    # where fixed probing still kept n_probe rows (r13 advice)
     return ranked.withColumn("__bm", best).filter(
         F.expr(
-            f"__crn <= (CASE WHEN __bm <= 0 THEN {n_cap} "
+            f"__crn <= (CASE WHEN __bm IS NULL OR __bm <= 0 THEN {n_cap} "
             f"ELSE least({n_cap}, greatest({n_probe}, "
             f"({scale_micro} + __bm - 1) DIV __bm)) END)"
         )

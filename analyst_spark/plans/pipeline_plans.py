@@ -228,11 +228,15 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join is deliberately NOT broadcast-hinted: this entry models the
     # bench-too-big-to-broadcast regime (AQE broadcasts at gate scale,
     # shuffles at 100 TB — over the pruned survivors either way).
+    semi = bloom_semi_join(exploded, "g", bench, "g")
     scored = (
-        bloom_semi_join(exploded, "g", bench, "g")
+        semi
         .groupBy("doc_id", "n_ngrams")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
+    # in the >2^22-bit regime bloom_semi_join persists the word table
+    # and exposes it on its RESULT; transforms drop the attribute, so
+    # thread it into this entry's registered deps (r13 advice)
     return _with_cached_deps(
         scored.withColumn(
             "overlap_ratio",
@@ -244,6 +248,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overlap_ratio"),
         toks,
         bench,
+        *getattr(semi, "_asp_cached_deps", []),
     )
 
 
