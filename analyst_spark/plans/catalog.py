@@ -418,6 +418,13 @@ _register(
     "contamination_delta", pp.contamination_delta,
     pp.CONTAMINATION_DELTA_ORACLE,
 )
+# r14: the same lifecycle with the v1 gram set as MAINTAINED state —
+# built once by the prior run (storage-backed), the update consumes
+# the stored table instead of rescanning the corpus for v1 grams
+_register(
+    "contamination_delta_stateful", pp.contamination_delta_stateful,
+    pp.CONTAMINATION_DELTA_ORACLE,
+)
 # r13: curriculum ordering — Gopher-tier quality bands, seeded-shuffle
 # randomization within each band, one (tier, shard) exchange
 _register(

@@ -32,7 +32,7 @@ DOC_ENTRIES = [
     "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
     "streaming_contamination_minhash", "docs_shuffled_pack",
     "docs_curation_funnel_v3",
-    "contamination_delta", "docs_curriculum_order",
+    "contamination_delta", "contamination_delta_stateful", "docs_curriculum_order",
     "streaming_contamination_delta",
 ]
 

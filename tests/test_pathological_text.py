@@ -33,7 +33,7 @@ ENTRIES = [
     "doc_fingerprints", "doc_winnow_fingerprints", "contamination_ngram",
     "contamination_bloom", "contamination_minhash", "docs_shuffled_pack",
     "docs_curation_funnel_v3",
-    "contamination_delta", "docs_curriculum_order",
+    "contamination_delta", "contamination_delta_stateful", "docs_curriculum_order",
     "streaming_contamination_delta",
     "docs_gopher_filter", "docs_lm_score", "docs_dsir_weights",
     "docs_dup_span", "docs_chunk_windows", "docs_pack_sequences",

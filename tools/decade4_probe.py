@@ -8,11 +8,19 @@ shingle sets shift, vocab grows).
 With ``--copies 1000`` it builds a ×1000 corpus (≈5M docs) for the
 map-only / aggregation entries.
 
-Usage: python tools/decade4_probe.py [--copies N] [entry ...]
+Usage: python tools/decade4_probe.py [--copies N] [--json FILE] [entry ...]
+
+``--json FILE`` writes the standing scaling artifact (VERDICT r13
+#7): one object per entry with the three walls and the big/sf0.1
+growth ratio, so the next round can DIFF scaling shape the way
+BENCH_DETAIL is diffed, instead of re-quoting prose. The committed
+``SCALE_PROBE.json`` comes from ``--copies 1000`` over
+``SCALE_ENTRIES``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -34,6 +42,54 @@ DEFAULT = [
     "docs_lm_score",
     "docs_curation_funnel_v2",
 ]
+
+# The standing scale-sensitive set (VERDICT r13 #7): entries whose
+# growth SHAPE matters at 100 TB — candidate generation, shuffles,
+# broadcast regimes, curriculum/shuffle exchanges — probed at ×1000
+# and committed as SCALE_PROBE.json each round.
+SCALE_ENTRIES = [
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "docs_gopher_filter",
+    "contamination_ngram",
+    "contamination_bloom",
+    "contamination_delta",
+    "contamination_delta_update",
+    "docs_lm_score",
+    "docs_curation_funnel_v3",
+    "docs_global_shuffle",
+    "docs_shuffled_pack",
+    "docs_curriculum_order",
+    "docs_bm25_topk",
+    "doc_fingerprints",
+]
+
+# --- probes that are PHASES of an entry, not whole catalog entries.
+# contamination_delta_update = the suite-update phase of
+# contamination_delta_stateful against PREBUILT v1-gram state: what a
+# deployment pays per suite update once the prior run has written its
+# state (the whole point of VERDICT r13 #2 — the v1-gram recompute
+# was the entry's 36x-per-1000x superlinear share).
+_DELTA_STATE: dict[str, str] = {}
+
+
+def _delta_update_probe(spark, sf_dir):
+    import tempfile
+
+    from analyst_spark.plans.pipeline_plans import (
+        build_v1_gram_state,
+        delta_update_from_state,
+    )
+
+    if sf_dir not in _DELTA_STATE:
+        d = tempfile.mkdtemp(prefix="asp_probe_delta_state_")
+        build_v1_gram_state(spark, sf_dir, d)
+        _DELTA_STATE[sf_dir] = d
+    return delta_update_from_state(spark, sf_dir, _DELTA_STATE[sf_dir])
+
+
+PHASE_PROBES = {"contamination_delta_update": _delta_update_probe}
 
 
 def build(spark, copies: int) -> str:
@@ -92,11 +148,15 @@ def build(spark, copies: int) -> str:
     return big
 
 
+def _fn(name: str):
+    return PHASE_PROBES.get(name) or QUERIES[name]
+
+
 def timed(spark, name: str, sf_dir: str, reps: int = 2) -> float:
     best = None
     for _ in range(reps):
         t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
+        df = _fn(name)(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         release_cached(df)
         dt = time.time() - t0
@@ -107,23 +167,31 @@ def timed(spark, name: str, sf_dir: str, reps: int = 2) -> float:
 def main() -> None:
     argv = sys.argv[1:]
     copies = 100
+    json_out = None
     if "--copies" in argv:
         i = argv.index("--copies")
         copies = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if argv == ["--scale-set"]:
+        argv = list(SCALE_ENTRIES)
     names = argv or DEFAULT
     spark = get_spark("decade4_probe")
     big = build(spark, copies)
     dirs = ["/root/testdata/sf0.01", SRC, big]
     for name in names:  # warm codegen everywhere
         for d in dirs:
-            df = QUERIES[name](spark, d)
+            df = _fn(name)(spark, d)
             df.write.format("noop").mode("overwrite").save()
             release_cached(df)
     print(
         f"{'entry':26s} {'sf0.01':>7s} {'sf0.1':>7s} {f'x{copies}':>9s} "
         f"{f'{copies}x ratio':>10s}"
     )
+    report = {"copies": copies, "src": SRC, "entries": {}}
     for name in names:
         t1 = timed(spark, name, dirs[0])
         t2 = timed(spark, name, dirs[1])
@@ -132,6 +200,17 @@ def main() -> None:
             f"{name:26s} {t1:6.2f}s {t2:6.2f}s {t3:8.2f}s {t3 / t2:9.2f}x",
             flush=True,
         )
+        report["entries"][name] = {
+            "sf0.01": round(t1, 2),
+            "sf0.1": round(t2, 2),
+            f"x{copies}": round(t3, 2),
+            "growth": round(t3 / t2, 2),
+        }
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_out}", flush=True)
 
 
 if __name__ == "__main__":
