@@ -431,6 +431,13 @@ _register(
     "docs_curriculum_order", pp.docs_curriculum_order,
     pp.DOCS_CURRICULUM_ORACLE,
 )
+# r14: curriculum ∘ pack — fixed-length sequences packed in curriculum
+# order (tier DESC, then the seeded permutation); prefix sum bucketed
+# BY (tier, shard) so the pack reuses the curriculum's own exchange
+_register(
+    "docs_curriculum_pack", pp.docs_curriculum_pack,
+    pp.DOCS_CURRICULUM_PACK_ORACLE,
+)
 # r13 streaming twin: the delta set broadcast to a zero-state intake
 # stream; row-identical to the batch entry, same oracle
 _register(

@@ -1746,6 +1746,25 @@ FROM feat
 """
 
 
+def _gopher_tier() -> Column:
+    """Curriculum tier = count of Gopher rules passed (0..5) over a
+    gopher_features frame. ``F.when(..., 1).otherwise(0)``: a NULL
+    feature row (null text) must count as rule-failed on BOTH
+    engines, not poison the sum. Shared by docs_curriculum_order and
+    docs_curriculum_pack so the two entries' tiers cannot drift."""
+    rules = [
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS),
+        F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL),
+        F.col("alpha_word_ratio") >= _GOPHER_MIN_ALPHA,
+        F.col("symbol_word_ratio") <= _GOPHER_MAX_SYMBOL,
+        F.col("n_stopwords") >= _GOPHER_MIN_STOPS,
+    ]
+    return sum(
+        (F.when(r, F.lit(1)).otherwise(F.lit(0)) for r in rules),
+        F.lit(0),
+    ).cast("long")
+
+
 def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CURRICULUM training order: documents grouped into quality
     TIERS (the count of Gopher rules passed, 0..5 — an ordinal,
@@ -1772,23 +1791,10 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread(): the position window's (tier, shard_id) exchange is
     # the ONLY shuffle this plan needs (the docs_global_shuffle rule)
     feats = gopher_features(docs)
-    # F.when(..., 1).otherwise(0): a NULL feature row (null text) must
-    # count as rule-failed on BOTH engines, not poison the sum
-    rules = [
-        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS),
-        F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL),
-        F.col("alpha_word_ratio") >= _GOPHER_MIN_ALPHA,
-        F.col("symbol_word_ratio") <= _GOPHER_MAX_SYMBOL,
-        F.col("n_stopwords") >= _GOPHER_MIN_STOPS,
-    ]
-    tier = sum(
-        (F.when(r, F.lit(1)).otherwise(F.lit(0)) for r in rules),
-        F.lit(0),
-    ).cast("long")
     n_shards = shard_count_for(docs.count(), _ROWS_PER_SHARD)
     keyed = feats.select(
         "doc_id",
-        tier.alias("tier"),
+        _gopher_tier().alias("tier"),
         F.md5(
             F.concat(
                 F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
@@ -1857,6 +1863,188 @@ SELECT doc_id, tier, shard_id,
 FROM sharded
 """
 
+
+def docs_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware token packing — the artifact a curriculum training
+    run actually materializes: fixed _SEQ_LEN-token sequences packed
+    in CURRICULUM order (Gopher tier descending, then the seeded
+    within-tier permutation), composing docs_curriculum_order with
+    the greedy packer exactly the way docs_shuffled_pack composes
+    shuffle+pack (VERDICT r13 #5).
+
+    Plan shape: the distributed prefix sum buckets BY (tier, shard) —
+    the SAME hash exchange the curriculum window already makes, so
+    the corpus moves once. Each (tier, shard) group cumulates token
+    counts under its own window; group totals (tiers × shards rows,
+    tiny by construction) cumulate into base offsets over a
+    single-partition window ordered by the curriculum's group order
+    (tier DESC via (5 - tier), then shard_id) and broadcast-join
+    back. seq_id = global curriculum offset DIV _SEQ_LEN; sequences
+    legitimately span shard AND tier boundaries (the global
+    curriculum order is what's packed). Order inside every sequence
+    is pinned by min_by/max_by over the unique slot integer
+    (5-tier)·2⁴⁸ + shard·2²⁴ + pos; tier_hi/tier_lo expose the
+    curriculum monotonicity per sequence (a sequence straddling a
+    tier boundary shows hi ≠ lo).
+
+    No analog in the reference (its engine has no training-order or
+    packing notion); the curriculum tiers reuse the gated rule
+    battery (engine/aggregate.go has the closest hash-agg machinery).
+    """
+    from analyst_spark.functions.shuffle import shard_count_for
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_shards = shard_count_for(docs.count(), _ROWS_PER_SHARD)
+    # n_tok = the pack entries' whitespace token count (split on a
+    # single space, like docs_pack_sequences); NULL text packs as 0
+    # tokens on both engines, stated explicitly because Spark's
+    # size(NULL) is config-dependent
+    toks = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .alias("n_tok"),
+    )
+    feats = gopher_features(toks, extra_cols=("n_tok",))
+    keyed = feats.select(
+        "doc_id",
+        "n_tok",
+        _gopher_tier().alias("tier"),
+        F.md5(
+            F.concat(
+                F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("shuffle_key"),
+    ).withColumn(
+        "shard_id",
+        (F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+         % n_shards),
+    )
+    # both windows share partitioning AND ordering, so Catalyst plans
+    # ONE Window node over one (tier, shard) hash exchange
+    w_off = (
+        Window.partitionBy("tier", "shard_id")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_rn = Window.partitionBy("tier", "shard_id").orderBy(
+        "shuffle_key", "doc_id"
+    )
+    # consumed by BOTH the group-totals aggregation and the placement
+    # join: persist, or the corpus scan + gopher battery runs twice
+    # (the docs_shuffled_pack lesson)
+    within = keyed.select(
+        "doc_id",
+        "n_tok",
+        "tier",
+        "shard_id",
+        F.coalesce(F.sum("n_tok").over(w_off), F.lit(0)).alias("local_off"),
+        F.row_number().over(w_rn).cast("long").alias("pos"),
+    ).persist()
+    # `within` is already hash-partitioned on (tier, shard_id) from
+    # the window — Catalyst sees the partitioning satisfied and plans
+    # NO extra exchange for this aggregation (the docs_token_budget_mix
+    # device)
+    group_totals = within.groupBy("tier", "shard_id").agg(
+        F.sum("n_tok").alias("gtot")
+    )
+    w_g = (
+        Window.orderBy((F.lit(5) - F.col("tier")), "shard_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # rows = tiers × shards — tiny by construction
+    bases = group_totals.withColumn(
+        "base", F.coalesce(F.sum("gtot").over(w_g), F.lit(0))
+    ).select("tier", "shard_id", "base")
+    placed = within.join(F.broadcast(bases), ["tier", "shard_id"]).select(
+        "doc_id",
+        "n_tok",
+        "tier",
+        ((F.col("base") + F.col("local_off")) / F.lit(_SEQ_LEN))
+        .cast("long").alias("seq_id"),
+        ((F.lit(5) - F.col("tier")) * F.lit(1 << 48)
+         + F.col("shard_id") * F.lit(1 << 24)
+         + F.col("pos")).alias("slot"),
+    )
+    return _with_cached_deps(
+        placed.groupBy("seq_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min_by("doc_id", "slot").alias("first_doc"),
+            F.max_by("doc_id", "slot").alias("last_doc"),
+            F.max("tier").cast("long").alias("tier_hi"),
+            F.min("tier").cast("long").alias("tier_lo"),
+        ),
+        within,
+    )
+
+
+DOCS_CURRICULUM_PACK_ORACLE = rf"""
+WITH base AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+           CASE WHEN text IS NULL THEN 0
+                ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+           END AS n_tok
+    FROM documents
+), feat AS (
+    SELECT doc_id, n_tok,
+           CAST(len(t) AS BIGINT) AS n_words,
+           round(CAST(list_sum([length(x) for x in t]) AS BIGINT)
+                 / CAST(len(t) AS BIGINT), 6) AS mean_word_len,
+           round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                 / CAST(len(t) AS BIGINT), 6) AS alpha_word_ratio,
+           round(len(list_filter(t, x -> regexp_matches(x, '#|\.\.\.')))
+                 / CAST(len(t) AS BIGINT), 6) AS symbol_word_ratio,
+           CAST(len(list_intersect(list_distinct(t),
+                                   [{_GOPHER_STOP_LIST}])) AS BIGINT)
+               AS n_stopwords
+    FROM base
+), tiered AS (
+    SELECT doc_id, n_tok,
+           CAST(
+             (CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS}
+                        AND {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END)
+           + (CASE WHEN mean_word_len BETWEEN {_GOPHER_MIN_MWL}
+                        AND {_GOPHER_MAX_MWL} THEN 1 ELSE 0 END)
+           + (CASE WHEN alpha_word_ratio >= {_GOPHER_MIN_ALPHA}
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN symbol_word_ratio <= {_GOPHER_MAX_SYMBOL}
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN n_stopwords >= {_GOPHER_MIN_STOPS}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tier,
+           md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR)))
+               AS shuffle_key
+    FROM feat
+), sharded AS (
+    SELECT doc_id, n_tok, tier, shuffle_key,
+           CAST(({_hex8_horner('shuffle_key')})
+                % (SELECT greatest(1, (count(*) + {_ROWS_PER_SHARD} - 1)
+                                      // {_ROWS_PER_SHARD})
+                   FROM documents) AS BIGINT) AS shard_id
+    FROM tiered
+), placed AS (
+    SELECT doc_id, n_tok, tier,
+           CAST(COALESCE(sum(n_tok) OVER (
+                    ORDER BY (5 - tier), shard_id, shuffle_key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_SEQ_LEN} AS BIGINT) AS seq_id,
+           (5 - tier) * {1 << 48} + shard_id * {1 << 24}
+               + row_number() OVER (
+                     PARTITION BY tier, shard_id ORDER BY shuffle_key, doc_id
+                 ) AS slot
+    FROM sharded
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, slot) AS first_doc,
+       arg_max(doc_id, slot) AS last_doc,
+       CAST(max(tier) AS BIGINT) AS tier_hi,
+       CAST(min(tier) AS BIGINT) AS tier_lo
+FROM placed
+GROUP BY seq_id
+"""
 
 
 # ------------------------------------------------- DSIR importance weights

@@ -277,6 +277,11 @@ BENCH_QUERIES = [
     "ann_ivf_adaptive",
     "contamination_delta",
     "docs_curriculum_order",
+    # r14: stateful suite-update decontamination (the maintained-state
+    # form of contamination_delta) and curriculum-ordered packing
+    # (curriculum ∘ pack on the one (tier, shard) exchange)
+    "contamination_delta_stateful",
+    "docs_curriculum_pack",
 ]
 
 

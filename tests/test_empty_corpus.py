@@ -33,6 +33,7 @@ DOC_ENTRIES = [
     "streaming_contamination_minhash", "docs_shuffled_pack",
     "docs_curation_funnel_v3",
     "contamination_delta", "contamination_delta_stateful", "docs_curriculum_order",
+    "docs_curriculum_pack",
     "streaming_contamination_delta",
 ]
 

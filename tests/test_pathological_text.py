@@ -34,6 +34,7 @@ ENTRIES = [
     "contamination_bloom", "contamination_minhash", "docs_shuffled_pack",
     "docs_curation_funnel_v3",
     "contamination_delta", "contamination_delta_stateful", "docs_curriculum_order",
+    "docs_curriculum_pack",
     "streaming_contamination_delta",
     "docs_gopher_filter", "docs_lm_score", "docs_dsir_weights",
     "docs_dup_span", "docs_chunk_windows", "docs_pack_sequences",

@@ -190,6 +190,27 @@ def test_global_shuffle_single_exchange(spark):
     assert plan.count(") Window") == 1
 
 
+def test_curriculum_pack_reuses_tier_shard_exchange(spark):
+    """VERDICT r13 #5's plan pin: the pack's prefix sum buckets BY
+    (tier, shard), so the corpus-sized exchanges are exactly the
+    curriculum window's (tier, shard) hash partition (reused by the
+    group-totals aggregation) plus the final per-seq aggregation; the
+    group-totals side is tiers × shards rows under one bounded
+    single-partition window. Bases join back as a broadcast — no
+    CartesianProduct, no sort-merge join."""
+    from analyst_spark.functions.dedup import release_cached
+
+    df = QUERIES["docs_curriculum_pack"](spark, SF)
+    plan = _plan(df)
+    release_cached(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # ONE corpus-partitioning Window node (off+pos share partition AND
+    # order, Catalyst fuses them) + ONE bounded totals Window
+    assert plan.count(") Window") == 2, plan
+
+
 def test_shuffled_pack_no_extra_corpus_exchange(spark):
     """The pack's prefix sum buckets BY SHARD, so the corpus-sized
     exchanges are exactly: the shuffle's shard partition (reused by

@@ -61,6 +61,7 @@ SCALE_ENTRIES = [
     "docs_global_shuffle",
     "docs_shuffled_pack",
     "docs_curriculum_order",
+    "docs_curriculum_pack",
     "docs_bm25_topk",
     "doc_fingerprints",
 ]
