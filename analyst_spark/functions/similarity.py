@@ -1403,3 +1403,138 @@ def needs_rebuild(
     if appended_fraction >= appended_fraction_ceiling:
         return True
     return batch_quality / trained_quality < quality_ratio_floor
+
+
+# ------------------------------------------------ int8 quantized serving
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+    round_digits: int = 6,
+    max_queries: int | None = MAX_EXACT_QUERIES,
+) -> DataFrame:
+    """Int8-quantized candidate scan + full-precision rerank — the
+    memory-bandwidth lever a billion-vector serving tier pulls: the
+    hot scan touches 1-byte codes (4× less bandwidth than float32,
+    16× less than float64), floats only for ``candidates`` rows per
+    query.
+
+    Two-stage, each deterministic:
+
+    1. **Candidate stage (pure integers).** Per-dimension [lo, hi]
+       ranges from ONE min/max aggregation over the corpus (min/max
+       are summation-order-free, so an oracle matches bit-for-bit —
+       the ``embeddings_quantize_int8`` discipline); codes
+       ``floor((x-lo)/(hi-lo)*levels + 0.5)`` clamped to [0, levels].
+       Query codes use the SAME frozen ranges (serving reality: the
+       ranges ship with the index; queries must not see their own
+       statistics). Candidate score is the centered integer dot
+       ``sum((2q-levels) * (2c-levels))`` — bounded by
+       dim * levels², exact in int64, so the top-``candidates`` cut
+       is reproducible on any engine, no float ties.
+    2. **Rerank stage (floats on a bounded set).** The surviving
+       ``candidates`` ids per query — a |queries| * candidates-row
+       frame — broadcast-join back to the corpus for full-precision
+       vectors (the "fetch raw vectors for finalists" pattern; the
+       scoring scan never carries the wide float column through the
+       window shuffle). Exact cosine, rounded, ties by corpus id.
+
+    Output: (query_id, vec_id, rank, cosine_sim, q_score) — q_score
+    pins the integer stage in the gate hash, cosine_sim/rank pin the
+    rerank.
+    """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
+    if max_queries is not None:
+        n_q = queries.count()  # broadcast side: counting it is cheap
+        if n_q > max_queries:
+            raise ValueError(
+                f"quantized_rerank_topk scans the full code table per "
+                f"query ({n_q} queries): batch large query sets "
+                f"through ivf_topk, or pass max_queries=None."
+            )
+    spark = corpus.sparkSession
+    # bounded driver round-trip: one row per vector dimension
+    stats = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    if not stats:
+        return spark.createDataFrame(
+            [],
+            "query_id long, vec_id long, rank long, cosine_sim double, "
+            "q_score long",
+        )
+    lo_arr = F.array(*[F.lit(float(r.lo)) for r in stats])
+    sc_arr = F.array(*[F.lit(float(r.hi - r.lo)) for r in stats])
+
+    def codes(col: Column) -> Column:
+        d = F.zip_with(col.cast("array<double>"), lo_arr, lambda x, l: x - l)
+        return F.zip_with(
+            d,
+            sc_arr,
+            lambda x, s: F.greatest(
+                F.least(
+                    F.when(s > 0, F.floor(x / s * levels + 0.5))
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                    F.lit(levels).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+
+    c = spread(corpus, id_col).select(
+        F.col(id_col), codes(F.col(vec_col)).alias("__cq")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        codes(F.col(vec_col)).alias("__qq"),
+    )
+    lv = F.lit(levels).cast("long")
+    iscore = F.aggregate(
+        F.zip_with(
+            F.col("__qq"), F.col("__cq"), lambda a, b: (a * 2 - lv) * (b * 2 - lv)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col(id_col)).select(
+        "query_id", id_col, iscore.alias("q_score")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("q_score").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= candidates)
+        .drop("__cr")
+    )
+    # rerank: fetch full-precision vectors for the bounded finalist set
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
+    rer = (
+        cv.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", id_col, "q_score", sim.alias("cosine_sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "cosine_sim", "q_score")
+    )

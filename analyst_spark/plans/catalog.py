@@ -343,6 +343,12 @@ _register("ann_ivf_adaptive", tp.ann_ivf_adaptive, tp.ANN_IVF_ADAPTIVE_ORACLE)
 _register(
     "ann_ivf_incremental", tp.ann_ivf_incremental, tp.ANN_IVF_INCREMENTAL_ORACLE
 )
+# r14: int8-quantized candidate scan (centered integer dot — no float
+# ties, so the quantized stage itself is in the gate hash) + exact
+# cosine rerank of the bounded finalist set
+_register(
+    "ann_quantized_rerank", tp.ann_quantized_rerank, tp.ANN_QUANTIZED_RERANK_ORACLE
+)
 _register("ann_ivf_trained", tp.ann_ivf_trained, None)  # k-means lists → rows-only
 _register("knn_label_propagation", tp.knn_label_propagation, tp.KNN_LABEL_ORACLE)
 

@@ -282,6 +282,9 @@ BENCH_QUERIES = [
     # (curriculum ∘ pack on the one (tier, shard) exchange)
     "contamination_delta_stateful",
     "docs_curriculum_pack",
+    # r14: int8-quantized candidate scan + exact rerank — the
+    # memory-bandwidth serving path, fully hash-gated
+    "ann_quantized_rerank",
 ]
 
 

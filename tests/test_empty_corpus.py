@@ -99,7 +99,7 @@ EVENT_ENTRIES = [
 ]
 
 EMB_ENTRIES = ["dedup_semantic", "dedup_semantic_trained", "ann_cosine_topk", "dedup_incremental_embedding", "streaming_incremental_embedding", "dedup_incremental_embedding_multiday",
-               "ann_lsh_topk", "ann_ivf_adaptive", "ann_ivf_incremental", "dedup_embedding", "knn_label_propagation",
+               "ann_lsh_topk", "ann_ivf_adaptive", "ann_ivf_incremental", "ann_quantized_rerank", "dedup_embedding", "knn_label_propagation",
                "embeddings_pca", "ann_pca_ivf", "embeddings_quantize_int8",
                "contamination_embedding",
                "streaming_contamination_embedding"]

@@ -39,6 +39,7 @@ DOC_ENTRIES = [
 
 EMB_ENTRIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_adaptive", "ann_ivf_incremental", "ann_ivf_trained",
+    "ann_quantized_rerank",
     "ann_pca_ivf", "dedup_embedding", "dedup_incremental_embedding", "streaming_incremental_embedding", "dedup_incremental_embedding_multiday", "dedup_semantic",
     "dedup_semantic_trained", "embeddings_pca", "embeddings_quantize_int8",
     "knn_label_propagation", "contamination_embedding",
