@@ -472,6 +472,13 @@ _register(
     "docs_global_shuffle", pp.docs_global_shuffle,
     pp.DOCS_GLOBAL_SHUFFLE_ORACLE,
 )
+# r14: E epochs of training order from ONE manifest scan + ONE
+# (epoch, shard) exchange — per-epoch seed string, cross-epoch
+# decorrelation pinned in tests/test_epoch_shuffle.py
+_register(
+    "docs_epoch_shuffle", pp.docs_epoch_shuffle,
+    pp.DOCS_EPOCH_SHUFFLE_ORACLE,
+)
 # Funnel v3 = v2 + the decontamination stage real pipelines run last
 # (8-gram overlap >= 0.5 vs the benchmark set, which also drops bench
 # members — eval prompts must not be trained on); all six stages from

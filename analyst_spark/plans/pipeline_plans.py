@@ -548,6 +548,91 @@ FROM sharded
 """
 
 
+_N_EPOCHS = 3
+
+
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training order in ONE pass: every epoch of a
+    training run needs a DIFFERENT reproducible permutation, and a
+    pipeline that re-runs docs_global_shuffle per epoch re-scans the
+    corpus E times. Here the doc-id manifest is scanned once, each
+    row explodes into E epoch rows, the per-epoch seed is
+    ``{seed}-e{epoch}`` (same md5-key device as seeded_shuffle —
+    functions/shuffle.py), and shard/pos come from ONE
+    (epoch, shard_id) hash exchange — epochs are just more partitions
+    of the same window, so wall-clock is one shuffle of E× manifest
+    rows (manifest = ids + keys, NOT payload; the loader joins
+    payload per shard at read time, which is why text is pruned from
+    the scan here).
+
+    Shard count derives from the CORPUS count (not E× rows): each
+    epoch's shards must individually match docs_global_shuffle's
+    layout so a resumable loader can treat every epoch identically.
+    Cross-epoch decorrelation is pinned in tests/test_epoch_shuffle.py.
+    """
+    from analyst_spark.functions.shuffle import shard_count_for
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # bounded driver round-trip: one count (parquet metadata at scale)
+    n_shards = shard_count_for(docs.count(), _ROWS_PER_SHARD)
+    keyed = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(_N_EPOCHS)])
+        ).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(f"{_SHUFFLE_SEED}-e"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    sharded = keyed.withColumn(
+        "shard_id",
+        (
+            F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+            % n_shards
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return sharded.select(
+        "epoch",
+        "doc_id",
+        "shuffle_key",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+DOCS_EPOCH_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT e.epoch, doc_id,
+           md5(concat('{_SHUFFLE_SEED}-e', CAST(e.epoch AS VARCHAR),
+                      ':', CAST(doc_id AS VARCHAR))) AS shuffle_key
+    FROM documents
+    CROSS JOIN (SELECT unnest(range({_N_EPOCHS})) AS epoch) e
+), sharded AS (
+    SELECT epoch, doc_id, shuffle_key,
+           CAST(({_hex8_horner('shuffle_key')})
+                % (SELECT greatest(1, (count(*) + {_ROWS_PER_SHARD - 1}) // {_ROWS_PER_SHARD}) FROM documents) AS BIGINT)
+               AS shard_id
+    FROM keyed
+)
+SELECT epoch, doc_id, shuffle_key, shard_id,
+       CAST(row_number() OVER (
+           PARTITION BY epoch, shard_id ORDER BY shuffle_key, doc_id
+       ) AS BIGINT) AS pos
+FROM sharded
+"""
+
+
 
 
 # --------------------------------------------------- PII scan / scrub

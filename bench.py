@@ -285,6 +285,9 @@ BENCH_QUERIES = [
     # r14: int8-quantized candidate scan + exact rerank — the
     # memory-bandwidth serving path, fully hash-gated
     "ann_quantized_rerank",
+    # r14: E epochs of training order, one manifest scan + one
+    # (epoch, shard) exchange
+    "docs_epoch_shuffle",
 ]
 
 

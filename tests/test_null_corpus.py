@@ -29,7 +29,7 @@ DOC_ENTRIES = [
     "docs_split_leakage", "docs_collocations_pmi", "docs_quality_prune_curve",
     "docs_chunk_windows", "docs_train_test_split", "docs_stratified_sample", "docs_consistent_sample",
     "corpus_prep_pipeline",
-    "contamination_bloom", "contamination_minhash", "docs_global_shuffle",
+    "contamination_bloom", "contamination_minhash", "docs_global_shuffle", "docs_epoch_shuffle",
     "streaming_contamination_minhash", "docs_shuffled_pack",
     "docs_curation_funnel_v3",
     "contamination_delta", "contamination_delta_stateful", "docs_curriculum_order",

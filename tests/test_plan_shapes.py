@@ -221,3 +221,32 @@ def test_shuffled_pack_no_extra_corpus_exchange(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantized_rerank_narrow_window_broadcast_rerank(spark):
+    """ann_quantized_rerank's scale contract: the candidate window
+    shuffles only (query_id, vec_id, q_score) — the 64-wide float
+    vector must NOT ride through the top-C exchange — and the rerank
+    stage fetches finalist vectors via broadcast joins (no
+    SortMergeJoin, no CartesianProduct anywhere)."""
+    plan = _plan(QUERIES["ann_quantized_rerank"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # The window exchanges (hashpartitioning on query_id) must carry
+    # only narrow columns — codes and vectors are projected away
+    # before the top-C cut. The one exchange allowed to carry the raw
+    # vector is the spread() scan-balancer (REPARTITION_BY_NUM on
+    # vec_id), which exists because driver testdata ships one row
+    # group per table.
+    lines = plan.splitlines()
+    checked = 0
+    for i, l in enumerate(lines):
+        if "Exchange" in l and l.strip().startswith("("):
+            block = "\n".join(lines[i : i + 3])
+            if "hashpartitioning(query_id" in block:
+                checked += 1
+                assert "embedding" not in block and "__cq" not in block, (
+                    "wide column crossed a window exchange:\n" + block
+                )
+    assert checked >= 1, "no query_id window exchange found — plan changed"
