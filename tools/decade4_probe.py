@@ -59,6 +59,7 @@ SCALE_ENTRIES = [
     "docs_lm_score",
     "docs_curation_funnel_v3",
     "docs_global_shuffle",
+    "docs_epoch_shuffle",
     "docs_shuffled_pack",
     "docs_curriculum_order",
     "docs_curriculum_pack",
