@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1583,14 +1584,43 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     )
-    return lm_score_from_tokens(toks)
+    return lm_score_from_tokens(toks, _lm_postings_storage(docs))
 
 
-def lm_score_from_tokens(toks: DataFrame) -> DataFrame:
+# Above this many documents the bigram-postings cache outgrows any
+# sane executor memory share: MEMORY_AND_DISK blocks compete with the
+# count-table hash aggregation for unified memory and the aggregation
+# starves (AGGREGATE_OUT_OF_MEMORY at the x1000 decade, 1.5B postings
+# vs a 32 GB heap; found by the r14 SCALE_PROBE run). DISK_ONLY
+# materialization touches no storage memory at all — the same disk
+# cost a shuffle of the postings would pay.
+_LM_POSTINGS_MEM_DOCS = 1_000_000
+
+
+def _lm_postings_storage(docs: DataFrame) -> StorageLevel:
+    """One parquet-metadata count decides the postings medium."""
+    return (
+        StorageLevel.DISK_ONLY
+        if docs.count() > _LM_POSTINGS_MEM_DOCS
+        else StorageLevel.MEMORY_AND_DISK_DESER
+    )
+
+
+def lm_score_from_tokens(
+    toks: DataFrame, postings_storage: StorageLevel | None = None
+) -> DataFrame:
     """:func:`docs_lm_score` over an already-tokenized (doc_id, t)
     frame — the shared-tokenization form the fused curation funnel
     consumes (VERDICT r7 #1). Identical expressions, so the hash gate
-    is unaffected by which entry builds the tokens."""
+    is unaffected by which entry builds the tokens.
+
+    ``postings_storage`` picks where the twice-consumed bigram
+    postings materialize: in-memory below _LM_POSTINGS_MEM_DOCS docs
+    (callers pass the corpus count's verdict), DISK_ONLY above it —
+    values are identical either way, only the materialization medium
+    changes, so the gate hash cannot move."""
+    if postings_storage is None:
+        postings_storage = StorageLevel.MEMORY_AND_DISK_DESER
     bg = (
         toks.filter(F.size("t") >= 2)
         .select(
@@ -1606,7 +1636,7 @@ def lm_score_from_tokens(toks: DataFrame) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "g.w1", "g.w2")
-        .persist()  # consumed by the count table AND the scoring join
+        .persist(postings_storage)  # consumed twice; see docstring
     )
     bg.count()
     uni = (
@@ -2400,7 +2430,10 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = dup_span_from_tokens(
         base_tok.select("doc_id", F.col("ts").alias("t"))
     )
-    lm0 = lm_score_from_tokens(base_tok.select("doc_id", "t"))
+    lm0 = lm_score_from_tokens(
+        base_tok.select("doc_id", "t"),
+        _lm_postings_storage(load_tables(spark, sf_dir)["documents"]),
+    )
     g = g0.select("doc_id", "keep")
     d = d0.select("doc_id", "dup_ratio")
     lm = lm0.select("doc_id", "ppl")
@@ -2532,7 +2565,10 @@ def _funnel_scored_base(spark: SparkSession, sf_dir: str):
     d0 = dup_span_from_tokens(
         base_tok.select("doc_id", F.col("ts").alias("t"))
     )
-    lm0 = lm_score_from_tokens(base_tok.select("doc_id", "t"))
+    lm0 = lm_score_from_tokens(
+        base_tok.select("doc_id", "t"),
+        _lm_postings_storage(load_tables(spark, sf_dir)["documents"]),
+    )
     qc = frozen_quality_margins_from_tokens(
         base_tok.select("doc_id", F.explode("t").alias("tok"))
     )

@@ -49,7 +49,15 @@ DEFAULT = [
 # and committed as SCALE_PROBE.json each round.
 SCALE_ENTRIES = [
     "dedup_exact",
-    "dedup_minhash",
+    # dedup_minhash is deliberately NOT here: build() grows the corpus
+    # by near-copying every document 1000× ("copy{k} " prefix), which
+    # turns the near-dup entries' TRUE answer quadratic (every doc
+    # gains 999 genuine near-dups → ~1000²/2 pairs per source doc;
+    # the band join spilled >60 GB before being killed, r14). That is
+    # a dup-storm measurement, not a growth-shape one — and the dup
+    # storm is measured, with caps and dropped-work accounting, by
+    # tools/dup_storm_probe.py. Near-dup growth shape needs a corpus
+    # of DISTINCT documents, which the replicator cannot produce.
     "text_quality",
     "docs_gopher_filter",
     "contamination_ngram",
@@ -154,6 +162,20 @@ def _fn(name: str):
     return PHASE_PROBES.get(name) or QUERIES[name]
 
 
+def _reap_shuffles(spark) -> None:
+    """Shuffle files live until the driver's ContextCleaner notices
+    the ShuffleDependency is unreachable — which needs a JVM GC, and
+    the periodic one fires every 30 min (spark.cleaner.periodicGC).
+    A ×1000 probe runs ~100 shuffle-heavy jobs back-to-back in ONE
+    session and outruns that: spills accumulated 34 GB before the
+    first timed entry and ENOSPC'd the host (r14). Force the GC after
+    every entry so the probe's disk footprint is one entry's worth."""
+    import gc
+
+    gc.collect()  # drop Python-side DataFrame refs first
+    spark.sparkContext._jvm.System.gc()
+
+
 def timed(spark, name: str, sf_dir: str, reps: int = 2) -> float:
     best = None
     for _ in range(reps):
@@ -163,6 +185,7 @@ def timed(spark, name: str, sf_dir: str, reps: int = 2) -> float:
         release_cached(df)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+    _reap_shuffles(spark)
     return best
 
 
@@ -186,9 +209,11 @@ def main() -> None:
     dirs = ["/root/testdata/sf0.01", SRC, big]
     for name in names:  # warm codegen everywhere
         for d in dirs:
+            print(f"warm {name} @ {d}", flush=True)
             df = _fn(name)(spark, d)
             df.write.format("noop").mode("overwrite").save()
             release_cached(df)
+        _reap_shuffles(spark)
     print(
         f"{'entry':26s} {'sf0.01':>7s} {'sf0.1':>7s} {f'x{copies}':>9s} "
         f"{f'{copies}x ratio':>10s}"
