@@ -1591,16 +1591,20 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sane executor memory share: MEMORY_AND_DISK blocks compete with the
 # count-table hash aggregation for unified memory and the aggregation
 # starves (AGGREGATE_OUT_OF_MEMORY at the x1000 decade, 1.5B postings
-# vs a 32 GB heap; found by the r14 SCALE_PROBE run). DISK_ONLY
-# materialization touches no storage memory at all — the same disk
-# cost a shuffle of the postings would pay.
+# vs a 32 GB heap; found by the r14 SCALE_PROBE run). Above the
+# threshold the postings are NOT materialized at all — recomputing
+# the explode for its two consumers is two linear JVM passes and
+# measured 237s vs DISK_ONLY's 411s at the ×1000 decade (the
+# materialization write+read costs more than the recompute); below
+# it, the in-memory cache keeps the r13 gate-scale plan unchanged.
 _LM_POSTINGS_MEM_DOCS = 1_000_000
 
 
-def _lm_postings_storage(docs: DataFrame) -> StorageLevel:
-    """One parquet-metadata count decides the postings medium."""
+def _lm_postings_storage(docs: DataFrame) -> StorageLevel | str:
+    """One parquet-metadata count decides the postings medium
+    ("NONE" = recompute, no materialization)."""
     return (
-        StorageLevel.DISK_ONLY
+        "NONE"
         if docs.count() > _LM_POSTINGS_MEM_DOCS
         else StorageLevel.MEMORY_AND_DISK_DESER
     )
@@ -1616,9 +1620,12 @@ def lm_score_from_tokens(
 
     ``postings_storage`` picks where the twice-consumed bigram
     postings materialize: in-memory below _LM_POSTINGS_MEM_DOCS docs
-    (callers pass the corpus count's verdict), DISK_ONLY above it —
-    values are identical either way, only the materialization medium
-    changes, so the gate hash cannot move."""
+    (callers pass the corpus count's verdict via
+    _lm_postings_storage), or NOT AT ALL above it (pass the string
+    "NONE" — the explode recomputes per consumer, which beats paying
+    storage for corpus-scale postings). Values are identical either
+    way, so the gate hash cannot move. Default (no argument) keeps
+    the in-memory cache."""
     if postings_storage is None:
         postings_storage = StorageLevel.MEMORY_AND_DISK_DESER
     bg = (
@@ -1636,9 +1643,10 @@ def lm_score_from_tokens(
             ).alias("g"),
         )
         .select("doc_id", "g.w1", "g.w2")
-        .persist(postings_storage)  # consumed twice; see docstring
     )
-    bg.count()
+    if postings_storage != "NONE":
+        bg = bg.persist(postings_storage)  # consumed twice; see docstring
+        bg.count()
     uni = (
         toks.select(F.explode("t").alias("w1"))
         .groupBy("w1")
