@@ -205,6 +205,7 @@ _register("docs_write_shards", pp.docs_write_shards, pp.WRITE_SHARDS_ORACLE)
 _register("doc_winnow_fingerprints", pp.doc_winnow_fingerprints, pp.WINNOW_ORACLE)
 _register("docs_lm_score", pp.docs_lm_score, pp.DOCS_LM_SCORE_ORACLE)
 _register("docs_lm_backoff_score", pp.docs_lm_backoff_score, pp.DOCS_LM_BACKOFF_ORACLE)
+_register("docs_perplexity_buckets", pp.docs_perplexity_buckets, pp.DOCS_PPL_BUCKETS_ORACLE)
 _register("docs_gopher_filter", pp.docs_gopher_filter, pp.DOCS_GOPHER_ORACLE)
 _register("docs_dsir_weights", pp.docs_dsir_weights, pp.DOCS_DSIR_ORACLE)
 _register("docs_dup_span", pp.docs_dup_span, pp.DOCS_DUP_SPAN_ORACLE)

@@ -2407,13 +2407,29 @@ def _funnel_token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the two genuinely different tokenizations), and every stage plan
     starts from this persisted columnar frame. Returned persisted;
     callers must register it via _with_cached_deps for release.
+
+    Storage medium follows the corpus size (same policy as
+    _lm_postings_storage): below _LM_POSTINGS_MEM_DOCS the frame is
+    in-memory (gate-scale plan unchanged); above it DISK_ONLY — at
+    the ×1000 decade the deserialized token arrays (two per doc, 5M
+    docs) pinned enough of the unified pool that the funnel's own
+    SMJ/hashAgg stages starved (UNABLE_TO_ACQUIRE_MEMORY, r14
+    SCALE_PROBE run). DISK_ONLY blocks hold zero storage memory and
+    are still read 5× by the component stages, which is the point of
+    the fusion. Values identical either way; gate hashes stable.
     """
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    big = (
+        load_tables(spark, sf_dir)["documents"].count()
+        > _LM_POSTINGS_MEM_DOCS
+    )
     base = docs.select(
         "doc_id",
         F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
         F.split(F.col("text"), " ").alias("ts"),
-    ).persist()
+    ).persist(
+        StorageLevel.DISK_ONLY if big else StorageLevel.MEMORY_AND_DISK_DESER
+    )
     base.count()
     return base
 
@@ -2802,16 +2818,27 @@ def docs_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is fully hash-gated.
     """
     base_tok, joined, deps = _funnel_scored_base(spark, sf_dir)
-    # decontamination flags from the shared ts split (persisted: the
-    # hashed-gram frame feeds both the bench side and the corpus side
-    # — the contamination_ngram device)
+    # decontamination flags from the shared ts split. The hashed-gram
+    # frame feeds both the bench side and the corpus side (the
+    # contamination_ngram device); below the memory threshold it is
+    # persisted so the transform runs once, above it the two consumers
+    # recompute from base_tok's DISK_ONLY cache — two linear passes
+    # that hold no storage memory (the same verdict as the LM
+    # postings: at the ×1000 decade a second corpus-sized deserialized
+    # cache starved the funnel's own aggregation).
+    big = (
+        load_tables(spark, sf_dir)["documents"].count()
+        > _LM_POSTINGS_MEM_DOCS
+    )
     grams = base_tok.select(
         "doc_id",
         F.transform(
             _ngrams(F.col("ts"), _NGRAM_N), lambda x: F.xxhash64(x)
         ).alias("gs"),
-    ).persist()
-    grams.count()
+    )
+    if not big:
+        grams = grams.persist()
+        grams.count()
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))
@@ -2840,7 +2867,7 @@ def docs_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1, "raw", None), (2, "gopher", "p1"), (3, "classifier", "p2"),
         (4, "dedup", "p3"), (5, "lm", "p4"), (6, "decontaminate", "p5"),
     ])
-    deps = deps + [grams]
+    deps = deps + ([] if big else [grams])
     return _with_cached_deps(out, *deps)
 
 
@@ -3686,6 +3713,109 @@ FROM (
                    AND tri.w3 = tri_scores.w3
     GROUP BY tri.doc_id
 )
+"""
+
+
+# ------------------------- language-stratified perplexity buckets
+
+
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each LANGUAGE, split the corpus into head / middle / tail
+    perplexity tertiles — the partition CCNet materializes to drive
+    sampling (train mostly on the head, hold the tail for audits).
+
+    Bucketing is integer-exact, never a float-threshold comparison:
+    the key is the per-token average micro-log-prob floored into
+    1e-3-log-space bins, ``qbin = floor(sum_micro_logprob /
+    (n_bigrams*1000))`` — computed by a portable pure-integer floor
+    division (subtract the positive mod, then exact integer divide;
+    Spark ``div`` truncation == DuckDB ``//`` floor when the
+    numerator divides exactly) so both engines bin identically, and
+    every doc in a bin shares a bucket so ties can never straddle a
+    cut. Lower ppl == higher qbin, so tertiles come from counts of
+    STRICTLY-BETTER docs: bucket(b) = head while 3*cum_excl < total,
+    middle while < 2*total, else tail.
+
+    Scale (100 TB): the per-(lang, qbin) histogram is BOUNDED — the
+    1e-3 binning caps it at (per-token log-prob range)*1000 bins per
+    language (~20k) regardless of corpus size — so the tertile cuts
+    are a window over a tiny table, broadcast back onto the corpus.
+    No per-language total sort, no corpus-sized window. The only
+    corpus-sized exchanges are the LM scorer's own (shared with
+    docs_lm_score) plus one co-keyed doc_id join for the lang column.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = spread(docs).select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    lm = lm_score_from_tokens(toks, _lm_postings_storage(docs))
+    scored = lm.select("doc_id", "n_bigrams", "sum_micro_logprob").join(
+        spread(docs, "doc_id").select("doc_id", "lang"), "doc_id"
+    )
+    d = "(n_bigrams * CAST(1000 AS BIGINT))"
+    qbin = F.expr(
+        f"(sum_micro_logprob - ((sum_micro_logprob % {d} + {d}) % {d}))"
+        f" div {d}"
+    )
+    binned = scored.select("doc_id", "lang", qbin.alias("qbin"))
+    hist = binned.groupBy("lang", "qbin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_excl = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("qbin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cuts = hist.select(
+        "lang",
+        "qbin",
+        F.coalesce(F.sum("cnt").over(w_excl), F.lit(0)).alias("cum_excl"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("tot"),
+    ).select(
+        "lang",
+        "qbin",
+        F.when(3 * F.col("cum_excl") < F.col("tot"), "head")
+        .when(3 * F.col("cum_excl") < 2 * F.col("tot"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    out = binned.join(F.broadcast(cuts), ["lang", "qbin"]).select(
+        "doc_id", "lang", "qbin", "bucket"
+    )
+    return _with_cached_deps(out, *getattr(lm, "_asp_cached_deps", []))
+
+
+DOCS_PPL_BUCKETS_ORACLE = rf"""
+WITH lm AS (
+    SELECT doc_id, n_bigrams, sum_micro_logprob FROM ({DOCS_LM_SCORE_ORACLE})
+),
+b AS (
+    SELECT l.doc_id, d.lang,
+           (sum_micro_logprob
+            - ((sum_micro_logprob % (n_bigrams * 1000) + n_bigrams * 1000)
+               % (n_bigrams * 1000)))
+           // (n_bigrams * 1000) AS qbin
+    FROM lm l JOIN documents d ON l.doc_id = d.doc_id
+),
+h AS (
+    SELECT lang, qbin, CAST(count(*) AS BIGINT) AS cnt
+    FROM b GROUP BY lang, qbin
+),
+k AS (
+    SELECT lang, qbin,
+           COALESCE(sum(cnt) OVER (
+               PARTITION BY lang ORDER BY qbin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl,
+           sum(cnt) OVER (PARTITION BY lang) AS tot
+    FROM h
+)
+SELECT b.doc_id, b.lang, b.qbin,
+       CASE WHEN 3 * cum_excl < tot THEN 'head'
+            WHEN 3 * cum_excl < 2 * tot THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b JOIN k ON b.lang = k.lang AND b.qbin = k.qbin
 """
 
 

@@ -15,7 +15,7 @@ DOC_ENTRIES = [
     "text_stats", "text_quality", "text_langid", "doc_fingerprints",
     "contamination_ngram", "text_pii_scan", "docs_pii_scrub",
     "text_repetition", "text_top_tokens", "text_heavy_hitters_cms", "docs_pack_sequences",
-    "doc_winnow_fingerprints", "docs_lm_score", "docs_lm_backoff_score",
+    "doc_winnow_fingerprints", "docs_lm_score", "docs_lm_backoff_score", "docs_perplexity_buckets",
     "docs_gopher_filter",
     "docs_dsir_weights", "docs_dup_span", "docs_dedup_spans",
     "docs_curation_funnel", "docs_curation_funnel_v2",

@@ -36,7 +36,7 @@ ENTRIES = [
     "contamination_delta", "contamination_delta_stateful", "docs_curriculum_order",
     "docs_curriculum_pack",
     "streaming_contamination_delta",
-    "docs_gopher_filter", "docs_lm_score", "docs_dsir_weights",
+    "docs_gopher_filter", "docs_lm_score", "docs_dsir_weights", "docs_perplexity_buckets",
     "docs_dup_span", "docs_chunk_windows", "docs_pack_sequences",
     "docs_bm25_topk", "docs_bm25_multi", "docs_rrf_hybrid",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_lsh_verified",
