@@ -156,7 +156,10 @@ def _calibration_probe_py(spark):
 # ann_pca_ivf / ann_ivf_trained / ann_ivf_incremental now run
 # adaptive probing and docs_global_shuffle/_shuffled_pack auto-size
 # their shards — same keys, measured as the new defaults.
-HEADLINE_VERSION = 13
+# v14 (r14): + contamination_delta_stateful, docs_curriculum_pack,
+# ann_quantized_rerank, docs_epoch_shuffle, docs_perplexity_buckets
+# — the r14 additions, each tagged in the list below.
+HEADLINE_VERSION = 14
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -288,6 +291,9 @@ BENCH_QUERIES = [
     # r14: E epochs of training order, one manifest scan + one
     # (epoch, shard) exchange
     "docs_epoch_shuffle",
+    # r14: CCNet language-stratified perplexity tertiles — bounded
+    # milli-log histogram cuts broadcast back onto the corpus
+    "docs_perplexity_buckets",
 ]
 
 
