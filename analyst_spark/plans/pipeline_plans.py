@@ -1584,7 +1584,9 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     )
-    return lm_score_from_tokens(toks, _lm_postings_storage(docs))
+    return lm_score_from_tokens(
+        toks, _lm_postings_storage(docs, _corpus_count(spark, sf_dir))
+    )
 
 
 # Above this many documents the bigram-postings cache outgrows any
@@ -1599,13 +1601,32 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it, the in-memory cache keeps the r13 gate-scale plan unchanged.
 _LM_POSTINGS_MEM_DOCS = 1_000_000
 
+# The thresholded storage policies consult the documents row count
+# once per entry; a bench pass over the catalog re-ran the same
+# count job ~8 times (lm family, funnels, perplexity buckets).
+# Inputs are immutable per-directory parquet, so cache by path for
+# the session.
+_CORPUS_COUNT_CACHE: dict[str, int] = {}
 
-def _lm_postings_storage(docs: DataFrame) -> StorageLevel | str:
+
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    c = _CORPUS_COUNT_CACHE.get(sf_dir)
+    if c is None:
+        c = load_tables(spark, sf_dir)["documents"].count()
+        _CORPUS_COUNT_CACHE[sf_dir] = c
+    return c
+
+
+def _lm_postings_storage(
+    docs: DataFrame, count: int | None = None
+) -> StorageLevel | str:
     """One parquet-metadata count decides the postings medium
-    ("NONE" = recompute, no materialization)."""
+    ("NONE" = recompute, no materialization). Pass ``count`` when the
+    caller already holds the cached corpus count."""
+    n = docs.count() if count is None else count
     return (
         "NONE"
-        if docs.count() > _LM_POSTINGS_MEM_DOCS
+        if n > _LM_POSTINGS_MEM_DOCS
         else StorageLevel.MEMORY_AND_DISK_DESER
     )
 
@@ -2419,10 +2440,7 @@ def _funnel_token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fusion. Values identical either way; gate hashes stable.
     """
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
-    big = (
-        load_tables(spark, sf_dir)["documents"].count()
-        > _LM_POSTINGS_MEM_DOCS
-    )
+    big = _corpus_count(spark, sf_dir) > _LM_POSTINGS_MEM_DOCS
     base = docs.select(
         "doc_id",
         F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
@@ -2456,7 +2474,10 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lm0 = lm_score_from_tokens(
         base_tok.select("doc_id", "t"),
-        _lm_postings_storage(load_tables(spark, sf_dir)["documents"]),
+        _lm_postings_storage(
+            load_tables(spark, sf_dir)["documents"],
+            _corpus_count(spark, sf_dir),
+        ),
     )
     g = g0.select("doc_id", "keep")
     d = d0.select("doc_id", "dup_ratio")
@@ -2591,7 +2612,10 @@ def _funnel_scored_base(spark: SparkSession, sf_dir: str):
     )
     lm0 = lm_score_from_tokens(
         base_tok.select("doc_id", "t"),
-        _lm_postings_storage(load_tables(spark, sf_dir)["documents"]),
+        _lm_postings_storage(
+            load_tables(spark, sf_dir)["documents"],
+            _corpus_count(spark, sf_dir),
+        ),
     )
     qc = frozen_quality_margins_from_tokens(
         base_tok.select("doc_id", F.explode("t").alias("tok"))
@@ -2826,10 +2850,7 @@ def docs_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that hold no storage memory (the same verdict as the LM
     # postings: at the ×1000 decade a second corpus-sized deserialized
     # cache starved the funnel's own aggregation).
-    big = (
-        load_tables(spark, sf_dir)["documents"].count()
-        > _LM_POSTINGS_MEM_DOCS
-    )
+    big = _corpus_count(spark, sf_dir) > _LM_POSTINGS_MEM_DOCS
     grams = base_tok.select(
         "doc_id",
         F.transform(
@@ -3749,7 +3770,9 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     )
-    lm = lm_score_from_tokens(toks, _lm_postings_storage(docs))
+    lm = lm_score_from_tokens(
+        toks, _lm_postings_storage(docs, _corpus_count(spark, sf_dir))
+    )
     scored = lm.select("doc_id", "n_bigrams", "sum_micro_logprob").join(
         spread(docs, "doc_id").select("doc_id", "lang"), "doc_id"
     )
