@@ -250,3 +250,21 @@ def test_quantized_rerank_narrow_window_broadcast_rerank(spark):
                     "wide column crossed a window exchange:\n" + block
                 )
     assert checked >= 1, "no query_id window exchange found — plan changed"
+
+
+def test_perplexity_buckets_bounded_window_broadcast_back(spark):
+    """docs_perplexity_buckets' scale contract: the tertile cuts are
+    TWO Window nodes (running cum_excl + per-lang total — distinct
+    frames, so Catalyst keeps them separate) over the bounded
+    per-(lang, qbin) histogram, and the bucket table joins back to
+    the corpus as a BROADCAST. No per-language corpus sort, no
+    CartesianProduct (the LM scorer's vocab scalar rides a
+    BroadcastNestedLoopJoin, which is allowed)."""
+    from analyst_spark.functions.dedup import release_cached
+
+    df = QUERIES["docs_perplexity_buckets"](spark, SF)
+    plan = _plan(df)
+    release_cached(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count(") Window") == 2, plan
