@@ -45,7 +45,12 @@ def get_spark(app_name: str = "analyst_spark", cpus: str | None = None) -> Spark
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver/bench runs); SPARK_GRAFT_UI=1
+        # turns it on so profiling tools can read the REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         .config("spark.sql.caseSensitive", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
