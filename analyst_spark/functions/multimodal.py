@@ -45,6 +45,59 @@ def encode_fake_image(doc_id: int, width: int, height: int, seed: int = 0) -> by
     return FAKE_MAGIC + struct.pack("<iii", width, height, 1) + payload
 
 
+def encode_fake_images_batch(ids, width: int, height: int, seed: int = 0) -> list:
+    """Vectorized :func:`encode_fake_image` for a whole Arrow batch
+    (guide §4.2: one numpy pass instead of a per-row Python loop;
+    r14 profiling showed the per-row generators dominating the
+    multimodal entries' Python stages). Byte-identical per id —
+    pinned in tests/test_multimodal_vectorized.py."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    n = width * height
+    i = np.arange(n, dtype=np.int64)
+    px = (ids[:, None] * 31 + seed + i[None, :] * 7) % 251
+    hdr = np.frombuffer(
+        FAKE_MAGIC + struct.pack("<iii", width, height, 1), dtype=np.uint8
+    )
+    mat = np.empty((len(ids), 20 + n), dtype=np.uint8)
+    mat[:, :20] = hdr
+    mat[:, 20:] = px.astype(np.uint8)
+    return [row.tobytes() for row in mat]
+
+
+def _fake_matrix_groups(bufs, magic: bytes, hdr_ints: int, hdr_off: int = 8):
+    """Group a batch of same-format fake-media buffers into
+    homogeneous (indices, header-tuple, row-matrix) groups so every
+    downstream decode is one numpy slice instead of a per-row loop.
+
+    Yields ``(idx, hdr, mat)``: ``idx`` — positions into ``bufs``
+    (np.int64 array); ``hdr`` — the ``hdr_ints`` little-endian int32
+    header fields shared by the group; ``mat`` — (len(idx), L) uint8
+    matrix of the raw buffer bytes. Raises ValueError on a magic
+    mismatch exactly like the per-row decoders did; ``magic=None``
+    skips the check (the audio fingerprint path never checked)."""
+    import numpy as np
+
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    for L in np.unique(lens):
+        sel = np.nonzero(lens == L)[0]
+        mat = np.frombuffer(
+            b"".join(bytes(bufs[i]) for i in sel), dtype=np.uint8
+        ).reshape(len(sel), int(L))
+        if magic is not None:
+            mg = np.frombuffer(magic, dtype=np.uint8)
+            if int(L) < hdr_off + 4 * hdr_ints or not (
+                mat[:, :8] == mg
+            ).all():
+                raise ValueError(_MAGIC_ERR[magic])
+        hdr = mat[:, hdr_off : hdr_off + 4 * hdr_ints].copy().view("<i4")
+        for h in np.unique(hdr, axis=0):
+            g = np.nonzero((hdr == h).all(axis=1))[0]
+            yield sel[g], tuple(int(x) for x in h), mat[g]
+
+
 def fake_images_frame(spark, n: int = 64, width: int = 8, height: int = 8) -> DataFrame:
     """A binary-column DataFrame shaped like a multimodal corpus:
     (doc_id, mime, image binary)."""
@@ -93,14 +146,28 @@ def image_features(
     _require_fake_decoder(decoder)
 
     def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import numpy as np
         import pandas as pd
 
+        # vectorized (r14, guide §4.2): one numpy pass per
+        # homogeneous (size, header) group instead of a per-row
+        # decode loop; sums are integer-exact so mean/round are the
+        # same single FP ops the per-row path computed
         for pdf in batches:
-            out = []
-            for doc_id, buf in zip(pdf[id_col], pdf[image_col]):
-                b = bytes(buf)
-                w, h, c, mean = _decode_fake(b)
-                out.append((int(doc_id), w, h, c, round(mean, 6), len(b)))
+            bufs = list(pdf[image_col])
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            out = [None] * len(bufs)
+            for idx, (w, h, c), mat in _fake_matrix_groups(
+                bufs, FAKE_MAGIC, 3
+            ):
+                px = mat[:, 20 : 20 + w * h * c]
+                np_len = max(px.shape[1], 1)
+                means = px.sum(axis=1, dtype=np.int64) / np_len
+                for j, m in zip(idx, means):
+                    out[int(j)] = (
+                        int(ids[j]), w, h, c,
+                        round(float(m), 6), mat.shape[1],
+                    )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -125,25 +192,40 @@ def resize_images(
     multimodal op: binary in → binary out, metadata updated)."""
 
     def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import numpy as np
         import pandas as pd
 
+        # vectorized (r14, guide §4.2): one gather per homogeneous
+        # group; the sample-index arithmetic is unchanged
         for pdf in batches:
-            ids, bufs = [], []
-            for doc_id, buf in zip(pdf[id_col], pdf[image_col]):
-                b = bytes(buf)
-                w, h, c, _ = _decode_fake(b)
-                pixels = b[20:]
-                out = bytearray()
-                for y in range(target_h):
-                    sy = min(int(y * h / target_h), h - 1)
-                    for x in range(target_w):
-                        sx = min(int(x * w / target_w), w - 1)
-                        out.append(pixels[sy * w + sx])
-                ids.append(int(doc_id))
-                bufs.append(
-                    FAKE_MAGIC + struct.pack("<iii", target_w, target_h, 1) + bytes(out)
+            bufs = list(pdf[image_col])
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            out_ids = [None] * len(bufs)
+            out_bufs = [None] * len(bufs)
+            hdr_out = FAKE_MAGIC + struct.pack(
+                "<iii", target_w, target_h, 1
+            )
+            hdr_mat = np.frombuffer(hdr_out, dtype=np.uint8)
+            for idx, (w, h, c), mat in _fake_matrix_groups(
+                bufs, FAKE_MAGIC, 3
+            ):
+                ys = np.minimum(
+                    (np.arange(target_h) * h) // target_h, h - 1
                 )
-            yield pd.DataFrame({"doc_id": ids, "image": bufs})
+                xs = np.minimum(
+                    (np.arange(target_w) * w) // target_w, w - 1
+                )
+                sel = (ys[:, None] * w + xs[None, :]).ravel()
+                px = mat[:, 20:][:, sel]
+                res = np.empty(
+                    (len(idx), 20 + target_w * target_h), dtype=np.uint8
+                )
+                res[:, :20] = hdr_mat
+                res[:, 20:] = px
+                for j, row in zip(idx, res):
+                    out_ids[int(j)] = int(ids[j])
+                    out_bufs[int(j)] = row.tobytes()
+            yield pd.DataFrame({"doc_id": out_ids, "image": out_bufs})
 
     from analyst_spark.tables import spread
 
@@ -229,38 +311,43 @@ def _dhash_worker(image_col: str, id_col: str, band_bits: int = 16):
 
         # output pixel (y, x) of the grid resample reads source index
         # (y*h DIV n_rows)*w + (x*w DIV 8); comparison partner is
-        # x+1 mod 8 within the row
+        # x+1 mod 8 within the row. Vectorized across the batch (r14,
+        # guide §4.2): one gather + one comparison matrix per
+        # homogeneous (size, header) group — no per-row decode loop.
+        idx = np.arange(n_bits)
+        nbr = (idx // 8) * 8 + ((idx % 8) + 1) % 8
+        weights = np.int64(1) << (idx % band_bits)
         for pdf in batches:
-            ids, grids = [], []
-            for doc_id, buf in zip(pdf[id_col], pdf[image_col]):
-                b = bytes(buf)
-                w, h, c, _ = _decode_fake(b)
-                px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=20)
+            bufs = list(pdf[image_col])
+            all_ids = pdf[id_col].to_numpy(dtype="int64")
+            if not len(bufs):
+                continue
+            ids_parts, band_parts = [], []
+            for gsel, (w, h, c), mat in _fake_matrix_groups(
+                bufs, FAKE_MAGIC, 3
+            ):
                 sy = (np.arange(n_rows) * h) // n_rows
                 sx = (np.arange(8) * w) // 8
-                grids.append(px[(sy[:, None] * w + sx[None, :]).ravel()])
-                ids.append(int(doc_id))
-            if not ids:
-                continue
-            g = np.stack(grids).astype(np.int32)  # (n, n_bits)
-            idx = np.arange(n_bits)
-            nbr = (idx // 8) * 8 + ((idx % 8) + 1) % 8
-            bits = (g > g[:, nbr]).astype(np.int64)  # (n, n_bits)
-            weights = np.int64(1) << (idx % band_bits)
-            bands = [
-                (
-                    bits[:, k * band_bits : (k + 1) * band_bits]
-                    * weights[:band_bits]
-                ).sum(axis=1)
-                for k in range(4)
-            ]
+                sel = (sy[:, None] * w + sx[None, :]).ravel()
+                g = mat[:, 20 : 20 + w * h][:, sel].astype(np.int32)
+                bits = (g > g[:, nbr]).astype(np.int64)
+                band_parts.append(
+                    [
+                        (
+                            bits[:, k * band_bits : (k + 1) * band_bits]
+                            * weights[:band_bits]
+                        ).sum(axis=1)
+                        for k in range(4)
+                    ]
+                )
+                ids_parts.append(all_ids[gsel])
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "b0": bands[0],
-                    "b1": bands[1],
-                    "b2": bands[2],
-                    "b3": bands[3],
+                    "doc_id": np.concatenate(ids_parts),
+                    "b0": np.concatenate([p[0] for p in band_parts]),
+                    "b1": np.concatenate([p[1] for p in band_parts]),
+                    "b2": np.concatenate([p[2] for p in band_parts]),
+                    "b3": np.concatenate([p[3] for p in band_parts]),
                 }
             )
 
@@ -514,36 +601,47 @@ def audio_fingerprint_bands(
         import numpy as np
         import pandas as pd
 
+        # vectorized (r14, guide §4.2): frame energies are exact
+        # int64 sums — one reshape/sum per homogeneous group instead
+        # of a per-row loop. Clips shorter than 65 samples are still
+        # dropped; no magic check, exactly like the per-row form.
+        w16 = np.arange(16)
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, buf in zip(pdf[id_col], pdf[audio_col]):
-                b = bytes(buf)
-                _sr, n = struct.unpack("<ii", b[8:16])
+            bufs = list(pdf[audio_col])
+            all_ids = pdf[id_col].to_numpy(dtype="int64")
+            ids_parts, band_parts = [], []
+            for idx, (_sr, n), mat in _fake_matrix_groups(
+                bufs, None, 2
+            ):
                 if n < AUDIO_FP_FRAMES:
                     continue
                 flen = n // AUDIO_FP_FRAMES
-                s = np.frombuffer(
-                    b, dtype="<i2", count=AUDIO_FP_FRAMES * flen, offset=16
-                ).astype(np.int64)
-                e = (s.reshape(AUDIO_FP_FRAMES, flen) ** 2).sum(axis=1)
-                bits = (e[:64] > e[1:]).astype(np.int64)
-                sigs.append(
+                s = (
+                    mat[:, 16 : 16 + 2 * AUDIO_FP_FRAMES * flen]
+                    .copy().view("<i2").astype(np.int64)
+                )
+                e = (
+                    (s * s)
+                    .reshape(len(idx), AUDIO_FP_FRAMES, flen)
+                    .sum(axis=2)
+                )
+                bits = (e[:, :64] > e[:, 1:]).astype(np.int64)
+                band_parts.append(
                     [
-                        int((bits[k * 16 : (k + 1) * 16] << np.arange(16)).sum())
+                        (bits[:, k * 16 : (k + 1) * 16] << w16).sum(axis=1)
                         for k in range(4)
                     ]
                 )
-                ids.append(int(doc_id))
-            if not ids:
+                ids_parts.append(all_ids[idx])
+            if not ids_parts:
                 continue
-            arr = list(zip(*sigs))
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "b0": arr[0],
-                    "b1": arr[1],
-                    "b2": arr[2],
-                    "b3": arr[3],
+                    "doc_id": np.concatenate(ids_parts),
+                    "b0": np.concatenate([p[0] for p in band_parts]),
+                    "b1": np.concatenate([p[1] for p in band_parts]),
+                    "b2": np.concatenate([p[2] for p in band_parts]),
+                    "b3": np.concatenate([p[3] for p in band_parts]),
                 }
             )
 
@@ -575,6 +673,27 @@ def encode_fake_audio(
     )
 
 
+def encode_fake_audios_batch(
+    ids, n_samples: int = 1000, sample_rate: int = 16000
+) -> list:
+    """Vectorized :func:`encode_fake_audio` (guide §4.2) —
+    byte-identical per id, one numpy pass per Arrow batch."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((ids[:, None] * 17 + i[None, :] * 13) % 201) - 100
+    hdr = np.frombuffer(
+        FAKE_AUDIO_MAGIC + struct.pack("<ii", sample_rate, n_samples),
+        dtype=np.uint8,
+    )
+    body = s.astype("<i2").view(np.uint8).reshape(len(ids), 2 * n_samples)
+    mat = np.empty((len(ids), 16 + 2 * n_samples), dtype=np.uint8)
+    mat[:, :16] = hdr
+    mat[:, 16:] = body
+    return [row.tobytes() for row in mat]
+
+
 def _decode_fake_audio(buf: bytes) -> tuple[int, tuple]:
     if buf[:8] != FAKE_AUDIO_MAGIC:
         raise ValueError("not a fake audio buffer")
@@ -593,21 +712,33 @@ def audio_features(
     def run(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
         import math
 
+        import numpy as np
         import pandas as pd
 
+        # vectorized (r14, guide §4.2): integer accumulation is
+        # order-free (exact int64 sums < 2^53), so the numpy batch
+        # form is value-identical to the old per-sample Python loop;
+        # sqrt/round stay the same single FP ops per row
         for pdf in batches:
-            out = []
-            for doc_id, buf in zip(pdf[id_col], pdf[audio_col]):
-                sr, s = _decode_fake_audio(bytes(buf))
-                n = len(s)
-                sq = sum(v * v for v in s)
-                zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
-                out.append(
-                    (
-                        int(doc_id), n, sr,
-                        round(math.sqrt(sq / n), 6), zc, round(n / sr, 6),
-                    )
+            bufs = list(pdf[audio_col])
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            out = [None] * len(bufs)
+            for idx, (sr, n), mat in _fake_matrix_groups(
+                bufs, FAKE_AUDIO_MAGIC, 2
+            ):
+                s = (
+                    mat[:, 16 : 16 + 2 * n].copy().view("<i2")
+                    .astype(np.int64)
                 )
+                sq = (s * s).sum(axis=1)
+                neg = s < 0
+                zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                for j, sqv, zcv in zip(idx, sq, zc):
+                    out[int(j)] = (
+                        int(ids[j]), n, sr,
+                        round(math.sqrt(int(sqv) / n), 6), int(zcv),
+                        round(n / sr, 6),
+                    )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -645,6 +776,14 @@ def frame_sample_plan(
 
 FAKE_VIDEO_MAGIC = b"FAKEVID1"
 
+# magic -> the error message the per-row decoders raised (kept
+# verbatim by the vectorized _fake_matrix_groups path)
+_MAGIC_ERR = {
+    FAKE_MAGIC: "not a fake image",
+    FAKE_AUDIO_MAGIC: "not a fake audio buffer",
+    FAKE_VIDEO_MAGIC: "not a fake video",
+}
+
 VIDEO_DHASH_SCHEMA = "doc_id long, frame_idx int, b0 int, b1 int, b2 int, b3 int"
 
 
@@ -665,6 +804,37 @@ def encode_fake_video(
         + struct.pack("<iii", width, height, n_frames)
         + bytes(frames)
     )
+
+
+def encode_fake_videos_batch(ids, n_frames, width: int = 8, height: int = 8) -> list:
+    """Vectorized :func:`encode_fake_video` (guide §4.2) —
+    byte-identical per (id, n_frames); ``n_frames`` may be a scalar
+    or a per-id array (rows grouped by frame count internally)."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    nf = np.broadcast_to(
+        np.asarray(n_frames, dtype=np.int64), ids.shape
+    )
+    n = width * height
+    i = np.arange(n, dtype=np.int64)
+    res: list = [None] * len(ids)
+    for nfv in np.unique(nf):
+        sel = np.nonzero(nf == nfv)[0]
+        f = np.arange(nfv, dtype=np.int64)
+        base = ids[sel, None, None] * 31 + f[None, :, None] * 11
+        px = ((base + i[None, None, :] * 7) % 251).astype(np.uint8)
+        hdr = np.frombuffer(
+            FAKE_VIDEO_MAGIC
+            + struct.pack("<iii", width, height, int(nfv)),
+            dtype=np.uint8,
+        )
+        mat = np.empty((len(sel), 20 + int(nfv) * n), dtype=np.uint8)
+        mat[:, :20] = hdr
+        mat[:, 20:] = px.reshape(len(sel), int(nfv) * n)
+        for j, row in zip(sel, mat):
+            res[int(j)] = row.tobytes()
+    return res
 
 
 def video_frame_dhash_bands(
@@ -692,42 +862,51 @@ def video_frame_dhash_bands(
         import numpy as np
         import pandas as pd
 
+        # vectorized (r14, guide §4.2): one gather + one comparison
+        # matrix per homogeneous (size, header) group — the sampled
+        # frames' byte ranges are gathered as column indices, so
+        # only sampled frames are touched (prune-then-decode kept)
+        nbr = (np.arange(64) // 8) * 8 + ((np.arange(64) % 8) + 1) % 8
+        weights = 1 << (np.arange(64) % 16)
         for pdf in batches:
-            ids, fidx, grids = [], [], []
-            for doc_id, buf in zip(pdf[id_col], pdf[video_col]):
-                b = bytes(buf)
-                if b[:8] != FAKE_VIDEO_MAGIC:
-                    raise ValueError("not a fake video")
-                w, h, nf = struct.unpack("<iii", b[8:20])
+            bufs = list(pdf[video_col])
+            all_ids = pdf[id_col].to_numpy(dtype="int64")
+            ids_parts, fidx_parts, band_parts = [], [], []
+            for idx, (w, h, nf), mat in _fake_matrix_groups(
+                bufs, FAKE_VIDEO_MAGIC, 3
+            ):
                 fsz = w * h
                 sy = (np.arange(8) * h) // 8
                 sx = (np.arange(8) * w) // 8
                 sel = (sy[:, None] * w + sx[None, :]).ravel()
-                for f in range(0, nf, every_n):
-                    px = np.frombuffer(
-                        b, dtype=np.uint8, count=fsz, offset=20 + f * fsz
-                    )
-                    grids.append(px[sel])
-                    ids.append(int(doc_id))
-                    fidx.append(f)
-            if not ids:
+                fs = np.arange(0, nf, every_n, dtype=np.int64)
+                if not len(fs):
+                    continue
+                cols = (20 + fs[:, None] * fsz + sel[None, :]).ravel()
+                g = (
+                    mat[:, cols]
+                    .reshape(len(idx) * len(fs), 64)
+                    .astype(np.int32)
+                )
+                bits = (g > g[:, nbr]).astype(np.int64)
+                band_parts.append(
+                    [
+                        (bits[:, k * 16 : (k + 1) * 16] * weights[:16]).sum(axis=1)
+                        for k in range(4)
+                    ]
+                )
+                ids_parts.append(np.repeat(all_ids[idx], len(fs)))
+                fidx_parts.append(np.tile(fs, len(idx)))
+            if not ids_parts:
                 continue
-            g = np.stack(grids).astype(np.int32)
-            nbr = (np.arange(64) // 8) * 8 + ((np.arange(64) % 8) + 1) % 8
-            bits = (g > g[:, nbr]).astype(np.int64)
-            weights = 1 << (np.arange(64) % 16)
-            bands = [
-                (bits[:, k * 16 : (k + 1) * 16] * weights[:16]).sum(axis=1)
-                for k in range(4)
-            ]
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "frame_idx": fidx,
-                    "b0": bands[0],
-                    "b1": bands[1],
-                    "b2": bands[2],
-                    "b3": bands[3],
+                    "doc_id": np.concatenate(ids_parts),
+                    "frame_idx": np.concatenate(fidx_parts).astype("int32"),
+                    "b0": np.concatenate([p[0] for p in band_parts]),
+                    "b1": np.concatenate([p[1] for p in band_parts]),
+                    "b2": np.concatenate([p[2] for p in band_parts]),
+                    "b3": np.concatenate([p[3] for p in band_parts]),
                 }
             )
 

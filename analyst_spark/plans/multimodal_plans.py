@@ -34,17 +34,18 @@ def _fake_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
-        from analyst_spark.functions.multimodal import encode_fake_image
+        from analyst_spark.functions.multimodal import (
+            encode_fake_images_batch,
+        )
 
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "mime": "image/x-fake",
-                    "image": [
-                        bytearray(encode_fake_image(int(d), 8, 8))
-                        for d in pdf["doc_id"]
-                    ],
+                    "image": encode_fake_images_batch(
+                        pdf["doc_id"].to_numpy(dtype="int64"), 8, 8
+                    ),
                 }
             )
 
@@ -102,15 +103,17 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
-        from analyst_spark.functions.multimodal import encode_fake_audio
+        from analyst_spark.functions.multimodal import (
+            encode_fake_audios_batch,
+        )
 
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "audio": [
-                        bytearray(encode_fake_audio(int(d))) for d in pdf["doc_id"]
-                    ],
+                    "audio": encode_fake_audios_batch(
+                        pdf["doc_id"].to_numpy(dtype="int64")
+                    ),
                 }
             )
 
@@ -300,29 +303,32 @@ def multimodal_perceptual_dedup_wide(
     pair."""
     from analyst_spark.functions.multimodal import (
         banded_hamming_pairs,
-        encode_fake_image,
+        encode_fake_images_batch,
         image_dhash_bands,
     )
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids, bufs = [], []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                buf = bytearray(encode_fake_image(d, 8, 16))
-                ids.append(d)
-                bufs.append(buf)
-                if d % _WDUP_STEP == 0:
-                    twin = bytearray(buf)
-                    twin[20] = 255  # pixel 0 (20-byte header) := 255
-                    ids.append(d + _WDUP_OFFSET)
-                    bufs.append(twin)
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            bufs = encode_fake_images_batch(ids, 8, 16)
+            tsel = np.nonzero(ids % _WDUP_STEP == 0)[0]
+            # twin = same bytes with pixel 0 (20-byte header) := 255
+            twins = [
+                bufs[i][:20] + b"\xff" + bufs[i][21:] for i in tsel
+            ]
             yield pd.DataFrame(
-                {"doc_id": ids, "mime": "image/x-fake", "image": bufs}
+                {
+                    "doc_id": np.concatenate(
+                        [ids, ids[tsel] + _WDUP_OFFSET]
+                    ),
+                    "mime": "image/x-fake",
+                    "image": bufs + twins,
+                }
             )
 
     corpus = spread(docs, "doc_id").mapInPandas(
@@ -407,23 +413,28 @@ def multimodal_audio_perceptual_dedup(
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
-        from analyst_spark.functions.multimodal import encode_fake_audio
+        from analyst_spark.functions.multimodal import (
+            encode_fake_audios_batch,
+        )
 
+        s0 = (100).to_bytes(2, "little", signed=True)
         for pdf in batches:
-            ids, bufs = [], []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                ids.append(d)
-                bufs.append(bytearray(encode_fake_audio(d)))
-                if d % _APD_STEP == 0:
-                    twin = bytearray(encode_fake_audio(d))
-                    # sample 0 is int16 LE at offset 16
-                    twin[16:18] = (100).to_bytes(2, "little", signed=True)
-                    ids.append(d + _APD_OFFSET)
-                    bufs.append(twin)
-            yield pd.DataFrame({"doc_id": ids, "audio": bufs})
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            bufs = encode_fake_audios_batch(ids)
+            tsel = np.nonzero(ids % _APD_STEP == 0)[0]
+            # twin = same bytes, sample 0 (int16 LE at offset 16) := 100
+            twins = [bufs[i][:16] + s0 + bufs[i][18:] for i in tsel]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(
+                        [ids, ids[tsel] + _APD_OFFSET]
+                    ),
+                    "audio": bufs + twins,
+                }
+            )
 
     corpus = spread(docs, "doc_id").mapInPandas(
         gen, "doc_id long, audio binary"
@@ -822,7 +833,7 @@ def multimodal_video_perceptual_dedup(
     n_frames_matched = n_shared_frames − 1 — the majority rule
     observed, not just pure duplication."""
     from analyst_spark.functions.multimodal import (
-        encode_fake_video,
+        encode_fake_videos_batch,
         video_frame_dhash_bands,
         video_perceptual_pairs,
     )
@@ -832,22 +843,24 @@ def multimodal_video_perceptual_dedup(
     )
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
+        flat0 = bytes([123]) * 64
         for pdf in batches:
-            ids, bufs = [], []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                nf = d % 24 + 8
-                buf = bytearray(encode_fake_video(d, nf))
-                ids.append(d)
-                bufs.append(buf)
-                if d % _VDUP_STEP == 0:
-                    twin = bytearray(buf)
-                    twin[20 : 20 + 64] = bytes([123]) * 64  # flat frame 0
-                    ids.append(d + _VDUP_OFFSET)
-                    bufs.append(twin)
-            yield pd.DataFrame({"doc_id": ids, "video": bufs})
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            bufs = encode_fake_videos_batch(ids, ids % 24 + 8)
+            tsel = np.nonzero(ids % _VDUP_STEP == 0)[0]
+            # twin = same bytes with frame 0 flattened to 123s
+            twins = [bufs[i][:20] + flat0 + bufs[i][84:] for i in tsel]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(
+                        [ids, ids[tsel] + _VDUP_OFFSET]
+                    ),
+                    "video": bufs + twins,
+                }
+            )
 
     corpus = spread(docs, "doc_id").mapInPandas(
         gen, "doc_id long, video binary"
