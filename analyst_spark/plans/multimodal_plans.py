@@ -653,6 +653,7 @@ def multimodal_incremental_multiday(
     hist = fc.filter(~is_new)
     sigs_all = image_dhash_bands(fc).persist()
     sigs_all.count()
+    sigs_all._asp_stats_ready = True  # type: ignore[attr-defined]
     sig_of = lambda cond: sigs_all.filter(cond)  # noqa: E731
 
     def perturb(src: DataFrame, factor: int) -> DataFrame:
@@ -676,18 +677,29 @@ def multimodal_incremental_multiday(
         return src.mapInPandas(run, "doc_id long, mime string, image binary")
 
     # per-day batch SIGNATURES: unperturbed slices come from the one
-    # signed table; only the perturbed twins (modified bytes) decode
+    # signed table; only the perturbed twins (modified bytes) decode.
+    # Each day's union is coalesced to the session parallelism: the
+    # cached-slice + decode branches concatenate partitions (193 by
+    # day 3 at sf0.1), and every downstream AQE stage over the cached
+    # batch re-launches that many near-empty tasks (r14 job
+    # decomposition). One wave of defaultParallelism tasks is the
+    # right width at any scale.
+    n_state = spark.sparkContext.defaultParallelism
     batch_sigs = [
-        sig_of(is_new & (day_of == 0)).unionByName(
+        sig_of(is_new & (day_of == 0))
+        .unionByName(
             image_dhash_bands(
                 perturb(hist.filter(F.col("doc_id") % _IPD_STEP == 0), 1)
             )
-        ),
-        sig_of(is_new & (day_of == 1)).unionByName(
+        )
+        .coalesce(n_state),
+        sig_of(is_new & (day_of == 1))
+        .unionByName(
             image_dhash_bands(
                 perturb(fc.filter(F.col("doc_id") % 60 == 0), 2)
             )
-        ),
+        )
+        .coalesce(n_state),
         sig_of(is_new & (day_of == 2))
         .unionByName(
             image_dhash_bands(
@@ -698,11 +710,23 @@ def multimodal_incremental_multiday(
             image_dhash_bands(
                 perturb(fc.filter(F.col("doc_id") % 60 == 20), 4)
             )
-        ),
+        )
+        .coalesce(n_state),
     ]
     index = sig_of(~is_new).persist()
     index.count()
+    index._asp_stats_ready = True  # type: ignore[attr-defined]
     deps = [index, fc, sigs_all]
+    # State partition bound (r14, guide §2.2/§6): each day's index and
+    # ledger are UNIONS of cached frames, so their partition counts
+    # accumulate (~+96/day at sf0.1 — the r14 job decomposition
+    # measured day-state jobs at 225→289→353→417 tasks over KB-sized
+    # state, 91 jobs total for this entry). Bound state partitions at
+    # the session's parallelism before checkpointing: every downstream
+    # job over the state runs that many tasks instead of the
+    # lineage-accumulated concatenation. defaultParallelism scales
+    # with the cluster; at 100 TB the state is storage-backed
+    # (save_state) and the reader sizes partitions from bytes.
     reported = None
     out = None
     for day, bsig in enumerate(batch_sigs, start=1):
@@ -716,21 +740,22 @@ def multimodal_incremental_multiday(
         # persist each day's pairs: the next day's ledger anti-join
         # and the final union both re-read them (the
         # dedup_incremental_multiday lesson — unpersisted, the probe
-        # recomputes per consumer)
+        # recomputes per consumer). The cache fills on first use (r14:
+        # a dedicated count job per day bought nothing downstream).
         pairs = pairs.persist()
-        pairs.count()
         deps.append(pairs)
-        # Day-boundary lineage truncation (VERDICT r12 #7): the wall
-        # of this entry is nearly constant across decades, i.e.
-        # PLANNING dominates — each day's ingest re-plans the whole
-        # prior-day index/ledger construction chain. An eager
-        # localCheckpoint materializes day state once and hands the
-        # next day storage-rooted lineage (the in-query analog of
-        # save_state), cutting the sf0.01 gate wall well below the
-        # 60% target with hashes unchanged (SCALE.md "r13: multiday
-        # planning trim").
-        index = index.localCheckpoint(eager=True)
-        reported = reported.localCheckpoint(eager=True)
+        # Day-boundary lineage truncation (VERDICT r12 #7): each day's
+        # ingest re-plans the whole prior-day index/ledger chain
+        # without a checkpoint. r14: LAZY checkpoints — the state
+        # materializes inside its first consumer's job instead of a
+        # dedicated per-day job, and day 3's index/ledger (dead state:
+        # the entry returns only pairs) never materializes at all.
+        index = index.coalesce(n_state).localCheckpoint(eager=False)
+        # checkpointed state is materialized (on first use) and
+        # KB-sized; suppress the engine's per-day stats count — AQE
+        # sizes the probe joins from runtime shuffle stats
+        index._asp_stats_ready = True  # type: ignore[attr-defined]
+        reported = reported.coalesce(n_state).localCheckpoint(eager=False)
         tagged = pairs.select(
             F.lit(day).alias("day"), "id_batch", "id_hist", "hamming"
         )
