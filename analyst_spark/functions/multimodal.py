@@ -1107,6 +1107,10 @@ def incremental_hamming_ingest(
     batch_sigs = batch_sigs.persist()
     if eager_batch_count:
         batch_sigs.count()  # shared by cross probe, intra join, append
+        # mark the stats fill so the probe engines don't re-count the
+        # same frame (r14: the cross probe re-ran a dedicated count
+        # job per day because the flag was missing here)
+        batch_sigs._asp_stats_ready = True  # type: ignore[attr-defined]
     # (callers whose batch derives from an already-cached signature
     # table pass False: the cache fills on first use, and at gate
     # scale every eager action is a fixed-latency job — r13 trim)

@@ -290,20 +290,25 @@ def contamination_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ngrams(F.col("t"), _NGRAM_N), lambda g: F.xxhash64(g)
         ).alias("gs"),
     ).persist()
-    toks.count()  # shared by v1 grams, delta grams, and the scan
+    # shared by v1 grams, delta grams, and the scan; the cache fills
+    # inside the delta-gram broadcast build (r14: the dedicated count
+    # job did the same transform pass one job earlier, buying nothing)
 
     is_v1 = F.col("doc_id") % _BENCH_MOD == 0
     is_new = (F.col("doc_id") % _BENCH_MOD2 == 0) & ~is_v1
     old_grams = (
         toks.filter(is_v1).select(F.explode("gs").alias("g")).distinct()
     )
+    # NOT persisted (r14): the ONLY consumer is the forced-broadcast
+    # join below — the broadcast exchange materializes this subtree
+    # exactly once, and F.broadcast ignores statistics, so the former
+    # persist+count pair was a full extra pass over the delta grams.
     delta_grams = (
         toks.filter(is_new)
         .select(F.explode("gs").alias("g"))
         .distinct()
         .join(old_grams, "g", "left_anti")
-    ).persist()
-    delta_grams.count()  # the broadcast side; real stats for the join
+    )
     exploded = toks.filter(~is_v1 & ~is_new).select(
         "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
     )
@@ -322,7 +327,6 @@ def contamination_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_matched").cast("long").alias("n_matched"),
                 "overlap_ratio"),
         toks,
-        delta_grams,
     )
 
 
