@@ -535,29 +535,87 @@ def incremental_neardup_ingest(
     # lives in functions/incremental.py, shared with the perceptual
     # and embedding ingests; this function contributes only the
     # minhash probe and the intra-batch orientation.
+    def fused(idx: DataFrame, bs: DataFrame) -> DataFrame:
+        # ONE bucket probe for cross + intra (r14, guide §2.4 — two
+        # operations keyed the same way share one exchange): the
+        # history side of the (band, bucket) equi-join is index ∪
+        # batch with a provenance flag; batch-side collisions
+        # additionally require id_hist < id_batch (the family's
+        # intra orientation: the earlier arrival plays the history
+        # role). Candidates stay distinct per (pair, provenance) and
+        # the verify lookup resolves signatures on (id_hist,
+        # provenance), so the emitted multiset is exactly
+        # cross ∪ intra even when batch ids already sit in the index
+        # (replay). Halves the per-day join pipelines the split form
+        # ran as separate AQE job chains.
+        hb = (
+            band_buckets(idx, id_col, bands, rows_per_band)
+            .select(
+                F.col(id_col).alias("id_hist"),
+                F.lit(True).alias("__hist"),
+                "band",
+                "bucket",
+            )
+            .unionByName(
+                band_buckets(bs, id_col, bands, rows_per_band).select(
+                    F.col(id_col).alias("id_hist"),
+                    F.lit(False).alias("__hist"),
+                    "band",
+                    "bucket",
+                )
+            )
+        )
+        bb = band_buckets(bs, id_col, bands, rows_per_band).select(
+            F.col(id_col).alias("id_batch"), "band", "bucket"
+        )
+        cand = (
+            bb.join(hb, ["band", "bucket"])
+            .filter(F.col("__hist") | (F.col("id_hist") < F.col("id_batch")))
+            .select("id_batch", "id_hist", "__hist")
+            .distinct()
+        )
+        sb = bs.select(
+            F.col(id_col).alias("id_batch"),
+            *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(k)],
+        )
+        sh = (
+            idx.withColumn("__hist", F.lit(True))
+            .unionByName(bs.withColumn("__hist", F.lit(False)))
+            .select(
+                F.col(id_col).alias("id_hist"),
+                "__hist",
+                *[F.col(f"mh{i}").alias(f"__h{i}") for i in range(k)],
+            )
+        )
+        n_match = sum(
+            (F.col(f"__b{i}") == F.col(f"__h{i}")).cast("int")
+            for i in range(k)
+        )
+        return (
+            cand.join(sb, "id_batch")
+            .join(sh, ["id_hist", "__hist"])
+            .withColumn("n_match", n_match.cast("long"))
+            .filter(F.col("n_match") >= min_match)
+            .select("id_batch", "id_hist", "n_match")
+        )
+
     pairs, new_index, new_reported = lifecycle_day(
         index,
         batch_sigs,
-        cross_fn=lambda idx, bs: incremental_neardup_pairs(
-            idx,
-            batch,
-            text_col,
-            id_col,
-            n,
-            bands,
-            rows_per_band,
-            min_match,
-            batch_sigs=bs,
-        ),
-        intra_fn=(
-            (
-                lambda bs: intra_batch_neardup_pairs(
-                    bs, id_col, bands, rows_per_band, min_match
-                )
+        cross_fn=fused if include_intra_batch else (
+            lambda idx, bs: incremental_neardup_pairs(
+                idx,
+                batch,
+                text_col,
+                id_col,
+                n,
+                bands,
+                rows_per_band,
+                min_match,
+                batch_sigs=bs,
             )
-            if include_intra_batch
-            else None
         ),
+        intra_fn=None,
         reported=reported,
         id_col=id_col,
     )

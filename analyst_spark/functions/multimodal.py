@@ -1139,11 +1139,68 @@ def incremental_hamming_ingest(
             "hamming",
         )
 
+    def fused(idx: DataFrame, bs: DataFrame) -> DataFrame:
+        # ONE banded probe for cross + intra (r14, guide §2.4 — two
+        # operations keyed the same way share one exchange): the
+        # history side of the (band, val) equi-join is index ∪ batch
+        # with a provenance flag; batch-side collisions additionally
+        # require id_hist < id_batch (the family's intra orientation:
+        # the earlier id plays the history role). Candidates are
+        # distinct per (pair, provenance) and the verify join resolves
+        # signatures on (id_hist, provenance), so the emitted multiset
+        # is exactly cross ∪ intra even when batch ids already sit in
+        # the index (replay). Halves the per-day join pipelines the
+        # split form ran (each was its own AQE job chain at gate
+        # scale).
+        idx = idx.persist()
+        if not getattr(idx, "_asp_stats_ready", False):
+            idx.count()
+            idx._asp_stats_ready = True  # type: ignore[attr-defined]
+        deps.append(idx)
+        hb = (
+            signature_bands(idx, "id_hist")
+            .withColumn("__hist", F.lit(True))
+            .unionByName(
+                signature_bands(bs, "id_hist").withColumn(
+                    "__hist", F.lit(False)
+                )
+            )
+        )
+        bb = signature_bands(bs, "id_batch")
+        cand = (
+            bb.join(hb, ["band", "val"])
+            .filter(F.col("__hist") | (F.col("id_hist") < F.col("id_batch")))
+            .select("id_batch", "id_hist", "__hist")
+            .distinct()
+        )
+        sb = bs.select(
+            F.col("doc_id").alias("id_batch"),
+            *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
+        )
+        sh = (
+            idx.withColumn("__hist", F.lit(True))
+            .unionByName(bs.withColumn("__hist", F.lit(False)))
+            .select(
+                F.col("doc_id").alias("id_hist"),
+                "__hist",
+                *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
+            )
+        )
+        hamming = hamming_expr()
+        return (
+            cand.join(sb, "id_batch")
+            .join(sh, ["id_hist", "__hist"])
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_distance)
+            .select("id_batch", "id_hist", "hamming")
+        )
+
+    use_fused = include_intra_batch and max_bucket_size is None
     pairs, new_index, new_reported = lifecycle_day(
         index_sigs,
         batch_sigs,
-        cross_fn=cross,
-        intra_fn=intra if include_intra_batch else None,
+        cross_fn=fused if use_fused else cross,
+        intra_fn=intra if include_intra_batch and not use_fused else None,
         reported=reported,
         id_col="doc_id",
     )

@@ -1138,19 +1138,76 @@ def incremental_embedding_ingest(
         # presigned batch is a filter over an already-cached signature
         # table — its cache fills on first use, no eager job needed
 
-    def intra(bi: DataFrame) -> DataFrame:
-        out = _band_cross_pairs(bi, bi, threshold, id_col, round_digits)
-        # the self-join finds each pair in both orientations; keep
-        # the (later id = batch, earlier id = hist) one
-        return out.filter(F.col("id_batch") > F.col("id_hist"))
+    def fused(idx: DataFrame, bi: DataFrame) -> DataFrame:
+        # ONE band probe for cross + intra (r14, guide §2.4 — two
+        # operations keyed the same way share one exchange): the
+        # history side of the (band, bucket) equi-join is index ∪
+        # batch with a provenance flag; batch-side collisions
+        # additionally require id_hist < id_batch (the family's intra
+        # orientation). Candidates stay distinct per (pair,
+        # provenance) and the verify lookup resolves vectors on
+        # (id_hist, provenance), so the emitted multiset is exactly
+        # cross ∪ intra even when batch ids already sit in the index
+        # (replay). Halves the per-day join pipelines.
+        hb = (
+            idx.select(
+                F.col(id_col).alias("id_hist"),
+                F.lit(True).alias("__hist"),
+                F.posexplode("__sig").alias("band", "bucket"),
+            )
+        ).unionByName(
+            bi.select(
+                F.col(id_col).alias("id_hist"),
+                F.lit(False).alias("__hist"),
+                F.posexplode("__sig").alias("band", "bucket"),
+            )
+        )
+        bb = bi.select(
+            F.col(id_col).alias("id_batch"),
+            F.posexplode("__sig").alias("band", "bucket"),
+        )
+        cand = (
+            bb.join(hb, ["band", "bucket"])
+            .filter(F.col("__hist") | (F.col("id_hist") < F.col("id_batch")))
+            .select("id_batch", "id_hist", "__hist")
+            .distinct()
+        )
+        ea = bi.select(
+            F.col(id_col).alias("id_batch"),
+            F.col("__v").alias("__va"),
+            _norm(F.col("__v")).alias("__na"),
+        )
+        eb = (
+            idx.withColumn("__hist", F.lit(True))
+            .unionByName(bi.withColumn("__hist", F.lit(False)))
+            .select(
+                F.col(id_col).alias("id_hist"),
+                "__hist",
+                F.col("__v").alias("__vb"),
+                _norm(F.col("__v")).alias("__nb"),
+            )
+        )
+        sim = F.round(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+            round_digits,
+        )
+        return (
+            cand.join(ea, "id_batch")
+            .join(eb, ["id_hist", "__hist"])
+            .select("id_batch", "id_hist", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
+        )
 
     pairs, new_index, new_reported = lifecycle_day(
         index,
         bidx,
-        cross_fn=lambda idx, bi: _band_cross_pairs(
-            idx, bi, threshold, id_col, round_digits
+        cross_fn=fused if include_intra_batch else (
+            lambda idx, bi: _band_cross_pairs(
+                idx, bi, threshold, id_col, round_digits
+            )
         ),
-        intra_fn=intra if include_intra_batch else None,
+        intra_fn=None,
         reported=reported,
         id_col=id_col,
     )
