@@ -3785,7 +3785,12 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(sum_micro_logprob - ((sum_micro_logprob % {d} + {d}) % {d}))"
         f" div {d}"
     )
-    binned = scored.select("doc_id", "lang", qbin.alias("qbin"))
+    # consumed by BOTH the broadcast cuts subquery (which materializes
+    # eagerly as its own job chain) and the final join — without the
+    # persist the ENTIRE LM scorer runs twice (measured: 31 jobs /
+    # 68 stages for this entry vs 17 jobs for docs_lm_score alone).
+    # The cache fills inside the cuts broadcast job; no eager count.
+    binned = scored.select("doc_id", "lang", qbin.alias("qbin")).persist()
     hist = binned.groupBy("lang", "qbin").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -3810,7 +3815,9 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = binned.join(F.broadcast(cuts), ["lang", "qbin"]).select(
         "doc_id", "lang", "qbin", "bucket"
     )
-    return _with_cached_deps(out, *getattr(lm, "_asp_cached_deps", []))
+    return _with_cached_deps(
+        out, binned, *getattr(lm, "_asp_cached_deps", [])
+    )
 
 
 DOCS_PPL_BUCKETS_ORACLE = rf"""
