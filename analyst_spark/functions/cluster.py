@@ -44,6 +44,16 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    # convergence via the label-sum invariant: min-label propagation
+    # only ever DECREASES a label, so the total strictly decreases iff
+    # any label changed — one tiny aggregate per round instead of the
+    # join-against-previous-labels the check used to pay (r14; the
+    # aggregate job also fills the new labels' cache, so the per-round
+    # job count is unchanged). decimal(38,0): an int64 sum would
+    # overflow at ~10^12 nodes with wide ids; exactness is what makes
+    # sum-equality ⟺ fixpoint.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = None
     for i in range(max_iter):
         # each node's candidate label: min of its own and its
         # neighbors' current labels
@@ -60,17 +70,15 @@ def connected_components(
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(label_sum.alias("s")).first()["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        # None = empty graph (no first-round skip needed otherwise:
+        # every component has >= 2 nodes, so round 1 always changes
+        # its max node's label)
+        if new_sum is None or new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     out = labels.select(
         F.col("node"), F.col("label").alias("component")
