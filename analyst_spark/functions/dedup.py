@@ -470,6 +470,7 @@ def incremental_neardup_ingest(
     rows_per_band: int = 2,
     min_match: int = 6,
     include_intra_batch: bool = True,
+    presigned: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """ONE DAY of the incremental near-dup LIFECYCLE (VERDICT r10
     #2): probe the new batch, append its signatures to the index,
@@ -524,10 +525,21 @@ def incremental_neardup_ingest(
     from analyst_spark.functions.incremental import lifecycle_day
 
     k = bands * rows_per_band
-    batch_sigs = _fill_cache(
-        minhash_signatures(batch, text_col, id_col, n, num_hashes=k)
-        .persist(),
-        True,
+    # ``presigned=True`` means ``batch`` is ALREADY a
+    # :func:`neardup_signature_index` frame (id, mh0..mh{k-1}) — the
+    # multiday entry signs its whole corpus in one Arrow pass and
+    # slices per day (r15, the embedding sibling's r13 shape), so
+    # re-signing here would be a second pass over the same text. A
+    # presigned batch is a filter over an already-cached signature
+    # table — its cache fills on first use, no eager count needed.
+    batch_sigs = (
+        batch.persist()
+        if presigned
+        else _fill_cache(
+            minhash_signatures(batch, text_col, id_col, n, num_hashes=k)
+            .persist(),
+            True,
+        )
     )
     # The family-independent lifecycle (self-pair suppression,
     # unordered-pair-key ledger anti-join — the r11-review replay
