@@ -51,7 +51,21 @@ def connected_components(
     # aggregate job also fills the new labels' cache, so the per-round
     # job count is unchanged). decimal(38,0): an int64 sum would
     # overflow at ~10^12 nodes with wide ids; exactness is what makes
-    # sum-equality ⟺ fixpoint.
+    # sum-equality ⟺ fixpoint. SOUND ONLY FOR INTEGRAL IDS (ADVICE
+    # r14): a fractional id rounds under the decimal cast (2.4 → 2
+    # masks a change) and a string id casts to NULL (SUM skips it) —
+    # non-integral node columns take the type-agnostic join check.
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    integral_ids = isinstance(
+        labels.schema["label"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = None
     for i in range(max_iter):
@@ -70,15 +84,28 @@ def connected_components(
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist()
-        new_sum = new_labels.agg(label_sum.alias("s")).first()["s"]
-        labels.unpersist()
-        labels = new_labels
-        # None = empty graph (no first-round skip needed otherwise:
-        # every component has >= 2 nodes, so round 1 always changes
-        # its max node's label)
-        if new_sum is None or new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        if integral_ids:
+            new_sum = new_labels.agg(label_sum.alias("s")).first()["s"]
+            labels.unpersist()
+            labels = new_labels
+            # None = empty graph (no first-round skip needed
+            # otherwise: every component has >= 2 nodes, so round 1
+            # always changes its max node's label)
+            if new_sum is None or new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
     edges.unpersist()
     out = labels.select(
         F.col("node"), F.col("label").alias("component")

@@ -28,6 +28,16 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ``_asp_skip_stats_count`` protocol (ADVICE r14 rename of
+# ``_asp_stats_ready``): a Python-side attribute a CALLER sets on a
+# persisted DataFrame to tell the banded-join builders below "do not
+# run your eager stats-priming count() on this frame". It means
+# exactly "skip the count" — the caller either already counted the
+# frame (real InMemoryRelation stats exist) or has decided AQE's
+# runtime shuffle stats are sufficient (KB-sized checkpointed state).
+# It does not survive DataFrame transformations, so it must be set on
+# the exact object passed in; consequences of a wrong setting are
+# plan-quality only (a mis-sized broadcast decision), never results.
 FAKE_MAGIC = b"FAKEIMG1"
 
 FEATURE_SCHEMA = (
@@ -509,9 +519,9 @@ def banded_hamming_pairs(
             "silently loses pairs)"
         )
     sigs = sigs.persist()
-    if not getattr(sigs, "_asp_stats_ready", False):
+    if not getattr(sigs, "_asp_skip_stats_count", False):
         sigs.count()  # real stats before the self-join plans
-        sigs._asp_stats_ready = True  # type: ignore[attr-defined]
+        sigs._asp_skip_stats_count = True  # type: ignore[attr-defined]
     gcols = [group_col] if group_col else []
     bands = signature_bands(sigs, "doc_id", tuple(gcols))
     bucket_key = gcols + ["band", "val"]
@@ -728,6 +738,15 @@ def audio_features(
             for idx, (sr, n), mat in _fake_matrix_groups(
                 bufs, FAKE_AUDIO_MAGIC, 2
             ):
+                # truncation guard (ADVICE r14): a buffer shorter than
+                # its header's sample count must fail loudly like the
+                # old per-row struct.unpack did, not silently average
+                # over fewer samples
+                if mat.shape[1] < 16 + 2 * n:
+                    raise struct.error(
+                        f"fake audio buffer truncated: {mat.shape[1]}"
+                        f" bytes < 16 + 2*{n}"
+                    )
                 s = (
                     mat[:, 16 : 16 + 2 * n].copy().view("<i2")
                     .astype(np.int64)
@@ -1010,18 +1029,18 @@ def incremental_hamming_pairs(
         )
     # idempotent stats fill (r14): a frame the caller (or an earlier
     # probe in the same lifecycle) already counted carries
-    # _asp_stats_ready — re-counting it is a pure scheduler-overhead
+    # _asp_skip_stats_count — re-counting it is a pure scheduler-overhead
     # job at gate scale (the r14 job decomposition measured the
     # multiday entries at 66-91 jobs each, mostly re-materializations
     # of already-cached state)
     index_sigs = index_sigs.persist()
-    if not getattr(index_sigs, "_asp_stats_ready", False):
+    if not getattr(index_sigs, "_asp_skip_stats_count", False):
         index_sigs.count()
-        index_sigs._asp_stats_ready = True  # type: ignore[attr-defined]
+        index_sigs._asp_skip_stats_count = True  # type: ignore[attr-defined]
     batch_sigs = batch_sigs.persist()
-    if not getattr(batch_sigs, "_asp_stats_ready", False):
+    if not getattr(batch_sigs, "_asp_skip_stats_count", False):
         batch_sigs.count()
-        batch_sigs._asp_stats_ready = True  # type: ignore[attr-defined]
+        batch_sigs._asp_skip_stats_count = True  # type: ignore[attr-defined]
     hb = signature_bands(index_sigs, "id_hist")
     bb = signature_bands(batch_sigs, "id_batch")
     dropped = None
@@ -1110,7 +1129,7 @@ def incremental_hamming_ingest(
         # mark the stats fill so the probe engines don't re-count the
         # same frame (r14: the cross probe re-ran a dedicated count
         # job per day because the flag was missing here)
-        batch_sigs._asp_stats_ready = True  # type: ignore[attr-defined]
+        batch_sigs._asp_skip_stats_count = True  # type: ignore[attr-defined]
     # (callers whose batch derives from an already-cached signature
     # table pass False: the cache fills on first use, and at gate
     # scale every eager action is a fixed-latency job — r13 trim)
@@ -1153,9 +1172,9 @@ def incremental_hamming_ingest(
         # split form ran (each was its own AQE job chain at gate
         # scale).
         idx = idx.persist()
-        if not getattr(idx, "_asp_stats_ready", False):
+        if not getattr(idx, "_asp_skip_stats_count", False):
             idx.count()
-            idx._asp_stats_ready = True  # type: ignore[attr-defined]
+            idx._asp_skip_stats_count = True  # type: ignore[attr-defined]
         deps.append(idx)
         hb = (
             signature_bands(idx, "id_hist")

@@ -653,7 +653,7 @@ def multimodal_incremental_multiday(
     hist = fc.filter(~is_new)
     sigs_all = image_dhash_bands(fc).persist()
     sigs_all.count()
-    sigs_all._asp_stats_ready = True  # type: ignore[attr-defined]
+    sigs_all._asp_skip_stats_count = True  # type: ignore[attr-defined]
     sig_of = lambda cond: sigs_all.filter(cond)  # noqa: E731
 
     def perturb(src: DataFrame, factor: int) -> DataFrame:
@@ -715,7 +715,7 @@ def multimodal_incremental_multiday(
     ]
     index = sig_of(~is_new).persist()
     index.count()
-    index._asp_stats_ready = True  # type: ignore[attr-defined]
+    index._asp_skip_stats_count = True  # type: ignore[attr-defined]
     deps = [index, fc, sigs_all]
     # State partition bound (r14, guide §2.2/§6): each day's index and
     # ledger are UNIONS of cached frames, so their partition counts
@@ -754,7 +754,7 @@ def multimodal_incremental_multiday(
         # checkpointed state is materialized (on first use) and
         # KB-sized; suppress the engine's per-day stats count — AQE
         # sizes the probe joins from runtime shuffle stats
-        index._asp_stats_ready = True  # type: ignore[attr-defined]
+        index._asp_skip_stats_count = True  # type: ignore[attr-defined]
         reported = reported.coalesce(n_state).localCheckpoint(eager=False)
         tagged = pairs.select(
             F.lit(day).alias("day"), "id_batch", "id_hist", "hamming"

@@ -49,7 +49,10 @@ def get_spark(app_name: str = "analyst_spark", cpus: str | None = None) -> Spark
         # turns it on so profiling tools can read the REST API
         .config(
             "spark.ui.enabled",
-            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").lower()
+            in ("1", "true", "yes", "on")
+            else "false",
         )
         .config("spark.sql.caseSensitive", "false")
     )

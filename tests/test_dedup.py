@@ -89,6 +89,31 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
 
 
+def test_connected_components_non_integral_ids(spark):
+    # ADVICE r14: the label-sum convergence shortcut is only sound for
+    # integral ids (string labels cast to NULL and fractional labels
+    # round under decimal(38,0)); non-integral node columns must take
+    # the join-based check and still return correct components.
+    from analyst_spark.functions.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    frac = spark.createDataFrame(
+        # 2.4 vs 2.0: a decimal(38,0) cast would see no sum change
+        [(2.4, 3.5), (2.0, 2.4)], "id_a double, id_b double"
+    )
+    got_f = {
+        r.node: r.component for r in connected_components(frac).collect()
+    }
+    assert got_f == {2.0: 2.0, 2.4: 2.0, 3.5: 2.0}
+
+
 def test_release_cached_unpersists_intermediates(spark):
     from analyst_spark.functions.dedup import minhash_pairs, release_cached
 

@@ -70,6 +70,19 @@ def test_audio_features(spark):
     assert r.duration_s == pytest.approx(200 / 16000)
 
 
+def test_audio_features_truncated_buffer_raises(spark):
+    # ADVICE r14: a buffer shorter than its header's sample count must
+    # fail loudly (the per-row struct.unpack used to raise); the
+    # vectorized path must not silently average over fewer samples.
+    import pyspark.errors
+
+    good = encode_fake_audio(1, n_samples=200)
+    rows = [(1, bytearray(good[:-10]))]  # header says 200, body short
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    with pytest.raises(pyspark.errors.PySparkException):
+        audio_features(df).collect()
+
+
 def test_ivf_topk_matches_bruteforce_on_probed_lists(spark):
     # IVF with n_probe == n_centroids degrades to exact search: every
     # inverted list is probed, so results must equal brute force.
