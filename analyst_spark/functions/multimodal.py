@@ -446,6 +446,29 @@ def signature_bands(
     )
 
 
+def _class_bands(cls: DataFrame, gcols: list[str]) -> DataFrame:
+    """(band, val) explosion of a DISTINCT-signature (class) frame —
+    the class-level twin of :func:`signature_bands` (r15, guide §8):
+    4 rows per class, each carrying the full b0..b3 key so the banded
+    class join can verify hamming inline and expand back to ids."""
+    return cls.select(
+        *gcols,
+        *[f"b{k}" for k in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"b{k}").alias("val")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        *gcols, *[f"b{k}" for k in range(4)], "bb.band", "bb.val"
+    )
+
+
 def hamming_expr(a_prefix: str = "__a", b_prefix: str = "__b"):
     """The 4× xor+bit_count verification expression over prefixed
     band columns — the shared verify arithmetic (same factoring
@@ -523,6 +546,82 @@ def banded_hamming_pairs(
         sigs.count()  # real stats before the self-join plans
         sigs._asp_skip_stats_count = True  # type: ignore[attr-defined]
     gcols = [group_col] if group_col else []
+    if max_bucket_size is None:
+        # Class-level candidates (r15, guide §8 "decide with small
+        # rows"): dedup corpora carry heavy signature multiplicity
+        # (byte-dup storms are the workload), and the id-level banded
+        # self-join pays |classA|x|classB| candidate rows through the
+        # distinct exchange for every colliding class pair. Generate
+        # and VERIFY candidates over DISTINCT signatures instead —
+        # the hamming filter runs before the distinct, so the
+        # exchange carries only true class pairs — then expand back
+        # to id pairs with two joins on the signature key. Measured
+        # on the multiday probe: 5.35M candidate rows / 102.7 MiB
+        # distinct exchange -> class pairs in the thousands. The
+        # expansion emits each unordered id pair exactly once (a doc
+        # has one signature per group, so an id pair maps to one
+        # class pair), oriented id_a < id_b exactly like the id-level
+        # join; hamming is integer arithmetic, so values are
+        # identical. Cost at unique-signature corpora: one extra
+        # narrow distinct of the 16-byte signatures — bounded; the
+        # capped path below keeps the id-level bucket-occupancy
+        # semantics untouched.
+        sig_cols = [f"b{k}" for k in range(4)]
+        cls = sigs.select(*gcols, *sig_cols).distinct()
+        cbands = _class_bands(cls, gcols)
+        cond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (
+                F.struct(*[F.col(f"a.b{k}") for k in range(4)])
+                <= F.struct(*[F.col(f"b.b{k}") for k in range(4)])
+            )
+        )
+        for g in gcols:
+            cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+        hamming = hamming_expr()
+        cpairs = (
+            cbands.alias("a")
+            .join(cbands.alias("b"), cond)
+            .select(
+                *[F.col(f"a.{g}") for g in gcols],
+                *[F.col(f"a.b{k}").alias(f"__a{k}") for k in range(4)],
+                *[F.col(f"b.b{k}").alias(f"__b{k}") for k in range(4)],
+            )
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_distance)
+            .distinct()
+        )
+        ia = sigs.select(
+            F.col("doc_id").alias("id_a"),
+            *gcols,
+            *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
+        )
+        ib = sigs.select(
+            F.col("doc_id").alias("id_b"),
+            *gcols,
+            *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
+        )
+        same_class = None
+        for k in range(4):
+            eq = F.col(f"__a{k}") == F.col(f"__b{k}")
+            same_class = eq if same_class is None else (same_class & eq)
+        out = (
+            cpairs.join(ia, gcols + [f"__a{k}" for k in range(4)])
+            .join(ib, gcols + [f"__b{k}" for k in range(4)])
+            # same-class pairs are generated once (A, A): order them
+            # here; cross-class pairs are generated once per
+            # canonical class order and oriented by least/greatest
+            .filter(~same_class | (F.col("id_a") < F.col("id_b")))
+            .select(
+                *gcols,
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "hamming",
+            )
+        )
+        out._asp_cached_deps = [sigs]  # type: ignore[attr-defined]
+        return out
     bands = signature_bands(sigs, "doc_id", tuple(gcols))
     bucket_key = gcols + ["band", "val"]
     dropped = None
@@ -1041,6 +1140,48 @@ def incremental_hamming_pairs(
     if not getattr(batch_sigs, "_asp_skip_stats_count", False):
         batch_sigs.count()
         batch_sigs._asp_skip_stats_count = True  # type: ignore[attr-defined]
+    if max_bucket_size is None:
+        # Class-level probe (r15, guide §8 — same device as the
+        # banded_hamming_pairs rewrite above): band-join DISTINCT
+        # batch signatures against DISTINCT index signatures, verify
+        # hamming on class pairs before the distinct, then expand to
+        # (id_batch, id_hist) with two signature-keyed joins. The
+        # probe is directed (batch x index), so no canonical-order
+        # device is needed; each id pair maps to exactly one class
+        # pair, so the expansion multiset equals the id-level join's.
+        cb = batch_sigs.select("b0", "b1", "b2", "b3").distinct()
+        ch = index_sigs.select("b0", "b1", "b2", "b3").distinct()
+        hamming = hamming_expr()
+        cpairs = (
+            _class_bands(cb, []).alias("a")
+            .join(
+                _class_bands(ch, []).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val")),
+            )
+            .select(
+                *[F.col(f"a.b{k}").alias(f"__a{k}") for k in range(4)],
+                *[F.col(f"b.b{k}").alias(f"__b{k}") for k in range(4)],
+            )
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_distance)
+            .distinct()
+        )
+        sb = batch_sigs.select(
+            F.col("doc_id").alias("id_batch"),
+            *[F.col(f"b{k}").alias(f"__a{k}") for k in range(4)],
+        )
+        sh = index_sigs.select(
+            F.col("doc_id").alias("id_hist"),
+            *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
+        )
+        out = (
+            cpairs.join(sb, [f"__a{k}" for k in range(4)])
+            .join(sh, [f"__b{k}" for k in range(4)])
+            .select("id_batch", "id_hist", "hamming")
+        )
+        out._asp_cached_deps = [index_sigs, batch_sigs]  # type: ignore[attr-defined]
+        return out
     hb = signature_bands(index_sigs, "id_hist")
     bb = signature_bands(batch_sigs, "id_batch")
     dropped = None
@@ -1176,20 +1317,40 @@ def incremental_hamming_ingest(
             idx.count()
             idx._asp_skip_stats_count = True  # type: ignore[attr-defined]
         deps.append(idx)
-        hb = (
-            signature_bands(idx, "id_hist")
+        # Class-level candidates (r15, guide §8 — the same
+        # distinct-signature device as banded_hamming_pairs): the
+        # (band, val) equi-join and the hamming verify run over
+        # DISTINCT signatures (hamming filtered BEFORE the distinct,
+        # so the exchange carries only true class pairs), and two
+        # signature-keyed joins expand back to ids. The provenance
+        # flag and the intra orientation are preserved: class pairs
+        # keep __hist, the (id_hist < id_batch) batch-side filter is
+        # applied at expansion time (it is an id-level predicate),
+        # and each (id_batch, id_hist, __hist) row expands exactly
+        # once — the emitted multiset is unchanged, including the
+        # replay case where a batch id already sits in the index.
+        cb = bs.select("b0", "b1", "b2", "b3").distinct()
+        chb = (
+            idx.select("b0", "b1", "b2", "b3")
+            .distinct()
             .withColumn("__hist", F.lit(True))
-            .unionByName(
-                signature_bands(bs, "id_hist").withColumn(
-                    "__hist", F.lit(False)
-                )
-            )
+            .unionByName(cb.withColumn("__hist", F.lit(False)))
         )
-        bb = signature_bands(bs, "id_batch")
-        cand = (
-            bb.join(hb, ["band", "val"])
-            .filter(F.col("__hist") | (F.col("id_hist") < F.col("id_batch")))
-            .select("id_batch", "id_hist", "__hist")
+        hamming = hamming_expr()
+        cpairs = (
+            _class_bands(cb, []).alias("a")
+            .join(
+                _class_bands(chb, ["__hist"]).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val")),
+            )
+            .select(
+                *[F.col(f"a.b{k}").alias(f"__a{k}") for k in range(4)],
+                *[F.col(f"b.b{k}").alias(f"__b{k}") for k in range(4)],
+                F.col("b.__hist").alias("__hist"),
+            )
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_distance)
             .distinct()
         )
         sb = bs.select(
@@ -1205,12 +1366,10 @@ def incremental_hamming_ingest(
                 *[F.col(f"b{k}").alias(f"__b{k}") for k in range(4)],
             )
         )
-        hamming = hamming_expr()
         return (
-            cand.join(sb, "id_batch")
-            .join(sh, ["id_hist", "__hist"])
-            .withColumn("hamming", hamming)
-            .filter(F.col("hamming") <= max_distance)
+            cpairs.join(sb, [f"__a{k}" for k in range(4)])
+            .join(sh, ["__hist"] + [f"__b{k}" for k in range(4)])
+            .filter(F.col("__hist") | (F.col("id_hist") < F.col("id_batch")))
             .select("id_batch", "id_hist", "hamming")
         )
 
