@@ -257,6 +257,7 @@ def image_dhash_bands(
     id_col: str = "doc_id",
     decoder: str = "fake",
     band_bits: int = 16,
+    fan_out: bool = True,
 ) -> DataFrame:
     """dHash perceptual signature of a binary image column (VERDICT
     r9 #3): decode → luma grid → nearest-neighbor resample →
@@ -299,7 +300,13 @@ def image_dhash_bands(
 
     from analyst_spark.tables import spread
 
-    return spread(df, id_col).mapInPandas(
+    # fan_out=False (r15, guide §2.4): callers whose input is already
+    # well-partitioned — a corpus just produced by spread()+
+    # mapInPandas, or slices of a cached frame — skip the repartition,
+    # which otherwise shuffles every IMAGE BYTE a second time for
+    # nothing (the signatures it produces are 40 bytes/row).
+    src = spread(df, id_col) if fan_out else df
+    return src.mapInPandas(
         _dhash_worker(image_col, id_col, band_bits),
         schema=DHASH_SCHEMA if band_bits == 16 else DHASH128_SCHEMA,
     )
@@ -370,6 +377,7 @@ def perceptual_dedup_pairs(
     id_col: str = "doc_id",
     max_distance: int = 3,
     decoder: str = "fake",
+    fan_out: bool = True,
 ) -> DataFrame:
     """Perceptual image near-dup pairs via a banded Hamming join —
     NEVER all-pairs (VERDICT r9 #3).
@@ -394,7 +402,8 @@ def perceptual_dedup_pairs(
     hamming <= max_distance.
     """
     return banded_hamming_pairs(
-        image_dhash_bands(df, image_col, id_col, decoder), max_distance
+        image_dhash_bands(df, image_col, id_col, decoder, fan_out=fan_out),
+        max_distance,
     )
 
 
@@ -691,6 +700,7 @@ def audio_fingerprint_bands(
     df: DataFrame,
     audio_col: str = "audio",
     id_col: str = "doc_id",
+    fan_out: bool = True,
 ) -> DataFrame:
     """Perceptual audio fingerprint of a binary PCM column — the
     audio sibling of :func:`image_dhash_bands` (the chromaprint
@@ -758,7 +768,10 @@ def audio_fingerprint_bands(
 
     from analyst_spark.tables import spread
 
-    return spread(df, id_col).mapInPandas(run, schema=DHASH_SCHEMA)
+    # see image_dhash_bands: fan_out=False skips the second shuffle
+    # of the audio bytes when the input is already well-partitioned
+    src = spread(df, id_col) if fan_out else df
+    return src.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
 FAKE_AUDIO_MAGIC = b"FAKEAUD1"
@@ -963,6 +976,7 @@ def video_frame_dhash_bands(
     id_col: str = "doc_id",
     every_n: int = 2,
     decoder: str = "fake",
+    fan_out: bool = True,
 ) -> DataFrame:
     """dHash bands of every ``every_n``-th frame of a binary video
     column — :func:`image_dhash_bands` lifted to (doc, frame) rows
@@ -1032,7 +1046,10 @@ def video_frame_dhash_bands(
 
     from analyst_spark.tables import spread
 
-    return spread(df, id_col).mapInPandas(run, schema=VIDEO_DHASH_SCHEMA)
+    # see image_dhash_bands: fan_out=False skips the second shuffle
+    # of the video bytes when the input is already well-partitioned
+    src = spread(df, id_col) if fan_out else df
+    return src.mapInPandas(run, schema=VIDEO_DHASH_SCHEMA)
 
 
 def video_perceptual_pairs(

@@ -213,7 +213,12 @@ def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         perturb, "doc_id long, mime string, image binary"
     )
     corpus = fc.unionByName(twins)
-    return perceptual_dedup_pairs(corpus, max_distance=_PDUP_MAX_DIST)
+    # fan_out=False: the corpus was just produced by spread()+
+    # mapInPandas branches — the signature pass must not shuffle the
+    # image bytes a second time (r15, guide §2.4)
+    return perceptual_dedup_pairs(
+        corpus, max_distance=_PDUP_MAX_DIST, fan_out=False
+    )
 
 
 def _dhash_sql_fragments(alias: str, band_bits: int = 16):
@@ -335,7 +340,7 @@ def multimodal_perceptual_dedup_wide(
         gen, "doc_id long, mime string, image binary"
     )
     return banded_hamming_pairs(
-        image_dhash_bands(corpus, band_bits=32),
+        image_dhash_bands(corpus, band_bits=32, fan_out=False),
         max_distance=_WDUP_MAX_DIST,
     )
 
@@ -440,7 +445,8 @@ def multimodal_audio_perceptual_dedup(
         gen, "doc_id long, audio binary"
     )
     return banded_hamming_pairs(
-        audio_fingerprint_bands(corpus), max_distance=_APD_MAX_DIST
+        audio_fingerprint_bands(corpus, fan_out=False),
+        max_distance=_APD_MAX_DIST,
     )
 
 
@@ -557,8 +563,8 @@ def multimodal_incremental_perceptual(
 
     hist, batch = _ipd_corpus(spark, sf_dir)
     return incremental_hamming_pairs(
-        image_dhash_bands(hist),
-        image_dhash_bands(batch),
+        image_dhash_bands(hist, fan_out=False),
+        image_dhash_bands(batch, fan_out=False),
         max_distance=_IPD_MAX_DIST,
     )
 
@@ -651,7 +657,7 @@ def multimodal_incremental_multiday(
     is_new = F.col("doc_id") % 4 == 0
     day_of = F.expr("doc_id DIV 4") % 3
     hist = fc.filter(~is_new)
-    sigs_all = image_dhash_bands(fc).persist()
+    sigs_all = image_dhash_bands(fc, fan_out=False).persist()
     sigs_all.count()
     sigs_all._asp_skip_stats_count = True  # type: ignore[attr-defined]
     sig_of = lambda cond: sigs_all.filter(cond)  # noqa: E731
@@ -689,26 +695,30 @@ def multimodal_incremental_multiday(
         sig_of(is_new & (day_of == 0))
         .unionByName(
             image_dhash_bands(
-                perturb(hist.filter(F.col("doc_id") % _IPD_STEP == 0), 1)
+                perturb(hist.filter(F.col("doc_id") % _IPD_STEP == 0), 1),
+                fan_out=False,
             )
         )
         .coalesce(n_state),
         sig_of(is_new & (day_of == 1))
         .unionByName(
             image_dhash_bands(
-                perturb(fc.filter(F.col("doc_id") % 60 == 0), 2)
+                perturb(fc.filter(F.col("doc_id") % 60 == 0), 2),
+                fan_out=False,
             )
         )
         .coalesce(n_state),
         sig_of(is_new & (day_of == 2))
         .unionByName(
             image_dhash_bands(
-                perturb(fc.filter(F.col("doc_id") % 60 == 40), 3)
+                perturb(fc.filter(F.col("doc_id") % 60 == 40), 3),
+                fan_out=False,
             )
         )
         .unionByName(
             image_dhash_bands(
-                perturb(fc.filter(F.col("doc_id") % 60 == 20), 4)
+                perturb(fc.filter(F.col("doc_id") % 60 == 20), 4),
+                fan_out=False,
             )
         )
         .coalesce(n_state),
@@ -891,7 +901,7 @@ def multimodal_video_perceptual_dedup(
         gen, "doc_id long, video binary"
     )
     return video_perceptual_pairs(
-        video_frame_dhash_bands(corpus, every_n=_VDUP_EVERY_N),
+        video_frame_dhash_bands(corpus, every_n=_VDUP_EVERY_N, fan_out=False),
         max_distance=_VDUP_MAX_DIST,
     )
 
