@@ -10,7 +10,16 @@ from analyst_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    return get_spark("analyst_spark_tests", cpus="8")
+    s = get_spark("analyst_spark_tests", cpus="8")
+    # Test corpora are KB-sized: 4 shuffle partitions instead of 8
+    # halves the per-exchange task count, which is pure scheduler
+    # latency at this scale (VERDICT r14 #6 — the suite must fit the
+    # driver's verify window). Runtime-settable conf; values are
+    # partitioning-independent by the determinism contract, and the
+    # explicit-partitioning assertions (JDBC, paged datasource) set
+    # their own counts.
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    return s
 
 
 SF_DIR = "/root/testdata/sf0.001"

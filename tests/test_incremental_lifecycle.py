@@ -334,7 +334,15 @@ class TestLedgerCompaction:
                     new_led = compact_ledger(
                         new_led, new_idx.select("doc_id")
                     )
-                save_state(new_idx, new_led, f"{path}/s{day}")
+                # KB-sized day state: write one file per table instead
+                # of one per lineage partition (test speed only — the
+                # 60 save/load round-trips dominated the suite's
+                # slowest test at 8-16 near-empty tasks per write)
+                save_state(
+                    new_idx.coalesce(1),
+                    None if new_led is None else new_led.coalesce(1),
+                    f"{path}/s{day}",
+                )
                 ledger_sizes[tag].append(
                     load_state(spark, f"{path}/s{day}")[1].count()
                 )
