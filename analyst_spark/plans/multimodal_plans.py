@@ -745,6 +745,11 @@ def multimodal_incremental_multiday(
             bsig,
             reported,
             max_distance=_IPD_MAX_DIST,
+            # the batch is a slice of the cached signature table plus
+            # a twin decode — the cache fills on first use; a
+            # dedicated per-day count is one fixed-latency job each
+            # (r14 sibling A/B: wall-neutral, fewer jobs)
+            eager_batch_count=False,
         )
         deps.extend(getattr(pairs, "_asp_cached_deps", []))
         # persist each day's pairs: the next day's ledger anti-join
